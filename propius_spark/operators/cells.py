@@ -1,0 +1,44 @@
+"""Cell table: the distributed sparse crosstab matrix.
+
+Replaces the reference's COO-triplet → CSR build
+(propius/similarity.py:47-89). The long-form DataFrame
+(item_id, ctx_id, cnt) IS the sparse matrix: duplicate
+(item, context) events sum natively under groupBy (the reference gets
+the same via coo→csr duplicate summation), there is no pre-sizing
+parameter, and no 1-based→0-based shift — the engine keeps original
+item ids end-to-end and only maps to store positions at the publication
+edge where reference parity requires it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+
+
+def build_cells(occurrences: DataFrame, ctx_col: str = "reference_id") -> DataFrame:
+    """(item_id, ctx_id, cnt) with cnt = number of co-occurrence events.
+
+    One shuffle on (item, ctx); map-side partial aggregation halves the
+    shuffled bytes. `ctx_col` defaults to the raw reference_id (no
+    encoding needed — see operators/context.py).
+    """
+    require_columns(occurrences, ["item_id", ctx_col], "build_cells")
+    return (
+        occurrences.groupBy(F.col("item_id"), F.col(ctx_col).alias("ctx_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vstack(cells_a: DataFrame, cells_b: DataFrame, offset: int) -> DataFrame:
+    """Union a second item-set before correlating (reference
+    propius/similarity.py:28-29 `sparse.vstack`). Set B's item ids are
+    shifted by `offset` so the two id spaces cannot collide — the
+    distributed analogue of stacking matrix rows.
+    """
+    shifted = cells_b.withColumn("item_id", (F.col("item_id") + F.lit(offset)).cast("long"))
+    return cells_a.select("item_id", "ctx_id", "cnt").unionByName(
+        shifted.select("item_id", "ctx_id", "cnt")
+    )

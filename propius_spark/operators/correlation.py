@@ -1,0 +1,285 @@
+"""All-pairs Pearson correlation over the sparse cell table.
+
+Replaces the reference's dense-matrix math (propius/similarity.py:16-44):
+
+    rowsum   = A.sum(1)
+    centering = rowsum @ rowsum.T / n
+    cov      = (A @ A.T - centering) / (n - 1)
+    corr     = cov / sqrt(outer(diag(cov), diag(cov)))
+
+which is exactly `np.corrcoef` over item rows (sample covariance; the
+(n-1) cancels in the ratio). In closed form, with per-item sums
+s_i = Σ_ctx cnt, q_i = Σ_ctx cnt², n = #contexts, and pairwise dots
+d_ij = Σ_ctx cnt_i·cnt_j:
+
+    corr_ij = (n·d_ij − s_i·s_j) / sqrt((n·q_i − s_i²)·(n·q_j − s_j²))
+
+Everything is a DataFrame aggregate or join — no dense I×I matrix is
+ever materialized, on the driver or anywhere else.
+
+Scale design notes (the parts that survive a 1000-executor / 100 TB run):
+
+- The only large shuffle is the Gram self-join on the context key. Its
+  output is Σ_ctx deg(ctx)² rows; hot contexts (a context containing d
+  items yields d² pairs) skew it. AQE skew-join splitting is enabled in
+  session.py; `gram` also exposes `max_context_degree` to cap
+  pathological contexts with an explicit, documented semantic delta.
+- Items with zero variance (den² = n·q − s² = 0) are NaN rows/columns
+  in the reference matrix and are skipped by every downstream pandas
+  mean/std/filter (verified in SURVEY.md §2 op-24); the engine drops
+  them once, up front, instead of carrying NaNs.
+- Pairs that share no context still have nonzero correlation
+  corr_ij = −s_i·s_j/(den_i·den_j) = −t_i·t_j with t = s/den. Because
+  that term is *separable*, per-item statistics over ALL V−1 neighbors
+  (mean, std — and min/max via a rank-gap trick) are computable from
+  sparse aggregates plus two global scalars T = Σt_j, U = Σt_j²: no I²
+  materialization. See `neighbor_stats`.
+- All post-aggregate arithmetic is done in double (cast once) so the
+  engine and the DuckDB oracle evaluate bit-identical IEEE expressions,
+  and so 100 TB-scale values cannot silently wrap 64-bit ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def context_count(cells: DataFrame) -> DataFrame:
+    """1-row (n) — number of distinct contexts (matrix width)."""
+    return cells.agg(F.countDistinct("ctx_id").cast("double").alias("n"))
+
+
+def item_stats(cells: DataFrame) -> DataFrame:
+    """(item_id, s, q): per-item occurrence sum and sum of squares."""
+    return cells.groupBy("item_id").agg(
+        F.sum("cnt").cast("double").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("q"),
+    )
+
+
+def valid_item_stats(cells: DataFrame) -> DataFrame:
+    """Per-item stats for items with nonzero variance.
+
+    (item_id, s, q, n, den2, den, t) with den2 = n·q − s², den = √den2,
+    t = s/den. Items with den2 ≤ 0 are the reference's NaN rows —
+    excluded here once (see module docstring). The scalar n is attached
+    by a broadcast cross join (1 row), keeping the whole plan lazy.
+    """
+    stats = item_stats(cells).crossJoin(F.broadcast(context_count(cells)))
+    den2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        stats.withColumn("den2", den2)
+        .filter(F.col("den2") > 0)
+        .withColumn("den", F.sqrt("den2"))
+        .withColumn("t", F.col("s") / F.col("den"))
+    )
+
+
+def global_stats(stats: DataFrame) -> DataFrame:
+    """1-row (v, big_t, big_u): valid-item count, Σ t_j, Σ t_j²."""
+    return stats.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("t").alias("big_t"),
+        F.sum(F.col("t") * F.col("t")).alias("big_u"),
+    )
+
+
+def gram(cells: DataFrame, stats: DataFrame, max_context_degree: int | None = None) -> DataFrame:
+    """(item_a, item_b, dot) for co-occurring valid pairs, both directions.
+
+    The self-equi-join on ctx_id is the distributed analogue of the
+    sparse A·Aᵀ at propius/similarity.py:37. Cells of invalid items are
+    semi-join-pruned first so the pair explosion only covers items that
+    can appear in results. `max_context_degree`, when set, drops
+    contexts containing more than that many distinct items — an
+    *approximate* mode for pathological skew (documented delta; default
+    off, exact).
+    """
+    pruned = cells.join(stats.select("item_id"), "item_id", "left_semi")
+    if max_context_degree is not None:
+        deg = pruned.groupBy("ctx_id").agg(F.count(F.lit(1)).alias("_ctx_deg"))
+        pruned = (
+            pruned.join(deg.filter(F.col("_ctx_deg") <= max_context_degree), "ctx_id")
+            .drop("_ctx_deg")
+        )
+    a = pruned.select(
+        F.col("ctx_id"), F.col("item_id").alias("item_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = pruned.select(
+        F.col("ctx_id"), F.col("item_id").alias("item_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        a.join(b, "ctx_id")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("double").alias("dot"))
+    )
+
+
+def _stats_as(stats: DataFrame, suffix: str) -> DataFrame:
+    return stats.select(
+        F.col("item_id").alias(f"item_{suffix}"),
+        F.col("s").alias(f"s_{suffix}"),
+        F.col("den").alias(f"den_{suffix}"),
+        F.col("t").alias(f"t_{suffix}"),
+    )
+
+
+CORR_EXPR = "(n * dot - s_a * s_b) / (den_a * den_b)"
+
+
+def corr_pairs(cells: DataFrame, max_context_degree: int | None = None) -> DataFrame:
+    """(item_a, item_b, corr) over co-occurring valid pairs (both
+    directions; symmetric). This is the sparse "candidates" view of the
+    correlation matrix — pairs with no shared context are not emitted
+    (their corr is the separable −t_a·t_b; see `neighbor_stats` /
+    `similar_items_exact` for where that matters).
+
+    The two stats joins broadcast (item dimension ≪ fact table).
+    """
+    stats = valid_item_stats(cells)
+    g = gram(cells, stats, max_context_degree)
+    n1 = context_count(cells)
+    return (
+        g.join(F.broadcast(_stats_as(stats, "a")), "item_a")
+        .join(F.broadcast(_stats_as(stats, "b")), "item_b")
+        .crossJoin(F.broadcast(n1))
+        .select("item_a", "item_b", "dot", F.expr(CORR_EXPR).alias("corr"))
+    )
+
+
+def _rank_gap_extreme(stats: DataFrame, gram_df: DataFrame, descending: bool) -> DataFrame:
+    """Per item_a: the extreme t among valid NON-co-occurring neighbors.
+
+    Rank-gap trick (no I² blowup): rank all V valid items by t
+    (row_number over a V-row dimension — bounded by item cardinality,
+    not fact rows); for each item, the extreme non-co-occurring t is the
+    t at the smallest rank not taken by a co-occurring partner or the
+    item itself. Each item only needs to examine its first deg+2
+    candidate ranks, so the generated candidate table is O(nnz pairs).
+
+    Returns (item_a, t_nc) where t_nc is max t over non-cooc neighbors
+    when descending=True, min t when False; items whose co-occurrence
+    set covers all other valid items are absent (no non-cooc neighbor).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col("t").desc(), F.col("item_id").asc()] if descending else [
+        F.col("t").asc(), F.col("item_id").asc()
+    ]
+    ranked = stats.select(
+        "item_id", "t", F.row_number().over(Window.orderBy(*order)).alias("rnk")
+    )
+    rb = ranked.select(F.col("item_id").alias("item_b"), F.col("rnk").alias("rnk_b"))
+    # ranks occupied per item_a: its co-occurring partners plus itself
+    taken = (
+        gram_df.select("item_a", "item_b")
+        .join(F.broadcast(rb), "item_b")
+        .select("item_a", F.col("rnk_b").alias("taken_rnk"))
+        .unionByName(
+            ranked.select(F.col("item_id").alias("item_a"), F.col("rnk").alias("taken_rnk"))
+        )
+    )
+    deg = gram_df.groupBy("item_a").agg(F.count(F.lit(1)).alias("deg"))
+    spine = stats.select(F.col("item_id").alias("item_a")).join(deg, "item_a", "left").fillna(
+        0, ["deg"]
+    )
+    v_df = stats.agg(F.count(F.lit(1)).alias("v_items"))
+    cand = (
+        spine.crossJoin(F.broadcast(v_df))
+        .select(
+            "item_a",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("deg") + F.lit(2), F.col("v_items")))
+            ).alias("cand_rnk"),
+        )
+    )
+    first_free = (
+        cand.join(
+            taken,
+            (cand.item_a == taken.item_a) & (cand.cand_rnk == taken.taken_rnk),
+            "left_anti",
+        )
+        .groupBy("item_a")
+        .agg(F.min("cand_rnk").alias("free_rnk"))
+    )
+    return first_free.join(
+        F.broadcast(ranked.select(F.col("rnk").alias("free_rnk"), F.col("t").alias("t_nc"))),
+        "free_rnk",
+    ).select("item_a", "t_nc")
+
+
+def neighbor_stats(cells: DataFrame, max_context_degree: int | None = None) -> DataFrame:
+    """Exact per-item statistics of the FULL correlation row — over all
+    V−1 valid neighbors, co-occurring or not — without materializing I².
+
+    Returns one row per valid item:
+      (item_id, s, den, t, n, m, deg, mean, std, mn, mx)
+    where m = V−1 neighbors, mean/std are the sample statistics the
+    reference's pandas mean()/std() compute over the item's matrix
+    column (propius/data.py:141-142, similarity.py:157-158; NaN columns
+    skipped), and mn/mx are the row extremes backing min-max scaling
+    (propius/data.py:135-138).
+
+    Derivation (module docstring notation; t = s/den):
+      corr_ij = (n·d_ij − s_i·s_j)/(den_i·den_j); d_ij = 0 when no shared ctx
+      Σ_j corr_ij  = (n·G1_i − s_i·(T − t_i)) / den_i          (G1 = Σ_cooc d/den_b)
+      Σ_j corr_ij² = (n²·G2_i − 2n·s_i·G3_i + s_i²·(U − t_i²)) / den_i²
+                     (G2 = Σ_cooc d²/den_b², G3 = Σ_cooc d·t_b/den_b)
+      min/max: combine cooc extremes with −t_i·t_nc from the rank-gap
+      extremes of the non-cooc set (all non-cooc corrs are −t_i·t_j).
+    """
+    stats = valid_item_stats(cells)
+    g = gram(cells, stats, max_context_degree)
+    n1 = context_count(cells)
+    gl = global_stats(stats)
+
+    ge = (
+        g.join(F.broadcast(_stats_as(stats, "a")), "item_a")
+        .join(F.broadcast(_stats_as(stats, "b")), "item_b")
+        .crossJoin(F.broadcast(n1))
+        .withColumn("corr", F.expr(CORR_EXPR))
+    )
+    peritem = ge.groupBy("item_a").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.sum(F.col("dot") / F.col("den_b")).alias("g1"),
+        F.sum(F.col("dot") * F.col("dot") / (F.col("den_b") * F.col("den_b"))).alias("g2"),
+        F.sum(F.col("dot") * F.col("t_b") / F.col("den_b")).alias("g3"),
+        F.min("corr").alias("cmin"),
+        F.max("corr").alias("cmax"),
+    )
+    nc_max_t = _rank_gap_extreme(stats, g, descending=True).withColumnRenamed("t_nc", "t_nc_max")
+    nc_min_t = _rank_gap_extreme(stats, g, descending=False).withColumnRenamed("t_nc", "t_nc_min")
+
+    sp = (
+        stats.join(peritem, stats.item_id == peritem.item_a, "left")
+        .drop("item_a")
+        .join(nc_max_t.withColumnRenamed("item_a", "item_id"), "item_id", "left")
+        .join(nc_min_t.withColumnRenamed("item_a", "item_id"), "item_id", "left")
+        .crossJoin(F.broadcast(gl))
+        .fillna(0.0, ["g1", "g2", "g3"])
+        .fillna(0, ["deg"])
+    )
+    m = F.col("v") - 1
+    sum1 = (F.col("n") * F.col("g1") - F.col("s") * (F.col("big_t") - F.col("t"))) / F.col("den")
+    sum2 = (
+        F.col("n") * F.col("n") * F.col("g2")
+        - 2 * F.col("n") * F.col("s") * F.col("g3")
+        + F.col("s") * F.col("s") * (F.col("big_u") - F.col("t") * F.col("t"))
+    ) / F.col("den2")
+    mean = sum1 / m
+    var = (sum2 - m * mean * mean) / (m - 1)
+    return (
+        sp.filter(m >= 1)
+        .withColumn("m", m)
+        .withColumn("mean", mean)
+        .withColumn("std", F.when(m >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))))
+        .withColumn(
+            "mn", F.least(F.col("cmin"), -F.col("t") * F.col("t_nc_max"))
+        )
+        .withColumn(
+            "mx", F.greatest(F.col("cmax"), -F.col("t") * F.col("t_nc_min"))
+        )
+        .select("item_id", "s", "den", "t", "n", "m", "deg", "mean", "std", "mn", "mx")
+    )

@@ -1,0 +1,73 @@
+"""Model publication: the reference's SQLite store as Spark tables.
+
+Replaces `store_similarities_in_database` (propius/data.py:19-41):
+DROP/CREATE + per-item N+1 insert loop becomes two overwrite-mode
+parquet writes (or JDBC, for drop-in serving parity with any RDBMS).
+The reference's unique indexes (propius/data.py:66-70, 81-85) are
+enforced by construction with dropDuplicates before write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+from .cells import build_cells
+from .similarity import similar_items_exact
+
+
+def correlated_items(dictionary: DataFrame) -> DataFrame:
+    """Dim table (id, key, human_label). The reference inserts the
+    dictionary's positional index as id and the title as key, leaving
+    human_label NULL (propius/data.py:102-110)."""
+    require_columns(dictionary, ["id", "title"], "correlated_items")
+    return dictionary.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("title").alias("key"),
+        F.lit(None).cast("string").alias("human_label"),
+    ).dropDuplicates(["key"])
+
+
+def publish_model(
+    occurrences: DataFrame,
+    dictionary: DataFrame,
+    out_dir: str,
+    k_sigma: float = 2.0,
+) -> dict[str, str]:
+    """End-to-end: occurrences → exact similar_items + correlated_items
+    parquet tables under `out_dir`. One distributed job per table — the
+    reference's I-iteration loop (propius/data.py:130-149) is gone.
+    """
+    cells = build_cells(occurrences)
+    sims = (
+        similar_items_exact(cells, k_sigma=k_sigma)
+        .select(
+            F.col("item_a").cast("long").alias("item_a_id"),
+            F.col("item_b").cast("long").alias("item_b_id"),
+            F.col("scaled_score").cast("double").alias("scaled_score"),
+        )
+        .dropDuplicates(["item_a_id", "item_b_id"])
+    )
+    dim = correlated_items(dictionary)
+    sims_path = f"{out_dir}/similar_items"
+    dim_path = f"{out_dir}/correlated_items"
+    sims.write.mode("overwrite").parquet(sims_path)
+    dim.write.mode("overwrite").parquet(dim_path)
+    return {"similar_items": sims_path, "correlated_items": dim_path}
+
+
+def export_jdbc(spark: SparkSession, paths: dict[str, str], url: str, **options) -> None:
+    """Optional serving-parity export of the published tables to any
+    JDBC store (the reference's SQLite role). Batched inserts replace
+    the reference's executemany generators (propius/data.py:199-212)."""
+    for table, path in paths.items():
+        (
+            spark.read.parquet(path)
+            .write.mode("overwrite")
+            .format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .options(**options)
+            .save()
+        )

@@ -1,0 +1,179 @@
+"""Similarity queries and model publication.
+
+Replaces:
+- `get_similar_items` (propius/similarity.py:133-167): one item's
+  correlation column, self excluded, thresholded at mean + k·σ
+  ("std_dev" method) or an absolute value, sorted descending.
+- `populate_similar_items` (propius/data.py:116-149): the reference's
+  per-item driver loop — for EVERY item: slice column → min-max scale →
+  mean + 2σ cut → sort → 2 SQLite round-trips. Here the whole loop
+  collapses into one set-oriented job over the long-form pairs.
+
+Threshold-space note (verified in SURVEY.md §2 op-18): min-max scaling
+is affine, so filtering scaled scores at mean_scaled + k·σ_scaled
+selects exactly the rows that raw scores select at mean + k·σ. The
+engine filters in raw space and computes the stored scaled_score from
+the analytic row extremes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .correlation import (
+    CORR_EXPR,
+    _stats_as,
+    context_count,
+    corr_pairs,
+    gram,
+    neighbor_stats,
+    valid_item_stats,
+)
+
+
+def get_similar_items(
+    cells: DataFrame,
+    item_id: int,
+    threshold_method: str = "std_dev",
+    threshold_value: float = 2.0,
+) -> DataFrame:
+    """Similar items for ONE item — exact over all valid neighbors.
+
+    O(V) work for one item: the full correlation row is one broadcast
+    join of the item's context vector against every other item's stats,
+    with d=0 (no shared context) pairs falling out of a left join —
+    never an I×I matrix. Matches propius/similarity.py:133-167 semantics
+    including NaN-skip (invalid items are excluded up front).
+
+    Returns (item_b, corr) sorted descending.
+    """
+    stats = valid_item_stats(cells)
+    me = stats.filter(F.col("item_id") == item_id)
+    my_cells = cells.filter(F.col("item_id") == item_id).select(
+        "ctx_id", F.col("cnt").alias("cnt_a")
+    )
+    dots = (
+        cells.join(F.broadcast(my_cells), "ctx_id")
+        .filter(F.col("item_id") != item_id)
+        .groupBy("item_id")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_a")).cast("double").alias("dot"))
+    )
+    row = (
+        stats.filter(F.col("item_id") != item_id)
+        .join(dots, "item_id", "left")
+        .fillna(0.0, ["dot"])
+        .crossJoin(F.broadcast(me.select(F.col("s").alias("s_a"), F.col("den").alias("den_a"))))
+        .select(
+            F.col("item_id").alias("item_b"),
+            (
+                (F.col("n") * F.col("dot") - F.col("s_a") * F.col("s"))
+                / (F.col("den_a") * F.col("den"))
+            ).alias("corr"),
+        )
+    )
+    if threshold_method == "std_dev":
+        th = row.agg(
+            (F.avg("corr") + F.lit(threshold_value) * F.stddev_samp("corr")).alias("cut")
+        )
+        out = row.crossJoin(F.broadcast(th)).filter(F.col("corr") >= F.col("cut")).drop("cut")
+    else:  # absolute threshold (any non-"std_dev" method, per the reference)
+        out = row.filter(F.col("corr") >= F.lit(threshold_value))
+    return out.orderBy(F.desc("corr"), F.asc("item_b"))
+
+
+def similar_items_candidates(
+    cells: DataFrame,
+    threshold_method: str = "std_dev",
+    threshold_value: float = 2.0,
+) -> DataFrame:
+    """Batch thresholded neighbors over CO-OCCURRING pairs only
+    ("candidates" mode — pairs with no shared context are treated as
+    non-candidates; documented delta vs exact mode). Per-item mean/σ are
+    window aggregates over each item's candidate set.
+
+    Returns (item_a, item_b, corr).
+    """
+    pairs = corr_pairs(cells)
+    if threshold_method == "std_dev":
+        st = pairs.groupBy("item_a").agg(
+            (F.avg("corr") + F.lit(threshold_value) * F.stddev_samp("corr")).alias("cut")
+        )
+        return pairs.join(st, "item_a").filter(F.col("corr") >= F.col("cut")).select(
+            "item_a", "item_b", "corr"
+        )
+    return pairs.filter(F.col("corr") >= F.lit(threshold_value)).select(
+        "item_a", "item_b", "corr"
+    )
+
+
+def similar_items_exact(
+    cells: DataFrame,
+    k_sigma: float = 2.0,
+    max_context_degree: int | None = None,
+) -> DataFrame:
+    """Full publication semantics of propius/data.py:116-149, exactly,
+    in one distributed job: for every valid item, neighbors (over ALL
+    valid items, co-occurring or not) whose correlation clears
+    mean + k·σ of the item's full neighbor row, scored by that row's
+    min-max scaling.
+
+    Two candidate sources:
+    1. co-occurring pairs from the Gram join, filtered on the analytic
+       per-item cut;
+    2. non-co-occurring pairs — corr = −t_a·t_b — can only clear the cut
+       when cut_a < 0 (t's are positive), i.e. t_b ≤ −cut_a/t_a. Those
+       (rare) items join against the small stats dimension with that
+       range predicate and an anti-join on the Gram pairs; the work is
+       bounded by the true result size, not I².
+
+    Returns (item_a, item_b, corr, scaled_score); scaled_score =
+    (corr − mn_a)/(mx_a − mn_a), 0.0 when the row is constant
+    (sklearn MinMaxScaler's zero-range behavior, propius/data.py:138).
+    """
+    stats = valid_item_stats(cells)
+    g = gram(cells, stats, max_context_degree)
+    n1 = context_count(cells)
+    ns = neighbor_stats(cells, max_context_degree)
+    cuts = ns.select(
+        F.col("item_id").alias("item_a"),
+        (F.col("mean") + F.lit(k_sigma) * F.col("std")).alias("cut"),
+        F.col("mn"),
+        F.col("mx"),
+        F.col("t").alias("t_a_full"),
+    )
+
+    cooc = (
+        g.join(F.broadcast(_stats_as(stats, "a")), "item_a")
+        .join(F.broadcast(_stats_as(stats, "b")), "item_b")
+        .crossJoin(F.broadcast(n1))
+        .withColumn("corr", F.expr(CORR_EXPR))
+        .join(F.broadcast(cuts), "item_a")
+        .filter(F.col("corr") >= F.col("cut"))
+        .select("item_a", "item_b", "corr", "mn", "mx")
+    )
+
+    # neg is almost always empty/tiny — broadcast it so the theta join
+    # (range predicate on t_b) plans as a cheap broadcast-nested-loop.
+    neg = F.broadcast(cuts.filter(F.col("cut") < 0))
+    noncooc = (
+        neg.join(
+            stats.select(F.col("item_id").alias("item_b"), F.col("t").alias("t_b")),
+            F.col("t_b") <= -F.col("cut") / F.col("t_a_full"),
+        )
+        .filter(F.col("item_a") != F.col("item_b"))
+        .join(g.select("item_a", "item_b"), ["item_a", "item_b"], "left_anti")
+        .select(
+            "item_a",
+            "item_b",
+            (-F.col("t_a_full") * F.col("t_b")).alias("corr"),
+            "mn",
+            "mx",
+        )
+    )
+
+    both = cooc.unionByName(noncooc)
+    scaled = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("corr") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    )
+    return both.select("item_a", "item_b", "corr", scaled.alias("scaled_score"))

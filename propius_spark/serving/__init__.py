@@ -1,0 +1,77 @@
+"""Serving reads over the published model tables.
+
+Each function mirrors one reference serving query (propius/data.py) as
+a 3–10-line DataFrame expression over the `similar_items` /
+`correlated_items` tables. The dim side broadcasts (Catalyst picks it
+under the autoBroadcastJoinThreshold; we hint anyway since the dim is
+item-cardinality by construction). For parity the same queries are
+expressible as `spark.sql` over registered views — see
+__spark_entry__.py's oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retrieve_similar_items(
+    similar_items: DataFrame,
+    correlated_items: DataFrame,
+    item_id: int,
+    limit: int | None = None,
+) -> DataFrame:
+    """Neighbors of one item, enriched with names, by score descending
+    (propius/data.py:217-250). Plans as a broadcast hash join + a
+    distributed top-k (TakeOrderedAndProject) when limit is set.
+
+    Ties broken by item_b_id so results are deterministic (the
+    reference's bare ORDER BY is tie-nondeterministic).
+    """
+    out = (
+        similar_items.filter(F.col("item_a_id") == item_id)
+        .join(F.broadcast(correlated_items), F.col("item_b_id") == F.col("id"), "inner")
+        .select("item_b_id", F.col("key").alias("item_name"), "scaled_score")
+        .orderBy(F.desc("scaled_score"), F.asc("item_b_id"))
+    )
+    return out.limit(limit) if limit else out
+
+
+def get_item_info(correlated_items: DataFrame, item_id: int) -> DataFrame:
+    """Point lookup (propius/data.py:253-278). `.first()` at the API
+    edge gives the reference's dict-or-None."""
+    return correlated_items.filter(F.col("id") == item_id).select("id", "key", "human_label")
+
+
+def search_items_by_name(correlated_items: DataFrame, term: str, limit: int = 10) -> DataFrame:
+    """Case-insensitive substring search on key/human_label
+    (propius/data.py:281-313 — SQLite LIKE is ASCII-case-insensitive,
+    so we lower() both sides). The search term is passed as a literal
+    (no pattern assembly/injection, unlike data.py:305's f-string).
+    """
+    t = F.lower(F.lit(term))
+    return (
+        correlated_items.filter(
+            F.lower(F.col("key")).contains(t) | F.lower(F.col("human_label")).contains(t)
+        )
+        .select("id", "key", "human_label")
+        .orderBy(F.asc("key"), F.asc("id"))
+        .limit(limit)
+    )
+
+
+def get_database_stats(similar_items: DataFrame, correlated_items: DataFrame) -> DataFrame:
+    """1-row stats (propius/data.py:316-359): item count, similarity
+    count, avg similarities per item rounded to 2 dp with 0 for NULL."""
+    items = correlated_items.agg(F.count(F.lit(1)).alias("total_items"))
+    sims = similar_items.agg(F.count(F.lit(1)).alias("total_similarities"))
+    avg = (
+        similar_items.groupBy("item_a_id")
+        .agg(F.count(F.lit(1)).alias("similarity_count"))
+        .agg(
+            F.coalesce(F.round(F.avg("similarity_count"), 2), F.lit(0.0)).alias(
+                "avg_similarities_per_item"
+            )
+        )
+    )
+    return items.crossJoin(sims).crossJoin(avg)

@@ -1,0 +1,83 @@
+"""Occurrence-log ingestion.
+
+Replaces the reference's chunked pandas readers and URI dispatch
+(reference propius/utils.py:6-35). Spark's reader already resolves the
+URI scheme (`file://`, `s3a://`, `hdfs://`) and partitions the scan, so
+the reference's three functions collapse into one: a thin wrapper that
+applies the canonical schema. The reference's `occurrences_size`
+pre-allocation parameter (propius/similarity.py:63) is an artifact of
+building COO triplet arrays and is dropped entirely.
+
+S3 credentials: Spark picks up `spark.hadoop.fs.s3a.access.key` /
+`secret.key` conf or the standard AWS env vars via the default
+credential provider chain — the reference read the same env vars
+manually (propius/utils.py:16-21).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import OCCURRENCES, OCCURRENCES_STR_REF, require_columns
+
+
+def load_occurrences(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    header: bool = True,
+    string_reference: bool = False,
+) -> DataFrame:
+    """Load a co-occurrence event log as (reference_id, item_id).
+
+    `fmt` is inferred from the extension when not given (csv/parquet).
+    `s3://` paths are rewritten to `s3a://` (the Hadoop S3 connector).
+    """
+    if not path:
+        raise ValueError("path is required")
+    if path.startswith("s3://"):
+        path = "s3a://" + path[len("s3://"):]
+    if fmt is None:
+        fmt = "parquet" if path.endswith(".parquet") else "csv"
+    schema = OCCURRENCES_STR_REF if string_reference else OCCURRENCES
+    if fmt == "csv":
+        df = spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+    elif fmt == "parquet":
+        df = spark.read.parquet(path).select("reference_id", "item_id")
+    else:
+        raise ValueError(f"unsupported occurrences format: {fmt}")
+    require_columns(df, ["reference_id", "item_id"], "load_occurrences")
+    return df
+
+
+def occurrences_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Parts bought together': lineitem → (order, part) co-occurrences.
+
+    The flagship fixture mapping (FIXTURES.md §4): l_orderkey is the
+    context, l_partkey the item. Column pruning means the parquet scan
+    reads exactly these two columns.
+    """
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("reference_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+
+
+def occurrences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User–event-type co-occurrences from the events table.
+
+    event_type is dense-coded to a stable long id by hashing into an
+    ordinal via a join against the distinct set — tiny dimension, so the
+    join broadcasts.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_type")
+    types = ev.select("event_type").distinct()
+    coded = types.select(
+        "event_type",
+        (F.dense_rank().over(Window.orderBy("event_type")) - 1).alias("item_id"),
+    )
+    return ev.join(F.broadcast(coded), "event_type").select(
+        F.col("user_id").alias("reference_id"), F.col("item_id").cast("long").alias("item_id")
+    )

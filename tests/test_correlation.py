@@ -1,0 +1,183 @@
+"""Golden tests: the engine's closed-form Pearson must equal
+np.corrcoef over the crosstab rows — the verified semantics of the
+reference (propius/similarity.py:16-44; SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from propius_spark.operators import (
+    build_cells,
+    corr_pairs,
+    encode_contexts_replay,
+    neighbor_stats,
+    valid_item_stats,
+    vstack,
+)
+
+# FIXTURES.md §3 golden micro-fixture (sorted order, as listed).
+FIXTURE_ROWS = [
+    ("u1", 1),
+    ("u1", 2),
+    ("u1", 2),
+    ("u2", 2),
+    ("u2", 3),
+    ("u3", 1),
+    ("u3", 3),
+    ("u1", 4),
+]
+
+
+def crosstab_numpy(rows, encoding: str) -> np.ndarray:
+    """Dense crosstab for oracle math. encoding: 'distinct' (engine
+    default: one column per distinct reference_id) or 'replay'
+    (reference run-length serials)."""
+    if encoding == "replay":
+        ctxs, last = [], object()
+        serial = -1
+        for ref, _ in rows:
+            if ref != last:
+                serial += 1
+                last = ref
+            ctxs.append(serial)
+        n_ctx = serial + 1
+    else:
+        uniq = {r: i for i, r in enumerate(sorted({ref for ref, _ in rows}))}
+        ctxs = [uniq[ref] for ref, _ in rows]
+        n_ctx = len(uniq)
+    items = sorted({it for _, it in rows})
+    pos = {it: i for i, it in enumerate(items)}
+    m = np.zeros((len(items), n_ctx))
+    for (ref, it), c in zip(rows, ctxs):
+        m[pos[it], c] += 1
+    return m, items
+
+
+def spark_pairs_to_matrix(pairs_rows, items, stats_rows=None):
+    """Rebuild a dense matrix from long-form (item_a, item_b, corr) for
+    comparison; missing pairs filled from analytic -t_a*t_b if stats
+    provided, else 0."""
+    pos = {it: i for i, it in enumerate(items)}
+    m = np.full((len(items), len(items)), np.nan)
+    np.fill_diagonal(m, 1.0)
+    if stats_rows is not None:
+        t = {r["item_id"]: r["t"] for r in stats_rows}
+        for a in items:
+            for b in items:
+                if a != b and a in t and b in t:
+                    m[pos[a], pos[b]] = -t[a] * t[b]
+    for r in pairs_rows:
+        m[pos[r["item_a"]], pos[r["item_b"]]] = r["corr"]
+    return m
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return spark.createDataFrame(FIXTURE_ROWS, "reference_id string, item_id long")
+
+
+def test_corr_matches_numpy_on_fixture(spark, fixture_df):
+    cells = build_cells(fixture_df)
+    stats = [r.asDict() for r in valid_item_stats(cells).collect()]
+    pairs = [r.asDict() for r in corr_pairs(cells).collect()]
+
+    dense, items = crosstab_numpy(FIXTURE_ROWS, "distinct")
+    expected = np.corrcoef(dense)
+    got = spark_pairs_to_matrix(pairs, items, stats)
+    np.testing.assert_allclose(got, expected, rtol=1e-9, atol=1e-12)
+
+
+def test_replay_encoding_matches_reference_matrix(spark):
+    """Reference run-length semantics: the FIXTURES.md §3 expected
+    matrix (u1's second run is a NEW context)."""
+    df = spark.createDataFrame(
+        [(i, ref, it) for i, (ref, it) in enumerate(FIXTURE_ROWS)],
+        "ord long, reference_id string, item_id long",
+    )
+    enc = encode_contexts_replay(df, "ord")
+    cells = build_cells(enc, ctx_col="ctx_id")
+    stats = [r.asDict() for r in valid_item_stats(cells).collect()]
+    pairs = [r.asDict() for r in corr_pairs(cells).collect()]
+
+    dense, items = crosstab_numpy(FIXTURE_ROWS, "replay")
+    assert dense.shape == (4, 4)
+    expected_fixture = np.array(
+        [
+            [1.0000, 0.3015, 0.0000, -0.5774],
+            [0.3015, 1.0000, -0.3015, -0.5222],
+            [0.0000, -0.3015, 1.0000, -0.5774],
+            [-0.5774, -0.5222, -0.5774, 1.0000],
+        ]
+    )
+    np.testing.assert_allclose(np.corrcoef(dense), expected_fixture, atol=5e-5)
+    got = spark_pairs_to_matrix(pairs, items, stats)
+    np.testing.assert_allclose(got, np.corrcoef(dense), rtol=1e-9, atol=1e-12)
+
+
+def test_duplicate_pairs_sum(spark):
+    """Duplicate (ref, item) events must sum into the cell count —
+    the coo→csr duplicate-summing behavior (SURVEY.md §1 row 2)."""
+    df = spark.createDataFrame(
+        [("r1", 7), ("r1", 7), ("r1", 7)], "reference_id string, item_id long"
+    )
+    cells = build_cells(df).collect()
+    assert len(cells) == 1 and cells[0]["cnt"] == 3
+
+
+def test_zero_variance_items_dropped(spark):
+    """An item present in every context with equal counts has zero
+    variance → NaN row in the reference → excluded from valid stats."""
+    rows = [("r1", 1), ("r2", 1), ("r1", 2), ("r2", 3)]
+    df = spark.createDataFrame(rows, "reference_id string, item_id long")
+    stats = valid_item_stats(build_cells(df))
+    got = {r["item_id"] for r in stats.collect()}
+    assert 1 not in got  # in both contexts, cnt=1 each → den2 = 0
+    assert got == {2, 3}
+
+
+def test_neighbor_stats_match_bruteforce(spark):
+    """Analytic mean/std/min/max over the FULL neighbor row (incl.
+    non-co-occurring pairs) must equal the brute-force dense result."""
+    rng = np.random.RandomState(7)
+    rows = []
+    for ref in range(40):
+        for it in rng.choice(30, size=rng.randint(1, 6), replace=True):
+            rows.append((f"r{ref}", int(it) + 1))
+    df = spark.createDataFrame(rows, "reference_id string, item_id long")
+    cells = build_cells(df)
+    ns = {r["item_id"]: r.asDict() for r in neighbor_stats(cells).collect()}
+
+    dense, items = crosstab_numpy(rows, "distinct")
+    corr = np.corrcoef(dense)
+    valid = [i for i, it in enumerate(items) if not np.isnan(corr[i]).all()]
+    # restrict to valid rows/cols (NaN rows are dropped by the engine)
+    for i in valid:
+        it = items[i]
+        neigh = np.array([corr[i, j] for j in valid if j != i])
+        assert it in ns, f"item {it} missing from neighbor_stats"
+        np.testing.assert_allclose(ns[it]["mean"], neigh.mean(), rtol=1e-9)
+        np.testing.assert_allclose(ns[it]["std"], neigh.std(ddof=1), rtol=1e-9)
+        np.testing.assert_allclose(ns[it]["mn"], neigh.min(), rtol=1e-9)
+        np.testing.assert_allclose(ns[it]["mx"], neigh.max(), rtol=1e-9)
+        assert ns[it]["m"] == len(neigh)
+    invalid_items = {items[i] for i in range(len(items)) if i not in valid}
+    assert invalid_items.isdisjoint(ns.keys())
+
+
+def test_vstack_cross_set(spark):
+    """Union of a second item set (reference sparse.vstack,
+    propius/similarity.py:28-29): correlations across sets appear with
+    offset ids and match numpy on the stacked matrix."""
+    rows_a = [("r1", 1), ("r2", 1), ("r1", 2), ("r2", 2), ("r2", 2)]
+    rows_b = [("r1", 1), ("r2", 2)]
+    df_a = spark.createDataFrame(rows_a, "reference_id string, item_id long")
+    df_b = spark.createDataFrame(rows_b, "reference_id string, item_id long")
+    stacked = vstack(build_cells(df_a), build_cells(df_b), offset=100)
+    pairs = {(r["item_a"], r["item_b"]): r["corr"] for r in corr_pairs(stacked).collect()}
+    # cross-set pair (1, 101): item 1 counts [1,1] is zero-variance → absent
+    assert all(a != 1 and b != 1 for a, b in pairs)
+    # item 2 counts [1,2]; item 101 (b-set 1) counts [1,0]; corr = -1
+    np.testing.assert_allclose(pairs[(2, 101)], -1.0, atol=1e-12)

@@ -1,0 +1,90 @@
+"""Local replica of the driver's DuckDB-oracle gate (SURVEY.md §5.2).
+
+Runs every ``queries()`` entry and its ``oracle_sql()`` twin on the
+same parquet, compares row count, column names, and order-insensitive
+values (rounded floats). Default sf0.001 for speed; set
+PROPIUS_ORACLE_SF_DIR=/root/testdata/sf0.01 to mirror the driver.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("PROPIUS_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+def _norm(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c] if isinstance(row, dict) else row[cols.index(c)]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+                    if v == 0:
+                        v = 0.0  # -0.0 → 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    sdf = q(spark, SF_DIR)
+    scols = sorted(sdf.columns)
+    srows = [r.asDict() for r in sdf.collect()]
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    ores = ddb.execute(sql)
+    ocols_raw = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert sorted(c.lower() for c in scols) == sorted(
+        c.lower() for c in ocols_raw
+    ), f"{name}: column mismatch spark={scols} oracle={ocols_raw}"
+    assert len(srows) == len(orows), (
+        f"{name}: row count spark={len(srows)} oracle={len(orows)}"
+    )
+    got = _norm(srows, scols)
+    # map oracle tuples into same sorted-column order
+    idx = [ocols_raw.index(next(o for o in ocols_raw if o.lower() == c.lower()))
+           for c in scols]
+    want = _norm([[r[i] for i in idx] for r in orows], list(range(len(scols))))
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, f"{name}: {len(mism)} value mismatches; first: {mism[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) > 0
