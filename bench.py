@@ -22,7 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from propius_spark.session import get_spark  # noqa: E402
+from propius_spark.session import clear_materialized, get_spark  # noqa: E402
 
 
 def main() -> None:
@@ -37,6 +37,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release materialized intermediates so one pipeline's blocks
+        # don't skew the next query's timing
+        clear_materialized(spark)
 
     total = round(sum(timings.values()), 3)
     print(

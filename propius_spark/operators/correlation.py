@@ -45,6 +45,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persist(df: DataFrame) -> DataFrame:
+    """Materialize a subtree consumed by several downstream branches:
+    MEMORY_AND_DISK storage + lineage truncation (localCheckpoint).
+
+    Two reasons, both measured at sf0.01:
+    - Spark's exchange reuse only deduplicates *identical* physical
+      subplans inside one action; the exact-stats pipeline consumes
+      cells/stats/gram under different projections and filters, so
+      without persistence each branch re-runs the scan+shuffle.
+    - Plain persist() keeps the full logical plan, and AQE re-optimizes
+      the deep nested tree per query stage — the final 4-way join of
+      2k-row tables took 66 s of pure driver planning with AQE on vs
+      0.6 s with truncated lineage. Checkpointing the small tables keeps
+      AQE (wanted for skew-join on the Gram shuffle) while bounding the
+      plan it has to replan.
+
+    Eager, deliberately: a *lazy* localCheckpoint is re-computed by
+    every AQE query-stage job that reaches it before the first
+    materialization registers — composing the exact pipeline lazily
+    took 218 s at sf0.1 while the same stages materialized eagerly
+    total < 10 s. Eager means building one of these DataFrames runs
+    jobs immediately; fine for batch pipelines, and the returned frame
+    is a plain fast table scan afterwards.
+
+    These tables are item- or pair-cardinality — orders of magnitude
+    smaller than the event log they derive from — so they store safely
+    even at large scale. (On a multi-node cluster localCheckpoint data
+    lives on executors and does not survive executor loss; a production
+    deployment would point spark.checkpoint.dir at durable storage and
+    use checkpoint() instead — same semantics.) Call
+    ``propius_spark.session.clear_materialized(spark)`` after consuming
+    a pipeline's output to release the blocks."""
+    return df.localCheckpoint(eager=True)
+
+
 def context_count(cells: DataFrame) -> DataFrame:
     """1-row (n) — number of distinct contexts (matrix width)."""
     return cells.agg(F.countDistinct("ctx_id").cast("double").alias("n"))
@@ -129,7 +164,12 @@ def _stats_as(stats: DataFrame, suffix: str) -> DataFrame:
 CORR_EXPR = "(n * dot - s_a * s_b) / (den_a * den_b)"
 
 
-def corr_pairs(cells: DataFrame, max_context_degree: int | None = None) -> DataFrame:
+def corr_pairs(
+    cells: DataFrame,
+    max_context_degree: int | None = None,
+    stats: DataFrame | None = None,
+    g: DataFrame | None = None,
+) -> DataFrame:
     """(item_a, item_b, corr) over co-occurring valid pairs (both
     directions; symmetric). This is the sparse "candidates" view of the
     correlation matrix — pairs with no shared context are not emitted
@@ -137,9 +177,13 @@ def corr_pairs(cells: DataFrame, max_context_degree: int | None = None) -> DataF
     `similar_items_exact` for where that matters).
 
     The two stats joins broadcast (item dimension ≪ fact table).
+    `stats`/`g` accept precomputed (usually persisted) inputs so a
+    pipeline sharing them across stages computes each subtree once.
     """
-    stats = valid_item_stats(cells)
-    g = gram(cells, stats, max_context_degree)
+    if stats is None:
+        stats = valid_item_stats(cells)
+    if g is None:
+        g = gram(cells, stats, max_context_degree)
     n1 = context_count(cells)
     return (
         g.join(F.broadcast(_stats_as(stats, "a")), "item_a")
@@ -210,7 +254,12 @@ def _rank_gap_extreme(stats: DataFrame, gram_df: DataFrame, descending: bool) ->
     ).select("item_a", "t_nc")
 
 
-def neighbor_stats(cells: DataFrame, max_context_degree: int | None = None) -> DataFrame:
+def neighbor_stats(
+    cells: DataFrame,
+    max_context_degree: int | None = None,
+    stats: DataFrame | None = None,
+    g: DataFrame | None = None,
+) -> DataFrame:
     """Exact per-item statistics of the FULL correlation row — over all
     V−1 valid neighbors, co-occurring or not — without materializing I².
 
@@ -230,8 +279,10 @@ def neighbor_stats(cells: DataFrame, max_context_degree: int | None = None) -> D
       min/max: combine cooc extremes with −t_i·t_nc from the rank-gap
       extremes of the non-cooc set (all non-cooc corrs are −t_i·t_j).
     """
-    stats = valid_item_stats(cells)
-    g = gram(cells, stats, max_context_degree)
+    if stats is None:
+        stats = _persist(valid_item_stats(cells))
+    if g is None:
+        g = _persist(gram(cells, stats, max_context_degree))
     n1 = context_count(cells)
     gl = global_stats(stats)
 

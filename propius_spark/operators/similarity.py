@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .correlation import (
     CORR_EXPR,
+    _persist,
     _stats_as,
     context_count,
     corr_pairs,
@@ -48,7 +49,8 @@ def get_similar_items(
 
     Returns (item_b, corr) sorted descending.
     """
-    stats = valid_item_stats(cells)
+    cells = _persist(cells)
+    stats = _persist(valid_item_stats(cells))
     me = stats.filter(F.col("item_id") == item_id)
     my_cells = cells.filter(F.col("item_id") == item_id).select(
         "ctx_id", F.col("cnt").alias("cnt_a")
@@ -131,16 +133,25 @@ def similar_items_exact(
     (corr − mn_a)/(mx_a − mn_a), 0.0 when the row is constant
     (sklearn MinMaxScaler's zero-range behavior, propius/data.py:138).
     """
-    stats = valid_item_stats(cells)
-    g = gram(cells, stats, max_context_degree)
+    # each subtree computes once: cells is consumed by stats + gram,
+    # stats by five branches, gram by four (SURVEY.md §4 cache note).
+    # cuts is ALSO materialized so the final union plan is shallow —
+    # AQE re-optimizes the whole remaining plan at every query stage,
+    # and a deep neighbor-stats subtree under the final joins measured
+    # 3-10× slower than the same pipeline with a flat final plan.
+    cells = _persist(cells)
+    stats = _persist(valid_item_stats(cells))
+    g = _persist(gram(cells, stats, max_context_degree))
     n1 = context_count(cells)
-    ns = neighbor_stats(cells, max_context_degree)
-    cuts = ns.select(
-        F.col("item_id").alias("item_a"),
-        (F.col("mean") + F.lit(k_sigma) * F.col("std")).alias("cut"),
-        F.col("mn"),
-        F.col("mx"),
-        F.col("t").alias("t_a_full"),
+    ns = neighbor_stats(cells, max_context_degree, stats=stats, g=g)
+    cuts = _persist(
+        ns.select(
+            F.col("item_id").alias("item_a"),
+            (F.col("mean") + F.lit(k_sigma) * F.col("std")).alias("cut"),
+            F.col("mn"),
+            F.col("mx"),
+            F.col("t").alias("t_a_full"),
+        )
     )
 
     cooc = (
