@@ -27,7 +27,15 @@ from pyspark.sql import functions as F
 from propius_spark.operators import (
     build_cells,
     corr_pairs,
+    cosine_topk,
+    doc_stats,
+    embedding_dup_pairs,
+    exact_dedup,
     get_similar_items,
+    ivf_topk,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
     similar_items_candidates,
     similar_items_exact,
 )
@@ -152,6 +160,67 @@ def q_db_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_database_stats(fact, dim)
 
 
+# ------------------------------------------------- training-data pipeline ops
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups: hash-groupBy on the full text."""
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (k=3 shingle) Jaccard near-duplicate pairs."""
+    return _r6(jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5), "jaccard")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands) candidates, exact-Jaccard
+    verified at τ=0.5 — the scale path for near-dedup."""
+    return _r6(
+        minhash_lsh_pairs(
+            _docs(spark, sf_dir), k=3, num_perm=16, bands=4, threshold=0.5
+        ),
+        "jaccard",
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 near-duplicates within Hamming ≤ 3 via the
+    pigeonhole block join."""
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for one stored query vector."""
+    return _r6(cosine_topk(_emb(spark, sf_dir), query_id=0, k=10), "cosine")
+
+
+def q_ann_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-duplicates at cosine ≥ 0.4."""
+    return _r6(embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4), "cosine")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-10 (8 seed centroids, probe 2)."""
+    return _r6(
+        ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_centroids=8, n_probe=2),
+        "cosine",
+    )
+
+
+def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count, language ID, quality score, fingerprint."""
+    return _r6(doc_stats(_docs(spark, sf_dir)), "quality")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'parts bought together' for one part at sf0.001 —
     full model row, name-joined, top-10."""
@@ -168,10 +237,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_info": q_item_info,
         "search_items": q_search_items,
         "db_stats": q_db_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_dup_pairs": q_ann_dup_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_doc_stats": q_text_doc_stats,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+# Shared CTE fragments for the documents-table oracles. Tokenization is
+# split-on-whitespace over trim(lower(text)) in BOTH engines; shingle
+# ids / token ids are dictionary-coded (dense_rank over the distinct
+# strings) so every hash is bit-equal modular arithmetic (dedup.py
+# docstring: "oracle-parity design").
+_SHINGLES = r"""
+toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+         FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS shingle
+       FROM toks, LATERAL unnest(range(1, len(t)-1)) AS i(i)
+       WHERE len(t) >= 3)
+"""
+
+_JACCARD_VERIFY = """
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM {sids} GROUP BY 1),
+inter AS (SELECT doc_a, doc_b, COUNT(*) AS i
+          FROM {cand} c
+          JOIN {sids} sa ON sa.doc_id = c.doc_a
+          JOIN {sids} sb ON sb.doc_id = c.doc_b AND sb.{key} = sa.{key}
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(i::DOUBLE/(sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i::DOUBLE/(sa.n_sh + sb.n_sh - i) >= 0.5
+"""
+
+from propius_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_PRIME  # noqa: E402
+
+_PERM_VALUES = ", ".join(
+    f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(16)
+)
+
+_EMB_BASE = """
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base)
+"""
+
+_STOPWORD_COLS = """
+len(list_intersect(dt, ['the','a','of','and','to','in','is','on','for','with'])) AS s_en,
+len(list_intersect(dt, ['der','die','das','und','ist','von','mit','den','im','ein'])) AS s_de,
+len(list_intersect(dt, ['el','los','las','una','es','y','por','con','para','como'])) AS s_es,
+len(list_intersect(dt, ['le','les','une','et','est','du','des','pour','dans','sur'])) AS s_fr,
+len(list_intersect(dt, ['的','是','在','了','和','有','我','不','人','这'])) AS s_zh
+"""
 
 # Shared model CTEs over lineitem: cells → n → per-item stats → valid
 # stats (den² = n·q − s² > 0) → gram (co-occurring pair dots).
@@ -288,5 +411,157 @@ def oracle_sql() -> dict[str, str]:
             SELECT items.total_items, sims.total_similarities,
                    a.avg_similarities_per_item
             FROM items, sims, a
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_jaccard": f"""
+            WITH {_SHINGLES},
+            cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM sh a JOIN sh b
+                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+            {_JACCARD_VERIFY.format(sids="sh", cand="cand", key="shingle")}
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLES},
+            dict AS (SELECT shingle, DENSE_RANK() OVER (ORDER BY shingle) AS sid
+                     FROM (SELECT DISTINCT shingle FROM sh)),
+            sids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+            perms(perm, pa, pb) AS (VALUES {_PERM_VALUES}),
+            hv AS (SELECT doc_id, perm,
+                          MIN((pa*sid + pb) % {MINHASH_PRIME}) AS h
+                   FROM sids, perms GROUP BY 1, 2),
+            bands AS (SELECT doc_id, perm // 4 AS band,
+                             array_to_string(list(h::VARCHAR ORDER BY perm), '-')
+                               AS sig
+                      FROM hv GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.sig = b.sig
+                      AND a.doc_id < b.doc_id),
+            {_JACCARD_VERIFY.format(sids="sids", cand="cand", key="sid")}
+        """,
+        "dedup_simhash": rf"""
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split_regex(trim(lower(text)),
+                                                         '\s+')) AS tok
+                        FROM documents),
+            tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+            td AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+                   FROM (SELECT DISTINCT tok FROM tc)),
+            coded AS (SELECT doc_id, cnt,
+                             ({MINHASH_A[0]}*tid + {MINHASH_B[0]})
+                               % {MINHASH_PRIME} AS hv
+                      FROM tc JOIN td USING (tok)),
+            lanes AS (SELECT doc_id, b.b AS b,
+                             SUM((((hv >> b.b) & 1) * 2 - 1) * cnt) AS lane
+                      FROM coded, LATERAL unnest(range(0, 32)) AS b(b)
+                      GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           SUM(CASE WHEN lane >= 0 THEN (1::BIGINT << b)
+                                    ELSE 0 END) AS simhash
+                    FROM lanes GROUP BY 1),
+            blocks AS (SELECT doc_id, simhash, blk.blk AS blk,
+                              (simhash >> (blk.blk*8)) & 255 AS blkval
+                       FROM sig, LATERAL unnest(range(0, 4)) AS blk(blk)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.simhash AS sh_a, b.simhash AS sh_b
+                     FROM blocks a JOIN blocks b
+                       ON a.blk = b.blk AND a.blkval = b.blkval
+                      AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        """,
+        "ann_cosine_topk": f"""
+            WITH {_EMB_BASE},
+            q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = 0)
+            SELECT b.vec_id,
+                   ROUND(list_dot_product(b.v, q.qv)/(b.norm*q.qn), 6) AS cosine
+            FROM nb b, q WHERE b.vec_id <> 0
+            ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
+                     b.vec_id ASC
+            LIMIT 10
+        """,
+        "ann_dup_pairs": f"""
+            WITH {_EMB_BASE}
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)
+                     AS cosine
+            FROM nb a JOIN nb b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
+        """,
+        "ann_ivf_topk": f"""
+            WITH {_EMB_BASE},
+            cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn
+                      FROM nb WHERE vec_id < 8),
+            q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = 0),
+            assign AS (SELECT vec_id, cid FROM (
+                         SELECT b.vec_id, c.cid,
+                                ROW_NUMBER() OVER (
+                                  PARTITION BY b.vec_id
+                                  ORDER BY list_dot_product(b.v, c.cv)
+                                           /(b.norm*c.cn) DESC, c.cid ASC
+                                ) AS rn
+                         FROM nb b, cents c)
+                       WHERE rn = 1),
+            probes AS (SELECT cid FROM cents, q
+                       ORDER BY list_dot_product(cv, qv)/(cn*qn) DESC, cid ASC
+                       LIMIT 2)
+            SELECT b.vec_id,
+                   ROUND(list_dot_product(b.v, q.qv)/(b.norm*q.qn), 6) AS cosine
+            FROM nb b JOIN assign USING (vec_id)
+            JOIN probes ON assign.cid = probes.cid, q
+            WHERE b.vec_id <> 0
+            ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
+                     b.vec_id ASC
+            LIMIT 10
+        """,
+        "text_doc_stats": rf"""
+            WITH t0 AS (SELECT doc_id, trim(lower(text)) AS lt,
+                               trim(text) AS tt
+                        FROM documents),
+            tk AS (SELECT doc_id, tt,
+                          CASE WHEN lt = '' THEN []::VARCHAR[]
+                               ELSE string_split_regex(lt, '\s+') END AS toks,
+                          list_transform(
+                            string_split(regexp_replace(lt, '\s+', ' ', 'g'),
+                                         ''),
+                            c -> unicode(c)::BIGINT) AS codes
+                   FROM t0),
+            st AS (SELECT doc_id, len(toks) AS n,
+                          len(list_distinct(toks)) AS nd,
+                          length(regexp_replace(tt, '\s+', '', 'g')) AS chars,
+                          length(regexp_replace(tt, '[^A-Za-zÀ-ɏ一-鿿]', '',
+                                                'g')) AS alpha,
+                          list_reduce(list_prepend(0::BIGINT, codes),
+                                      (acc, c) -> (acc*131 + c)
+                                                  % {MINHASH_PRIME})
+                            AS fingerprint,
+                          {_STOPWORD_COLS}
+                   FROM (SELECT doc_id, tt, toks, codes,
+                                list_distinct(toks) AS dt FROM tk))
+            SELECT doc_id, n AS n_tokens,
+                   CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) <= 0
+                          THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'de'
+                        WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'es'
+                        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'fr'
+                        ELSE 'zh' END AS lang,
+                   ROUND(CASE WHEN n <= 0 THEN 0.0
+                              ELSE 0.25*(least(1.0, n/100.0)
+                                         + nd::DOUBLE/n
+                                         + (1.0 - least(1.0,
+                                             abs(chars::DOUBLE/n - 5.0)/5.0))
+                                         + alpha::DOUBLE/chars) END, 6)
+                     AS quality,
+                   fingerprint
+            FROM st
         """,
     }

@@ -1,0 +1,27 @@
+"""Scalar/column function library (beyond-reference capability).
+
+The reference exposes no scalar-function surface (SURVEY.md §2.8);
+this package adds the text-analysis primitives a large-scale
+training-data pipeline needs, all as built-in Catalyst column
+expressions — zero Python UDFs on the hot path.
+"""
+
+from .text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_scores,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+
+__all__ = [
+    "LANG_STOPWORDS",
+    "tokens",
+    "token_count",
+    "lang_scores",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+]

@@ -1,0 +1,116 @@
+"""Text-analysis column functions: tokenization, language ID,
+quality scoring, token counting.
+
+Design constraints:
+- Pure Catalyst expressions (split/array/aggregate built-ins) so the
+  whole pipeline stays in whole-stage codegen — no Python workers.
+- Every function has an exact ANSI-SQL twin runnable by DuckDB (the
+  driver's oracle), so no engine-private hash functions: language ID
+  is a stopword-membership heuristic, quality is arithmetic over
+  token statistics.
+
+At 100 TB these are embarrassingly parallel map-side expressions: no
+shuffle, no state, safe at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small public stopword lists; membership ratio is the classic cheap
+# language-ID heuristic (n-gram models are the heavier path — see
+# simhash/minhash for the n-gram machinery).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
+    "es": ["el", "los", "las", "una", "es", "y", "por", "con", "para", "como"],
+    "fr": ["le", "les", "une", "et", "est", "du", "des", "pour", "dans", "sur"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"],
+}
+# evaluation order = tiebreak priority (first max wins), must match
+# the CASE chain order in any oracle SQL twin
+LANGS = list(LANG_STOPWORDS)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed lowercased text; empty string →
+    empty array (split('') would yield [''])."""
+    t = F.trim(F.lower(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language distinct-stopword-hit count."""
+    toks = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Language with the most distinct stopword hits; 'und' when no
+    list matches. Ties break by LANGS order (en first) — the oracle
+    CASE chain must use the same order."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(LANGS):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best <= 0, F.lit("und")).otherwise(out)
+
+
+FP_BASE = 131
+FP_PRIME = 2_147_483_647  # 2³¹ − 1, same modulus family as minhash
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the normalized text's code points:
+    fp = fold(chars, acc ← (acc·131 + code) mod 2³¹−1), over
+    trim+lower+whitespace-collapsed text. Order-sensitive (unlike
+    minhash/simhash set sketches) — the classic document fingerprint.
+    Pure fold over built-in arrays: map-side, codegen'd, and bit-equal
+    in the DuckDB oracle (list_reduce over unicode code points)."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + c) % FP_PRIME,
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: blends length adequacy,
+    lexical diversity, mean token length sanity, and alpha ratio.
+    Pure arithmetic — identical expression in the SQL oracle.
+
+      len_term   = least(1, n_tokens / 100)
+      div_term   = n_distinct / n_tokens
+      tlen_term  = 1 - least(1, abs(mean_token_len - 5) / 5)
+      alpha_term = alpha_chars / chars  (spaces excluded)
+      score      = 0.25·each, 0.0 for empty text
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    chars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    alpha = F.length(
+        F.regexp_replace(F.trim(text), r"[^A-Za-zÀ-ɏ一-鿿]", "")
+    )
+    mean_tlen = chars.cast("double") / n
+    len_term = F.least(F.lit(1.0), n / F.lit(100.0))
+    div_term = nd.cast("double") / n
+    tlen_term = F.lit(1.0) - F.least(
+        F.lit(1.0), F.abs(mean_tlen - F.lit(5.0)) / F.lit(5.0)
+    )
+    alpha_term = alpha.cast("double") / chars
+    score = 0.25 * (len_term + div_term + tlen_term + alpha_term)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(score)

@@ -8,10 +8,40 @@ from .correlation import (
     neighbor_stats,
     valid_item_stats,
 )
+from .ann import (
+    assign_centroids,
+    cosine_topk,
+    embedding_dup_pairs,
+    ivf_topk,
+)
+from .dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_ids,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
 from .publish import correlated_items, export_jdbc, publish_model
 from .similarity import get_similar_items, similar_items_candidates, similar_items_exact
+from .textstats import doc_stats
 
 __all__ = [
+    "assign_centroids",
+    "cosine_topk",
+    "embedding_dup_pairs",
+    "ivf_topk",
+    "exact_dedup",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "shingle_ids",
+    "shingles",
+    "simhash",
+    "simhash_pairs",
+    "doc_stats",
     "build_cells",
     "vstack",
     "encode_contexts",

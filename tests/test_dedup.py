@@ -1,0 +1,128 @@
+"""Unit tests for the dedup operator family (operators/dedup.py) on
+hand-computed fixtures (SURVEY.md §5.1 executable-semantics style)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from propius_spark.operators import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_ids,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(
+        spark,
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a b c"), (5, "x y z")],
+    )
+    got = {r["keeper_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    assert got == {1: 3, 3: 1, 5: 1}
+
+
+def test_shingles_k3(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "  A  b   c ")])
+    got = sorted(
+        (r["doc_id"], r["shingle"]) for r in shingles(df, k=3).collect()
+    )
+    # doc 2 has <3 tokens -> no shingles; doc 3 normalizes case/whitespace
+    assert got == [(1, "a b c"), (1, "b c d"), (3, "a b c")]
+
+
+def test_shingles_distinct_within_doc(spark):
+    df = _docs(spark, [(1, "a b a b a b")])  # "a b a"/"b a b" repeat
+    got = sorted(r["shingle"] for r in shingles(df, k=3).collect())
+    assert got == ["a b a", "b a b"]
+
+
+def test_jaccard_pairs_hand_computed(spark):
+    # doc1 shingles {ab c, b c d}; doc2 {a b c, b c e}; doc3 disjoint
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")])
+    got = jaccard_pairs(df, k=3, threshold=0.1).collect()
+    assert len(got) == 1
+    r = got[0]
+    # inter {a b c}=1, union {a b c, b c d, b c e}=3
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert abs(r["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_minhash_signature_shape_and_identity(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")])
+    sig = minhash_signatures(shingle_ids(shingles(df, k=3)), num_perm=8)
+    rows = sig.collect()
+    assert len(rows) == 3 * 8
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["perm"]] = r["h"]
+    # identical shingle sets -> identical signatures in every permutation
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    # identical docs always collide in every band (jaccard 1.0)
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text with other words entirely"),
+        ],
+    )
+    got = minhash_lsh_pairs(df, k=3, num_perm=16, bands=4, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_xxhash_mode_same_pairs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text with other words entirely"),
+        ],
+    )
+    got = minhash_lsh_pairs(
+        df, k=3, num_perm=16, bands=4, threshold=0.9, id_mode="xxhash"
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    df = _docs(spark, [(1, "a b c a"), (2, "a b c a"), (3, "z z y x w v")])
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert got[1] == got[2]
+    assert 0 <= got[1] < 2**32
+
+
+def test_simhash_pairs_identical_docs_hamming_zero(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+    )
+    got = simhash_pairs(df, max_hamming=0).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
+def test_lsh_max_bucket_size_drops_hot_buckets(spark):
+    # 4 identical docs form one hot bucket of size 4 in every band
+    rows = [(i, "same text repeated all over this document body") for i in range(4)]
+    rows.append((9, "an unrelated document with its own words here"))
+    df = _docs(spark, rows)
+    all_pairs = minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert len(all_pairs) == 6  # C(4,2)
+    capped = minhash_lsh_pairs(df, threshold=0.9, max_bucket_size=3).collect()
+    assert capped == []

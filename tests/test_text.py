@@ -1,0 +1,66 @@
+"""Unit tests for the text-analysis functions (functions/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from propius_spark.functions import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from propius_spark.operators import doc_stats
+
+FP_BASE, FP_PRIME = 131, 2_147_483_647
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col(F.col("text")).alias("v")
+    ).first()["v"]
+
+
+def test_tokens_empty_and_whitespace(spark):
+    assert _one(spark, "", tokens) == []
+    assert _one(spark, "   ", tokens) == []
+    assert _one(spark, "  A  b\tC ", tokens) == ["a", "b", "c"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "one two  three", token_count) == 3
+    assert _one(spark, "", token_count) == 0
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat sat on the mat with a hat", lang_id) == "en"
+    assert _one(spark, "der Hund ist von der Katze und", lang_id) == "de"
+    assert _one(spark, "xyzzy plugh qwerty", lang_id) == "und"
+    assert _one(spark, "", lang_id) == "und"
+
+
+def test_quality_score_range_and_empty(spark):
+    assert _one(spark, "", quality_score) == 0.0
+    v = _one(spark, "the quick brown fox jumps over the lazy dog", quality_score)
+    assert 0.0 < v <= 1.0
+
+
+def test_fingerprint_hand_computed(spark):
+    # "ab" -> ((0*131+97)*131+98) mod P = 97*131+98 = 12805
+    assert _one(spark, "ab", fingerprint) == 97 * 131 + 98
+    # normalization: case + whitespace collapse
+    assert _one(spark, " A   b ", fingerprint) == _one(spark, "a b", fingerprint)
+    assert _one(spark, "ab", fingerprint) != _one(spark, "ba", fingerprint)
+
+
+def test_doc_stats_schema(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in doc_stats(df).collect()}
+    assert set(got[1].asDict()) == {
+        "doc_id", "n_tokens", "lang", "quality", "fingerprint"
+    }
+    assert got[1]["n_tokens"] == 6 and got[1]["lang"] == "en"
+    assert got[2]["n_tokens"] == 0 and got[2]["quality"] == 0.0
