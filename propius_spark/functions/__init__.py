@@ -6,6 +6,15 @@ training-data pipeline needs, all as built-in Catalyst column
 expressions — zero Python UDFs on the hot path.
 """
 
+from .multimodal import (
+    MEDIA,
+    MEDIA_META,
+    decode_media,
+    extract_features,
+    media_from_documents,
+    resize_images,
+    sample_frames,
+)
 from .text import (
     LANG_STOPWORDS,
     fingerprint,
@@ -17,6 +26,13 @@ from .text import (
 )
 
 __all__ = [
+    "MEDIA",
+    "MEDIA_META",
+    "media_from_documents",
+    "decode_media",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
     "LANG_STOPWORDS",
     "tokens",
     "token_count",

@@ -1,0 +1,121 @@
+"""Structured Streaming maintenance of the co-occurrence model.
+
+The reference has no streaming surface (SURVEY.md §2.9): its chunked
+CSV iteration (propius/utils.py:7, consumed at similarity.py:72-85) is
+bounded-memory *batch* ingestion. This module is the natural Spark
+extension: the cell table `(item_id, ctx_id, cnt)` is an associative,
+commutative aggregate, so Structured Streaming can maintain it
+incrementally — new occurrence files landing in a directory update the
+counts without re-reading history.
+
+Scale notes (100 TB target):
+- The streaming `groupBy(item, ctx).count()` keeps state in the state
+  store partitioned by grouping key — the same hash partitioning the
+  batch build uses, so state is evenly spread unless contexts are
+  globally hot (the same skew the batch Gram join mitigates via AQE).
+- `availableNow` trigger processes a backlog as bounded micro-batches
+  (catch-up reprocessing); continuous micro-batches serve live tailing.
+- Correlation over the maintained cells stays a *batch* job on each
+  trigger (foreachBatch) — all-pairs Pearson is not incrementally
+  maintainable without O(I²) state, so the engine recomputes pairs from
+  the (small, aggregated) cell state instead of from raw history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import OCCURRENCES, require_columns
+
+
+def stream_occurrences(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    header: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """`readStream` over a landing directory of occurrence files.
+
+    Mirrors sources/occurrences.load_occurrences but unbounded: the
+    schema is mandatory (streaming readers cannot infer), and
+    `maxFilesPerTrigger` bounds per-micro-batch work during catch-up.
+    """
+    reader = spark.readStream.schema(OCCURRENCES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "csv":
+        return reader.option("header", str(header).lower()).csv(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    raise ValueError(f"unsupported streaming format: {fmt}")
+
+
+def streaming_cells(occurrences: DataFrame) -> DataFrame:
+    """Streaming cell table: groupBy(item, ctx).count() over an
+    unbounded occurrence stream — identical logical plan to the batch
+    operators/cells.build_cells, maintained by the state store."""
+    require_columns(occurrences, ["item_id", "reference_id"], "streaming_cells")
+    return (
+        occurrences.groupBy(
+            F.col("item_id"), F.col("reference_id").alias("ctx_id")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def start_cells_query(
+    cells: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "propius_cells",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the streaming cell aggregation into an in-memory sink
+    (complete mode — the aggregate is the whole model state). For a
+    durable sink swap in foreachBatch → parquet/Delta overwrite; the
+    memory sink is the test/serving-cache surface."""
+    writer = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type over the
+    events stream `(ts, event_type, ...)` — the late-data-tolerant
+    rollup a training-data ingest pipeline uses for monitoring.
+    Rows later than `watermark` past the max seen ts are dropped and
+    their window finalized (state evicted — bounded state at scale).
+    """
+    require_columns(events, ["ts", "event_type"], "windowed_event_counts")
+    # parquet timestamp[ns] surfaces as BIGINT nanos in Spark (no ns
+    # timestamp type) — normalize to a micros-precision timestamp
+    if dict(events.dtypes)["ts"] in ("bigint", "long"):
+        events = events.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1,0 +1,94 @@
+"""Structured Streaming cell maintenance (streaming/cooccurrence.py).
+
+Strategy: land occurrence parquet files in a temp directory in two
+waves, run the stream with availableNow triggers, and assert the
+memory-sink state equals the batch build_cells answer over the same
+rows — the streaming aggregate must be indistinguishable from a batch
+recompute (associativity of count).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from propius_spark.operators import build_cells
+from propius_spark.streaming import (
+    start_cells_query,
+    stream_occurrences,
+    streaming_cells,
+    windowed_event_counts,
+)
+
+OCC_ROWS_1 = [(1, 101), (1, 102), (2, 101), (2, 101), (3, 103)]
+OCC_ROWS_2 = [(1, 102), (4, 101), (4, 104)]
+
+
+def _write_occ(spark, rows, path):
+    spark.createDataFrame(rows, "reference_id long, item_id long").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def _sorted_cells(df):
+    return sorted(
+        (r.item_id, r.ctx_id, r.cnt)
+        for r in df.select("item_id", "ctx_id", "cnt").collect()
+    )
+
+
+def test_streaming_cells_matches_batch_incrementally(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _write_occ(spark, OCC_ROWS_1, land)
+
+    cells = streaming_cells(stream_occurrences(spark, land))
+    q = start_cells_query(cells, ckpt, query_name="t_cells")
+    q.awaitTermination()
+
+    batch1 = build_cells(
+        spark.createDataFrame(OCC_ROWS_1, "reference_id long, item_id long")
+    )
+    assert _sorted_cells(spark.table("t_cells")) == _sorted_cells(batch1)
+
+    # second wave: restart from the checkpoint, counts accumulate
+    _write_occ(spark, OCC_ROWS_2, land)
+    q2 = start_cells_query(
+        streaming_cells(stream_occurrences(spark, land)),
+        ckpt,
+        query_name="t_cells",
+    )
+    q2.awaitTermination()
+
+    both = OCC_ROWS_1 + OCC_ROWS_2
+    batch2 = build_cells(
+        spark.createDataFrame(both, "reference_id long, item_id long")
+    )
+    assert _sorted_cells(spark.table("t_cells")) == _sorted_cells(batch2)
+
+
+def test_windowed_event_counts_batch_equivalence(spark, sf_dir):
+    """The watermarked streaming plan, run on the bounded events table
+    (batch mode accepts the same plan minus the watermark), equals a
+    plain window groupBy."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = windowed_event_counts(ev, "1 hour", "10 minutes")
+    ev_ts = ev.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    want = (
+        ev_ts.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_occurrences_rejects_unknown_format(spark, tmp_path):
+    with pytest.raises(ValueError):
+        stream_occurrences(spark, str(tmp_path), fmt="avro")
