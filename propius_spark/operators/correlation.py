@@ -45,39 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _persist(df: DataFrame) -> DataFrame:
-    """Materialize a subtree consumed by several downstream branches:
-    MEMORY_AND_DISK storage + lineage truncation (localCheckpoint).
-
-    Two reasons, both measured at sf0.01:
-    - Spark's exchange reuse only deduplicates *identical* physical
-      subplans inside one action; the exact-stats pipeline consumes
-      cells/stats/gram under different projections and filters, so
-      without persistence each branch re-runs the scan+shuffle.
-    - Plain persist() keeps the full logical plan, and AQE re-optimizes
-      the deep nested tree per query stage — the final 4-way join of
-      2k-row tables took 66 s of pure driver planning with AQE on vs
-      0.6 s with truncated lineage. Checkpointing the small tables keeps
-      AQE (wanted for skew-join on the Gram shuffle) while bounding the
-      plan it has to replan.
-
-    Eager, deliberately: a *lazy* localCheckpoint is re-computed by
-    every AQE query-stage job that reaches it before the first
-    materialization registers — composing the exact pipeline lazily
-    took 218 s at sf0.1 while the same stages materialized eagerly
-    total < 10 s. Eager means building one of these DataFrames runs
-    jobs immediately; fine for batch pipelines, and the returned frame
-    is a plain fast table scan afterwards.
-
-    These tables are item- or pair-cardinality — orders of magnitude
-    smaller than the event log they derive from — so they store safely
-    even at large scale. (On a multi-node cluster localCheckpoint data
-    lives on executors and does not survive executor loss; a production
-    deployment would point spark.checkpoint.dir at durable storage and
-    use checkpoint() instead — same semantics.) Call
-    ``propius_spark.session.clear_materialized(spark)`` after consuming
-    a pipeline's output to release the blocks."""
-    return df.localCheckpoint(eager=True)
+from ..plans import materialize as _persist  # shared plan-flattening helper
 
 
 def context_count(cells: DataFrame) -> DataFrame:

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokens
+from ..plans import fan_out as _fan_out
+from ..plans import materialize
 
 # h_i(x) = (A[i]·x + B[i]) mod P — fixed public parameters so engine
 # and oracle agree. P = 2³¹ − 1 (Mersenne prime); products stay < 2⁶³.
@@ -77,13 +79,21 @@ def shingles(
     """(doc_id, shingle): DISTINCT k-token shingles per document.
     Docs with fewer than k tokens produce none (excluded from set
     similarity, matching the standard definition)."""
-    toks = tokens(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
+    # shingle i = tokens[i..i+k-1] joined by space, built with direct
+    # array indexing (t[i]); the slice()+array_join() form allocates a
+    # sub-array per position and measured 5× slower at sf0.1
+    idx = " , ".join(f"__toks[i+{j}]" for j in range(k))
+    sh = F.expr(f"transform(sequence(0, size(__toks)-{k}), i -> concat_ws(' ', {idx}))")
     return (
-        docs.filter(F.size(toks) >= k)
+        # hash-repartition by doc BEFORE the per-doc map work: a small
+        # corpus arrives as one parquet file = one partition, and the
+        # tokenize/shingle expressions would run on a single core. The
+        # partition count is explicit because AQE coalesces by *bytes*
+        # and would fold this compute-bound stage back to one task. At
+        # scale the raw-text shuffle stays cheap relative to shingling.
+        _fan_out(docs, id_col)
+        .withColumn("__toks", tokens(F.col(text_col)))
+        .filter(F.size("__toks") >= k)
         .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()
     )
@@ -120,12 +130,22 @@ def jaccard_pairs(
     emits only pairs sharing ≥1 shingle — sparse, like the Gram join
     in the correlation core (and skew-prone the same way: a shingle
     shared by d docs yields d² join rows; cap or LSH when that bites)."""
-    sh = shingles(docs, k, id_col, text_col)
+    # join on a 64-bit hash of the shingle, not the string: same pairs
+    # and counts absent xxhash64 collisions (~2⁻⁶⁴ per shingle pair —
+    # the standard engineering trade), with far smaller shuffle keys.
+    # Materialized once (plans.materialize): consumed by both the
+    # self-join and the per-doc sizes, and a flat scan keeps AQE from
+    # replanning the shingling subtree per stage.
+    sh = materialize(
+        shingles(docs, k, id_col, text_col).select(
+            "doc_id", F.xxhash64("shingle").alias("sid")
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sid")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sid")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sid")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -149,32 +169,40 @@ def _perm_params(num_perm: int) -> DataFrame | None:
     return None
 
 
-def minhash_signatures(
-    sids: DataFrame, num_perm: int = 16
-) -> DataFrame:
-    """(doc_id, perm, h): minhash value per permutation — the min of
-    h_i over the doc's shingle ids. Map-side hash + one (doc, perm)
-    min-aggregation."""
+def minhash_signatures_wide(sids: DataFrame, num_perm: int = 16) -> DataFrame:
+    """(doc_id, h0 … h{num_perm−1}): minhash value per permutation —
+    the min of h_i over the doc's shingle ids.
+
+    ONE wide aggregation: all permutations are min-ed in the same
+    groupBy(doc_id), so the shuffle moves one partially-aggregated row
+    per (doc × partition), not num_perm× exploded rows. (The earlier
+    explode-then-group form shuffled 16× the corpus; map-side combine
+    makes this shape the scale path.)"""
     _perm_params(num_perm)
-    perms = F.array(
+    return sids.groupBy("doc_id").agg(
         *[
-            F.struct(
-                F.lit(i).alias("perm"),
-                F.lit(MINHASH_A[i]).alias("a"),
-                F.lit(MINHASH_B[i]).alias("b"),
-            )
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("sid") + F.lit(MINHASH_B[i]))
+                % MINHASH_PRIME
+            ).alias(f"h{i}")
             for i in range(num_perm)
         ]
     )
-    return (
-        sids.select("doc_id", "sid", F.explode(perms).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.perm").alias("perm"),
-            ((F.col("p.a") * F.col("sid") + F.col("p.b")) % MINHASH_PRIME).alias("hv"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("hv").alias("h"))
+
+
+def minhash_signatures(sids: DataFrame, num_perm: int = 16) -> DataFrame:
+    """(doc_id, perm, h): long-form view of the wide signatures —
+    the explode happens AFTER aggregation (doc-cardinality input), so
+    it is map-side and cheap."""
+    wide = minhash_signatures_wide(sids, num_perm)
+    ph = F.array(
+        *[
+            F.struct(F.lit(i).alias("perm"), F.col(f"h{i}").alias("h"))
+            for i in range(num_perm)
+        ]
+    )
+    return wide.select("doc_id", F.explode(ph).alias("p")).select(
+        "doc_id", F.col("p.perm").alias("perm"), F.col("p.h").alias("h")
     )
 
 
@@ -198,19 +226,33 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     sh = shingles(docs, k, id_col, text_col)
-    sids = shingle_ids(sh, id_mode)
-    sig = minhash_signatures(sids, num_perm)
-    band_sig = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "h"))),
-                    lambda s: s.getField("h").cast("string"),
-                ),
-                "-",
-            ).alias("sig")
+    # materialized: consumed by the signature build, the per-doc sizes,
+    # and the exact-verify intersection join (three branches — without
+    # lineage truncation each re-runs shingling, and AQE replans the
+    # deep subtree per stage)
+    sids = materialize(shingle_ids(sh, id_mode))
+    wide = minhash_signatures_wide(sids, num_perm)
+    # band signature = the band's h values joined positionally — built
+    # from the wide columns with zero extra shuffle (the old long-form
+    # collect_list needed a second groupBy)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_sig = materialize(
+        wide.select("doc_id", F.explode(band_structs).alias("b")).select(
+            "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
         )
     )
     if max_bucket_size is not None:
@@ -262,7 +304,10 @@ def simhash(
     lane b; simhash = Σ 2^b over non-negative lanes. All modular/bit
     arithmetic — DuckDB computes the identical value in dict mode."""
     toks = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        # fan out by doc first — same single-input-partition trap as
+        # `shingles` (tokenization would otherwise run on one core)
+        _fan_out(docs, id_col)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -276,30 +321,25 @@ def simhash(
         )
         coded = toks.join(d, "tok").select("doc_id", "cnt", "tid")
     hv = (F.lit(MINHASH_A[0]) * F.col("tid") + F.lit(MINHASH_B[0])) % MINHASH_PRIME
-    lanes = coded.select(
-        "doc_id",
-        "cnt",
-        hv.alias("hv"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
-        # pyspark's shiftright/shiftleft only take literal shift
-        # amounts — use the SQL expressions for column shifts
-        (
-            (F.expr("shiftright(hv, b)").bitwiseAND(F.lit(1)) * 2 - 1) * F.col("cnt")
-        ).alias("contrib"),
-    )
-    return (
-        lanes.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("lane"))
-        .groupBy("doc_id")
-        .agg(
+    # all 32 lanes in ONE wide aggregation (map-side combine; the
+    # explode-per-bit form shuffled 32× the token rows), then fold the
+    # lane signs back into the signature with literal shifts
+    lanes = coded.select("doc_id", "cnt", hv.alias("hv")).groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("lane") >= 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
+                (F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+                * F.col("cnt")
+            ).alias(f"lane{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"lane{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return lanes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -316,7 +356,8 @@ def simhash_pairs(
     (never an all-pairs product)."""
     nblocks = max_hamming + 1
     width = SIMHASH_BITS // nblocks + (1 if SIMHASH_BITS % nblocks else 0)
-    sig = simhash(docs, id_col, text_col, id_mode)
+    # doc-cardinality; consumed by both sides of the block self-join
+    sig = materialize(simhash(docs, id_col, text_col, id_mode))
     blocks = sig.select(
         "doc_id",
         "simhash",

@@ -21,7 +21,12 @@ def doc_stats(
 ) -> DataFrame:
     """(doc_id, n_tokens, lang, quality, fingerprint) — one row per doc."""
     t = F.col(text_col)
-    return docs.select(
+    # fan out by doc: a small corpus is one parquet file = one input
+    # partition, and the fingerprint fold is the most expensive
+    # per-row expression in the engine (per-character lambda evals)
+    from ..plans import fan_out
+
+    return fan_out(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         token_count(t).alias("n_tokens"),
         lang_id(t).alias("lang"),
