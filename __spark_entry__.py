@@ -24,9 +24,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from propius_spark.functions import decode_media, media_from_documents
 from propius_spark.operators import (
     build_cells,
     corr_pairs,
+    vstack,
     cosine_topk,
     doc_stats,
     embedding_dup_pairs,
@@ -46,9 +48,12 @@ from propius_spark.serving import (
     search_items_by_name,
 )
 from propius_spark.sources import (
+    load_pairs,
     occurrences_from_events,
     occurrences_from_lineitem,
+    save_pairs,
 )
+from propius_spark.streaming import start_cells_query, streaming_cells
 
 FLAGSHIP_ITEM = 1  # p_partkey of the demo part (exists at every sf)
 
@@ -221,6 +226,99 @@ def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(doc_stats(_docs(spark, sf_dir)), "quality")
 
 
+CROSS_SET_OFFSET = 1_000_000  # shifts supplier ids above every part id
+
+
+def q_corr_pairs_cross_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 op-11 (sparse.vstack, propius/similarity.py:28-29):
+    stack a second item-set (suppliers) over the same contexts
+    (orders) and correlate across sets — 'suppliers similar to parts
+    by co-occurrence in orders'. Output restricted to the cross-set
+    (part → supplier) direction."""
+    parts = build_cells(occurrences_from_lineitem(spark, sf_dir))
+    supp = build_cells(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.col("l_orderkey").alias("reference_id"),
+            F.col("l_suppkey").alias("item_id"),
+        )
+    )
+    stacked = vstack(parts, supp, offset=CROSS_SET_OFFSET)
+    pairs = corr_pairs(stacked).filter(
+        (F.col("item_a") < CROSS_SET_OFFSET) & (F.col("item_b") >= CROSS_SET_OFFSET)
+    )
+    return _r6(pairs.select("item_a", "item_b", "corr"), "corr")
+
+
+def q_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 ops 4/6 (matrix sink/source, propius/similarity.py:
+    170-207): persist the pairs model to CSV and read it back with an
+    explicit schema — the values must survive the round trip exactly
+    (doubles serialize via shortest-round-trip repr)."""
+    sims = similar_items_candidates(
+        build_cells(occurrences_from_events(spark, sf_dir)),
+        threshold_method="absolute",
+        threshold_value=-1.0,
+    )
+    path = "/tmp/propius_model_roundtrip"
+    save_pairs(sims.select("item_a", "item_b", "corr"), path, fmt="csv")
+    return _r6(load_pairs(spark, path, fmt="csv"), "corr")
+
+
+def q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming maintenance of the cell table (beyond-
+    reference; SURVEY §2.9): readStream over the lineitem file,
+    streaming groupBy(item, ctx).count() into a memory sink with an
+    availableNow trigger — the final state must equal the batch
+    aggregation, which is the oracle."""
+    import tempfile
+    import uuid
+
+    src = f"{sf_dir}/lineitem.parquet"
+    schema = spark.read.parquet(src).select("l_orderkey", "l_partkey").schema
+    occ = (
+        # the streaming file source wants a *directory* to monitor —
+        # watch the sf dir and glob-filter to the one table
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("l_orderkey").alias("reference_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+    )
+    name = "cells_stream_" + uuid.uuid4().hex[:8]
+    q = start_cells_query(
+        streaming_cells(occ), tempfile.mkdtemp(prefix="propius_ckpt_"), query_name=name
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: documents as opaque media
+    payloads (binary) with per-item byte stats — size and sha256 are
+    computed on the payload bytes, never the decoded media."""
+    media = media_from_documents(_docs(spark, sf_dir))
+    return media.select(
+        "media_id",
+        "modality",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256_hex"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (deterministic fake kernel —
+    real codecs are stubbed, see functions/multimodal.py): per-media
+    pixel-block checksum over the decoded bytes."""
+    dec = decode_media(media_from_documents(_docs(spark, sf_dir)), fake=True)
+    return dec.select(
+        "media_id",
+        "modality",
+        F.aggregate("pixels", F.lit(0), lambda a, x: a + x).alias("pixel_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'parts bought together' for one part at sf0.001 —
     full model row, name-joined, top-10."""
@@ -245,6 +343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_dup_pairs": q_ann_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_doc_stats": q_text_doc_stats,
+        "corr_pairs_cross_set": q_corr_pairs_cross_set,
+        "model_roundtrip": q_model_roundtrip,
+        "streaming_cells": q_streaming_cells,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -322,6 +425,33 @@ row_ AS (SELECT v.item AS item_b,
 """
 
 
+_EVENTS_CANDIDATES_SQL = """
+    WITH coded AS (SELECT event_type,
+                          DENSE_RANK() OVER (ORDER BY event_type) - 1
+                            AS item_id
+                   FROM (SELECT DISTINCT event_type FROM events)),
+    occ AS (SELECT e.user_id AS ref, c.item_id AS item
+            FROM events e JOIN coded c USING (event_type)),
+    cells AS (SELECT item, ref, COUNT(*)::DOUBLE AS cnt
+              FROM occ GROUP BY 1, 2),
+    nn AS (SELECT COUNT(DISTINCT ref)::DOUBLE AS n FROM cells),
+    st AS (SELECT item, SUM(cnt) AS s, SUM(cnt*cnt) AS q
+           FROM cells GROUP BY 1),
+    vs AS (SELECT item, s, sqrt(n.n*q - s*s) AS den
+           FROM st, nn n WHERE n.n*q - s*s > 0),
+    gram AS (SELECT a.item AS item_a, b.item AS item_b,
+                    SUM(a.cnt*b.cnt) AS dot
+             FROM cells a JOIN cells b
+               ON a.ref = b.ref AND a.item <> b.item
+             GROUP BY 1, 2)
+    SELECT g.item_a, g.item_b,
+           ROUND((n.n*g.dot - a.s*b.s)/(a.den*b.den), 6) AS corr
+    FROM gram g JOIN vs a ON g.item_a = a.item
+    JOIN vs b ON g.item_b = b.item, nn n
+    WHERE (n.n*g.dot - a.s*b.s)/(a.den*b.den) >= -1.0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "corr_pairs_parts": f"""
@@ -356,31 +486,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE (corr - mn)/(mx - mn) END, 6) AS scaled_score
             FROM w WHERE corr >= mean_ + 2.0*std_
         """,
-        "similar_candidates_events": """
-            WITH coded AS (SELECT event_type,
-                                  DENSE_RANK() OVER (ORDER BY event_type) - 1
-                                    AS item_id
-                           FROM (SELECT DISTINCT event_type FROM events)),
-            occ AS (SELECT e.user_id AS ref, c.item_id AS item
-                    FROM events e JOIN coded c USING (event_type)),
-            cells AS (SELECT item, ref, COUNT(*)::DOUBLE AS cnt
-                      FROM occ GROUP BY 1, 2),
-            nn AS (SELECT COUNT(DISTINCT ref)::DOUBLE AS n FROM cells),
-            st AS (SELECT item, SUM(cnt) AS s, SUM(cnt*cnt) AS q
-                   FROM cells GROUP BY 1),
-            vs AS (SELECT item, s, sqrt(n.n*q - s*s) AS den
-                   FROM st, nn n WHERE n.n*q - s*s > 0),
-            gram AS (SELECT a.item AS item_a, b.item AS item_b,
-                            SUM(a.cnt*b.cnt) AS dot
-                     FROM cells a JOIN cells b
-                       ON a.ref = b.ref AND a.item <> b.item
-                     GROUP BY 1, 2)
-            SELECT g.item_a, g.item_b,
-                   ROUND((n.n*g.dot - a.s*b.s)/(a.den*b.den), 6) AS corr
-            FROM gram g JOIN vs a ON g.item_a = a.item
-            JOIN vs b ON g.item_b = b.item, nn n
-            WHERE (n.n*g.dot - a.s*b.s)/(a.den*b.den) >= -1.0
-        """,
+        "similar_candidates_events": _EVENTS_CANDIDATES_SQL,
         "retrieve_topk_part": f"""
             {_ONE_ROW}
             SELECT r.item_b AS item_b_id, p.p_name AS item_name,
@@ -517,6 +623,52 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
                      b.vec_id ASC
             LIMIT 10
+        """,
+        "corr_pairs_cross_set": f"""
+            WITH occ AS (SELECT l_orderkey AS ref, l_partkey AS item
+                         FROM lineitem
+                         UNION ALL
+                         SELECT l_orderkey, l_suppkey + {CROSS_SET_OFFSET}
+                         FROM lineitem),
+            cells AS (SELECT item, ref, COUNT(*)::DOUBLE AS cnt
+                      FROM occ GROUP BY 1, 2),
+            nn AS (SELECT COUNT(DISTINCT ref)::DOUBLE AS n FROM cells),
+            st AS (SELECT item, SUM(cnt) AS s, SUM(cnt*cnt) AS q
+                   FROM cells GROUP BY 1),
+            vs AS (SELECT item, s, sqrt(n.n*q - s*s) AS den
+                   FROM st, nn n WHERE n.n*q - s*s > 0),
+            gram AS (SELECT a.item AS item_a, b.item AS item_b,
+                            SUM(a.cnt*b.cnt) AS dot
+                     FROM cells a JOIN cells b
+                       ON a.ref = b.ref AND a.item <> b.item
+                     GROUP BY 1, 2)
+            SELECT g.item_a, g.item_b,
+                   ROUND((n.n*g.dot - a.s*b.s)/(a.den*b.den), 6) AS corr
+            FROM gram g JOIN vs a ON g.item_a = a.item
+            JOIN vs b ON g.item_b = b.item, nn n
+            WHERE g.item_a < {CROSS_SET_OFFSET}
+              AND g.item_b >= {CROSS_SET_OFFSET}
+        """,
+        # identical values must survive the CSV round trip, so the
+        # oracle is exactly the candidates query the model was built by
+        "model_roundtrip": _EVENTS_CANDIDATES_SQL,
+        "streaming_cells": """
+            SELECT l_partkey AS item_id, l_orderkey AS ctx_id,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id, 'image' AS modality,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256_hex
+            FROM documents
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS media_id, 'image' AS modality,
+                   list_sum(list_transform(range(0, 16),
+                     j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT))
+                     AS pixel_sum
+            FROM documents
         """,
         "text_doc_stats": rf"""
             WITH t0 AS (SELECT doc_id, trim(lower(text)) AS lt,

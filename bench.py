@@ -38,8 +38,12 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # release materialized intermediates so one pipeline's blocks
-        # don't skew the next query's timing
+        # don't skew the next query's timing, and nudge the JVM to
+        # collect them now — long multi-query sessions otherwise hit
+        # multi-second GC pauses inside later queries (measured 3-4×
+        # inflation on queries that run in ~3 s isolated)
         clear_materialized(spark)
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
