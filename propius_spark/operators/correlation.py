@@ -147,9 +147,18 @@ def corr_pairs(
     The two stats joins broadcast (item dimension ≪ fact table).
     `stats`/`g` accept precomputed (usually persisted) inputs so a
     pipeline sharing them across stages computes each subtree once.
+
+    When stats are not supplied, the cell table is materialized first:
+    cells feed four consumers here (context count, item stats, both
+    Gram sides) and Spark only reuses *identical* physical subplans, so
+    the lazy composition re-scans the source event log once per
+    consumer — 8 full scans of the fact table in one action (measured
+    via explain at sf0.001). Materializing the item×ctx aggregate —
+    orders of magnitude smaller than the event log — makes it one scan.
     """
     if stats is None:
-        stats = valid_item_stats(cells)
+        cells = _persist(cells)
+        stats = _persist(valid_item_stats(cells))
     if g is None:
         g = gram(cells, stats, max_context_degree)
     n1 = context_count(cells)

@@ -98,6 +98,9 @@ def similar_items_candidates(
     """
     pairs = corr_pairs(cells)
     if threshold_method == "std_dev":
+        # pairs is consumed twice (per-item cut + the filter join):
+        # persist so the Gram shuffle runs once
+        pairs = _persist(pairs)
         st = pairs.groupBy("item_a").agg(
             (F.avg("corr") + F.lit(threshold_value) * F.stddev_samp("corr")).alias("cut")
         )

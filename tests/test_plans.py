@@ -1,0 +1,122 @@
+"""Plan-shape regression tests — lock in the physical-plan properties
+that make the engine scale (SURVEY.md §4): column pruning and filter
+pushdown at the parquet scan, broadcast joins for dimension tables,
+single-scan materialization of shared subtrees, and a Python-free
+(whole-stage-codegen) parity path. A correctness-preserving change that
+silently reintroduces an 8× fact-table re-scan or a Python eval node in
+the hot path fails here, not in a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from propius_spark.operators import build_cells, corr_pairs  # noqa: E402
+from propius_spark.serving import retrieve_similar_items  # noqa: E402
+from propius_spark.sources import occurrences_from_lineitem  # noqa: E402
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+PY_EVAL_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "AggregateInPandas",
+)
+
+
+def test_cells_scan_prunes_columns(spark, sf_dir):
+    """The co-occurrence scan must read exactly the 2 key columns of
+    the 16-column lineitem table (column pruning reached the parquet
+    reader) — anything wider multiplies 100 TB of scan I/O."""
+    plan = _plan(build_cells(occurrences_from_lineitem(spark, sf_dir)))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_corr_pairs_single_source_scan(spark, sf_dir):
+    """corr_pairs materializes the cell table before fanning out to its
+    four consumers (context count, item stats, both Gram sides): the
+    final plan must contain NO parquet re-scans of the event log.
+    Before materialization the same action scanned the source 8×."""
+    pairs = corr_pairs(build_cells(occurrences_from_lineitem(spark, sf_dir)))
+    assert "Scan parquet" not in _plan(pairs)
+
+
+def test_serving_pushdown_and_broadcast(spark, sf_dir):
+    """Serving retrieval: the dim-table filter reaches the parquet scan
+    (PushedFilters) and the fact⋈dim name join is a broadcast hash join
+    — never a shuffle of the big side against a small dimension."""
+    dim = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("key"),
+        F.lit(None).cast("string").alias("human_label"),
+    )
+    sims = corr_pairs(build_cells(occurrences_from_lineitem(spark, sf_dir))).select(
+        F.col("item_a").alias("item_a_id"),
+        F.col("item_b").alias("item_b_id"),
+        F.col("corr").alias("scaled_score"),
+    )
+    plan = _plan(retrieve_similar_items(sims, dim, item_id=1, limit=5))
+    assert "PushedFilters: [IsNotNull(p_partkey)" in plan or (
+        "PushedFilters:" in plan and "p_partkey" in plan
+    )
+    assert "BroadcastHashJoin" in plan
+    # distributed top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_parity_paths_are_python_free(spark, sf_dir):
+    """Every reference-parity query plans without a Python eval node —
+    the whole path stays JVM-side in Tungsten codegen (SURVEY.md §2.10:
+    zero UDFs needed for parity). Arrow/pandas nodes are expected ONLY
+    in the explicitly-vectorized extension ops (ANN BLAS kernel,
+    multimodal decode)."""
+    parity = [
+        "corr_pairs_parts",
+        "similar_candidates_events",
+        "retrieve_topk_part",
+        "item_info",
+        "search_items",
+        "db_stats",
+        "dedup_exact",
+        "dedup_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_doc_stats",
+        "ann_cosine_topk",
+    ]
+    qs = entrymod.queries()
+    offending = {}
+    for name in parity:
+        plan = _plan(qs[name](spark, sf_dir))
+        hits = [n for n in PY_EVAL_NODES if n in plan]
+        if hits:
+            offending[name] = hits
+    assert not offending, f"Python eval nodes in parity plans: {offending}"
+
+
+def test_parity_path_has_codegen(spark, sf_dir):
+    """The Pearson pipeline executes inside whole-stage codegen spans
+    (Tungsten), not interpreted expressions. AQE only finalizes (and
+    annotates) the physical plan during execution, so run the query
+    first and inspect the executed plan."""
+    pairs = corr_pairs(build_cells(occurrences_from_lineitem(spark, sf_dir)))
+    pairs.collect()  # finalize this DataFrame's own AQE plan
+    executed = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    # codegen stages print as "*(id) Operator" in the simple plan string
+    assert "*(" in executed
