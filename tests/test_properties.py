@@ -1,0 +1,178 @@
+"""Property-based tests (SURVEY.md §5.3) on randomized co-occurrence
+tables: the engine's sparse closed-form Pearson must agree with
+np.corrcoef over the dense crosstab on EVERY input, not just the golden
+fixture — including symmetry, the analytic −t_a·t_b value for pairs
+with no shared context, row-order invariance (the dense_rank context
+encoding decision), and the full publication semantics (mean+kσ cut +
+min-max scaling) against a dense brute force.
+
+Each example runs real Spark jobs; example counts are kept small and
+deadlines off (JVM scheduling noise).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from propius_spark.operators import (
+    build_cells,
+    corr_pairs,
+    similar_items_exact,
+    valid_item_stats,
+)
+from propius_spark.session import clear_materialized
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+occurrence_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(1, 6)),
+    min_size=4,
+    max_size=40,
+)
+
+
+def _dense(rows):
+    """Dense crosstab + np.corrcoef oracle over distinct-context
+    encoding (one column per distinct reference id)."""
+    refs = sorted({r for r, _ in rows})
+    items = sorted({i for _, i in rows})
+    m = np.zeros((len(items), len(refs)))
+    rpos = {r: j for j, r in enumerate(refs)}
+    ipos = {i: j for j, i in enumerate(items)}
+    for r, i in rows:
+        m[ipos[i], rpos[r]] += 1
+    return m, items
+
+
+def _stats(m):
+    """Per-row s, q, den² with n = #contexts (den² > 0 ⇔ valid)."""
+    n = m.shape[1]
+    s = m.sum(axis=1)
+    q = (m * m).sum(axis=1)
+    return n, s, q, n * q - s * s
+
+
+def _engine_pairs(spark, rows):
+    df = spark.createDataFrame(
+        [(f"r{r}", i) for r, i in rows], "reference_id string, item_id long"
+    )
+    cells = build_cells(df)
+    pairs = {
+        (r["item_a"], r["item_b"]): r["corr"]
+        for r in corr_pairs(cells).collect()
+    }
+    stats = {r["item_id"]: r["t"] for r in valid_item_stats(cells).collect()}
+    clear_materialized(spark)
+    return pairs, stats
+
+
+@given(rows=occurrence_rows)
+@settings(**SETTINGS)
+def test_corr_matches_corrcoef_everywhere(spark, rows):
+    """Emitted pairs ≡ np.corrcoef; non-emitted valid pairs carry the
+    analytic −t_a·t_b; symmetry holds; values lie in [−1, 1]±ε."""
+    pairs, t = _engine_pairs(spark, rows)
+    m, items = _dense(rows)
+    n, s, q, den2 = _stats(m)
+    valid = {it for it, d2 in zip(items, den2) if d2 > 0}
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = np.corrcoef(m) if len(items) > 1 else np.ones((1, 1))
+    ipos = {it: j for j, it in enumerate(items)}
+
+    for (a, b), v in pairs.items():
+        assert a in valid and b in valid and a != b
+        want = corr[ipos[a], ipos[b]]
+        assert math.isclose(v, want, rel_tol=1e-9, abs_tol=1e-9), (a, b, v, want)
+        assert -1.000000001 <= v <= 1.000000001
+        assert (b, a) in pairs and math.isclose(pairs[(b, a)], v, rel_tol=0, abs_tol=0)
+
+    # every valid pair NOT emitted shares no context and its true
+    # correlation is the separable −t_a·t_b
+    for a in valid:
+        for b in valid:
+            if a != b and (a, b) not in pairs:
+                assert float(np.dot(m[ipos[a]], m[ipos[b]])) == 0.0
+                want = corr[ipos[a], ipos[b]]
+                assert math.isclose(-t[a] * t[b], want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(rows=occurrence_rows, seed=st.integers(0, 2**31 - 1))
+@settings(**SETTINGS)
+def test_row_order_invariance(spark, rows, seed):
+    """The reference requires input sorted by reference_id (run-length
+    serials, propius/similarity.py:67-85); the engine's dense_rank /
+    distinct-context encoding must give identical correlations for ANY
+    row order — the §2 op-9 design decision, property-verified."""
+    rng = np.random.default_rng(seed)
+    shuffled = [rows[k] for k in rng.permutation(len(rows))]
+    p1, _ = _engine_pairs(spark, rows)
+    p2, _ = _engine_pairs(spark, shuffled)
+    assert p1.keys() == p2.keys()
+    for k, v in p1.items():
+        assert math.isclose(v, p2[k], rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(rows=occurrence_rows)
+@settings(**SETTINGS)
+def test_publication_matches_dense_bruteforce(spark, rows):
+    """similar_items_exact ≡ the reference's per-item loop done densely:
+    full correlation row per valid item → sample mean/std over all V−1
+    neighbors → keep corr ≥ mean + kσ → min-max scale (0.0 when the row
+    is constant). Also verifies the mean+kσ selection is invariant
+    under min-max scaling (affine), because the brute force selects in
+    raw space while scoring in scaled space.
+
+    Cut comparisons allow an ε-band: engine (separable sums) and numpy
+    (direct row stats) can disagree by 1e-15 exactly AT the boundary
+    corr == cut (e.g. constant rows where std = 0).
+    """
+    k_sigma = 1.0
+    eps = 1e-9
+    df = spark.createDataFrame(
+        [(f"r{r}", i) for r, i in rows], "reference_id string, item_id long"
+    )
+    got = {}
+    for r in similar_items_exact(build_cells(df), k_sigma=k_sigma).collect():
+        got[(r["item_a"], r["item_b"])] = (r["corr"], r["scaled_score"])
+    clear_materialized(spark)
+
+    m, items = _dense(rows)
+    n, s, q, den2 = _stats(m)
+    vitems = [it for it, d2 in zip(items, den2) if d2 > 0]
+    ipos = {it: j for j, it in enumerate(items)}
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = np.corrcoef(m) if len(items) > 1 else np.ones((1, 1))
+
+    must, may = set(), set()
+    expect_scaled = {}
+    for a in vitems:
+        row = {b: corr[ipos[a], ipos[b]] for b in vitems if b != a}
+        if len(row) < 2:
+            continue  # std undefined over <2 neighbors → nothing selected
+        vals = np.array(list(row.values()))
+        cut = vals.mean() + k_sigma * vals.std(ddof=1)
+        mn, mx = vals.min(), vals.max()
+        for b, v in row.items():
+            scaled = 0.0 if mx == mn else (v - mn) / (mx - mn)
+            if v > cut + eps:
+                must.add((a, b))
+                expect_scaled[(a, b)] = (v, scaled)
+            if v >= cut - eps:
+                may.add((a, b))
+                expect_scaled[(a, b)] = (v, scaled)
+
+    assert must <= set(got.keys()) <= may, (
+        sorted(must - set(got)), sorted(set(got) - may)
+    )
+    for k, (v, scaled) in got.items():
+        ev, es = expect_scaled[k]
+        assert math.isclose(v, ev, rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(scaled, es, rel_tol=1e-9, abs_tol=1e-9)
