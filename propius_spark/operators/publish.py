@@ -34,10 +34,19 @@ def publish_model(
     dictionary: DataFrame,
     out_dir: str,
     k_sigma: float = 2.0,
+    n_buckets: int = 0,
 ) -> dict[str, str]:
     """End-to-end: occurrences → exact similar_items + correlated_items
     parquet tables under `out_dir`. One distributed job per table — the
     reference's I-iteration loop (propius/data.py:130-149) is gone.
+
+    With ``n_buckets > 0`` the fact table is hive-partitioned by
+    ``bucket = item_a_id % n_buckets`` — the role of the reference's
+    B-tree index on (item_a_id, item_b_id) (propius/data.py:81-85):
+    a point lookup that filters on the bucket touches 1/n_buckets of
+    the files (partition pruning), so serving latency is independent
+    of total model size. Size n_buckets so one bucket ≈ one HDFS
+    block (~128 MB) at the target scale.
     """
     cells = build_cells(occurrences)
     sims = (
@@ -52,9 +61,25 @@ def publish_model(
     dim = correlated_items(dictionary)
     sims_path = f"{out_dir}/similar_items"
     dim_path = f"{out_dir}/correlated_items"
-    sims.write.mode("overwrite").parquet(sims_path)
+    if n_buckets > 0:
+        # repartition by the partition column first: each bucket is
+        # written by one task → one file per bucket, not tasks×buckets
+        # small files.
+        (
+            sims.withColumn("bucket", F.pmod(F.col("item_a_id"), F.lit(n_buckets)))
+            .repartition(n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(sims_path)
+        )
+    else:
+        sims.write.mode("overwrite").parquet(sims_path)
     dim.write.mode("overwrite").parquet(dim_path)
-    return {"similar_items": sims_path, "correlated_items": dim_path}
+    return {
+        "similar_items": sims_path,
+        "correlated_items": dim_path,
+        "n_buckets": n_buckets,
+    }
 
 
 def export_jdbc(spark: SparkSession, paths: dict[str, str], url: str, **options) -> None:

@@ -20,16 +20,26 @@ def retrieve_similar_items(
     correlated_items: DataFrame,
     item_id: int,
     limit: int | None = None,
+    n_buckets: int = 0,
 ) -> DataFrame:
     """Neighbors of one item, enriched with names, by score descending
     (propius/data.py:217-250). Plans as a broadcast hash join + a
     distributed top-k (TakeOrderedAndProject) when limit is set.
 
+    When the table was published with ``publish_model(n_buckets=n)``,
+    pass the same n: the added ``bucket == item_id % n`` predicate is a
+    partition filter, so the scan prunes to 1/n of the files — the
+    Spark analogue of the reference's B-tree index lookup
+    (propius/data.py:66-70).
+
     Ties broken by item_b_id so results are deterministic (the
     reference's bare ORDER BY is tie-nondeterministic).
     """
+    src = similar_items
+    if n_buckets > 0:
+        src = src.filter(F.col("bucket") == item_id % n_buckets)
     out = (
-        similar_items.filter(F.col("item_a_id") == item_id)
+        src.filter(F.col("item_a_id") == item_id)
         .join(F.broadcast(correlated_items), F.col("item_b_id") == F.col("id"), "inner")
         .select("item_b_id", F.col("key").alias("item_name"), "scaled_score")
         .orderBy(F.desc("scaled_score"), F.asc("item_b_id"))

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from propius_spark.operators import build_cells, corr_pairs  # noqa: E402
+from propius_spark.operators import build_cells, corr_pairs, publish_model  # noqa: E402
 from propius_spark.serving import retrieve_similar_items  # noqa: E402
 from propius_spark.sources import occurrences_from_lineitem  # noqa: E402
 
@@ -77,6 +77,30 @@ def test_serving_pushdown_and_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # distributed top-k, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_published_lookup_partition_prunes(spark, sf_dir, tmp_path):
+    """Bucketed publication (publish_model(n_buckets=n)) is the Spark
+    analogue of the reference's B-tree index on (item_a_id, item_b_id):
+    a serving point lookup with the bucket predicate must prune the
+    scan to one hive partition (PartitionFilters on `bucket`), and the
+    pruned result must equal the unbucketed path exactly."""
+    occ = occurrences_from_lineitem(spark, sf_dir)
+    dim_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("title")
+    )
+    paths = publish_model(occ, dim_src, str(tmp_path / "model"), n_buckets=8)
+    sims = spark.read.parquet(paths["similar_items"])
+    dim = spark.read.parquet(paths["correlated_items"])
+    item = int(sims.select("item_a_id").first()[0])
+
+    pruned = retrieve_similar_items(sims, dim, item, limit=5, n_buckets=8)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+    flat = retrieve_similar_items(sims.drop("bucket"), dim, item, limit=5)
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in flat.collect()]
 
 
 def test_parity_paths_are_python_free(spark, sf_dir):
