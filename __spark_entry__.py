@@ -37,6 +37,7 @@ from propius_spark.operators import (
     ivf_topk,
     jaccard_pairs,
     minhash_lsh_pairs,
+    resolve_duplicates,
     simhash_pairs,
     similar_items_candidates,
     similar_items_exact,
@@ -197,6 +198,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution over the full corpus: connected
+    components of the k=3 Jaccard≥0.5 near-dup graph (alternating
+    large-star/small-star), keeper = smallest doc id per cluster.
+    Transitive near-dups (a~b, b~c but never a~c) land in ONE cluster
+    — the property pairwise output can't give a training pipeline."""
+    docs = _docs(spark, sf_dir)
+    return resolve_duplicates(docs, jaccard_pairs(docs, k=3, threshold=0.5))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-32 near-duplicates within Hamming ≤ 3 via the
     pigeonhole block join."""
@@ -339,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_dup_pairs": q_ann_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -529,6 +541,41 @@ def oracle_sql() -> dict[str, str]:
                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                      GROUP BY 1, 2),
             {_JACCARD_VERIFY.format(sids="sh", cand="cand", key="shingle")}
+        """,
+        # connected components of the jaccard near-dup graph: DuckDB
+        # computes the closure recursively (fine at oracle scale); the
+        # engine computes the same components in O(log n) star rounds.
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES},
+            cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM sh a JOIN sh b
+                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (SELECT doc_a, doc_b, COUNT(*) AS i
+                      FROM cand c
+                      JOIN sh sa ON sa.doc_id = c.doc_a
+                      JOIN sh sb ON sb.doc_id = c.doc_b
+                                AND sb.shingle = sa.shingle
+                      GROUP BY 1, 2),
+            pairs AS (SELECT doc_a, doc_b
+                      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                      JOIN sizes sb ON doc_b = sb.doc_id
+                      WHERE i::DOUBLE/(sa.n_sh + sb.n_sh - i) >= 0.5),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(u, v) AS (SELECT u, v FROM edges
+                            UNION
+                            SELECT r.u, e.v
+                            FROM reach r JOIN edges e ON r.v = e.u
+                            WHERE e.v <> r.u),
+            labels AS (SELECT u AS doc_id, MIN(v) AS mn
+                       FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   COALESCE(LEAST(l.mn, d.doc_id), d.doc_id) AS cluster_id,
+                   (COALESCE(LEAST(l.mn, d.doc_id), d.doc_id) = d.doc_id)
+                     AS is_keeper
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         """,
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLES},

@@ -15,10 +15,12 @@ from .ann import (
     ivf_topk,
 )
 from .dedup import (
+    dup_clusters,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    resolve_duplicates,
     shingle_ids,
     shingles,
     simhash,
@@ -33,8 +35,10 @@ __all__ = [
     "cosine_topk",
     "embedding_dup_pairs",
     "ivf_topk",
+    "dup_clusters",
     "exact_dedup",
     "jaccard_pairs",
+    "resolve_duplicates",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "shingle_ids",

@@ -293,6 +293,108 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph:
+    (doc_id, cluster_id) for every doc appearing in `pairs`, where
+    cluster_id = the smallest doc id in the component (so transitive
+    near-dups — a~b, b~c — land in one cluster even when a,c were
+    never paired directly).
+
+    Alternating large-star / small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): each round is two
+    groupBy/join passes over the pair-cardinality edge set and the
+    edge set converges to stars in O(log² n) rounds — never O(diameter)
+    like naive label propagation, and never a driver-side union-find.
+    Each round materializes (lineage truncation; see plans.materialize)
+    so the loop's plan depth stays constant.
+    """
+    # canonical orientation: u > v (edge points from node to a smaller
+    # neighbor); self-pairs dropped
+    e = materialize(
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.least(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for _ in range(max_iter):
+        # large-star: for each u, connect every LARGER neighbor v to
+        # m = min(N(u) ∪ {u})
+        nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: for each u (over larger→smaller edges), connect
+        # every smaller neighbor AND u itself to m = min(N⁻(u))
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e_new = materialize(small)
+        # one symmetric-difference job over the (materialized, pair-
+        # cardinality) edge sets, not two separate exceptAll actions
+        converged = (
+            e_new.exceptAll(e).unionAll(e.exceptAll(e_new)).isEmpty()
+        )
+        e = e_new
+        if converged:
+            break
+    else:
+        raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
+    # converged edge set is a star forest: (node, root). Roots appear
+    # only on the v side and label themselves.
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return members.unionByName(roots).distinct()
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Cluster assignment + keeper selection over the full corpus:
+    (doc_id, cluster_id, is_keeper). Docs in no pair are their own
+    singleton cluster; the keeper of each cluster is its smallest doc
+    id (deterministic — swap in any scoring join for quality-based
+    keeper selection). Training-pipeline use: filter is_keeper to drop
+    near-duplicates. The cluster map is doc-cardinality, so the final
+    join broadcasts when the corpus dwarfs its duplicate set."""
+    cl = dup_clusters(pairs, src, dst)
+    out = docs.select(F.col(id_col).cast("long").alias("doc_id")).join(
+        cl, "doc_id", "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -126,3 +126,48 @@ def test_lsh_max_bucket_size_drops_hot_buckets(spark):
     assert len(all_pairs) == 6  # C(4,2)
     capped = minhash_lsh_pairs(df, threshold=0.9, max_bucket_size=3).collect()
     assert capped == []
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """A 10-node path graph: every node must land in cluster 0 even
+    though 0 and 9 share no pair — exercises multiple star rounds
+    (naive one-hop propagation would need 9)."""
+    from propius_spark.operators import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_dup_clusters_multiple_components(spark):
+    from propius_spark.operators import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 8), (20, 21), (30, 30)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    # self-pair (30,30) is dropped entirely (no edge, not a member)
+    assert got == {3: 3, 5: 3, 8: 3, 20: 20, 21: 20}
+
+
+def test_resolve_duplicates_keepers_and_singletons(spark):
+    from propius_spark.operators import resolve_duplicates
+
+    docs = _docs(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (7, "e")],
+    )
+    pairs = spark.createDataFrame([(2, 4), (4, 3)], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in resolve_duplicates(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, True),   # singleton
+        2: (2, True),   # cluster min = keeper
+        3: (2, False),
+        4: (2, False),
+        7: (7, True),
+    }
