@@ -1,13 +1,15 @@
 from .cooccurrence import (
+    start_cells_query,
+    start_model_refresh,
     stream_occurrences,
     streaming_cells,
-    start_cells_query,
     windowed_event_counts,
 )
 
 __all__ = [
+    "start_cells_query",
+    "start_model_refresh",
     "stream_occurrences",
     "streaming_cells",
-    "start_cells_query",
     "windowed_event_counts",
 ]

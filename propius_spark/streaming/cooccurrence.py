@@ -87,6 +87,62 @@ def start_cells_query(
     return writer.start()
 
 
+def start_model_refresh(
+    cells: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k_sigma: float = 2.0,
+    available_now: bool = True,
+    query_name: str = "propius_model_refresh",
+) -> StreamingQuery:
+    """Continuous model publication: stream → published store.
+
+    The streaming cell aggregate (complete mode — the full model state
+    each trigger) feeds foreachBatch, which recomputes the EXACT
+    similarity model from the nnz-cardinality cell state and overwrites
+    the published `similar_items` parquet. This closes the reference's
+    whole pipeline (ingest → correlate → publish, propius/basic.py +
+    data.py:19-41) over an unbounded source: new occurrence files
+    refresh the served model without re-reading history.
+
+    Why recompute-from-state instead of incremental pairs: all-pairs
+    Pearson is not incrementally maintainable without O(I²) state (a
+    single new event moves n, s_i, q_i and every pair that item touches),
+    but the cell state IS the sufficient statistic — so each trigger is
+    a batch job over nnz rows, not over the event log. At 100 TB the
+    event history never re-enters the computation.
+    """
+
+    def _refresh(batch_cells: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import similar_items_exact
+        from ..session import clear_materialized
+
+        sims = (
+            similar_items_exact(batch_cells, k_sigma=k_sigma)
+            .select(
+                F.col("item_a").cast("long").alias("item_a_id"),
+                F.col("item_b").cast("long").alias("item_b_id"),
+                F.col("scaled_score").cast("double").alias("scaled_score"),
+            )
+            .dropDuplicates(["item_a_id", "item_b_id"])
+        )
+        sims.write.mode("overwrite").parquet(f"{out_dir}/similar_items")
+        # release the pipeline's materialized intermediates before the
+        # next trigger (plans.materialize blocks otherwise accumulate
+        # across triggers)
+        clear_materialized(batch_cells.sparkSession)
+
+    writer = (
+        cells.writeStream.outputMode("complete")
+        .foreachBatch(_refresh)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

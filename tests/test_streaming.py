@@ -92,3 +92,44 @@ def test_windowed_event_counts_batch_equivalence(spark, sf_dir):
 def test_stream_occurrences_rejects_unknown_format(spark, tmp_path):
     with pytest.raises(ValueError):
         stream_occurrences(spark, str(tmp_path), fmt="avro")
+
+
+def test_model_refresh_stream_equals_batch_publication(spark, tmp_path):
+    """End-to-end stream → published store: after availableNow catch-up
+    over two file waves, the foreachBatch-published similar_items
+    parquet must equal the batch similar_items_exact over all rows —
+    the streaming path is a pure re-trigger of the batch semantics."""
+    from propius_spark.operators import similar_items_exact
+    from propius_spark.session import clear_materialized
+    from propius_spark.streaming import start_model_refresh
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "model")
+    _write_occ(spark, OCC_ROWS_1, land)
+    _write_occ(spark, OCC_ROWS_2, land)
+
+    q = start_model_refresh(
+        streaming_cells(stream_occurrences(spark, land)),
+        out,
+        ckpt,
+        k_sigma=1.0,
+        query_name="t_refresh",
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r.item_a_id, r.item_b_id, round(r.scaled_score, 9))
+        for r in spark.read.parquet(f"{out}/similar_items").collect()
+    )
+    batch = build_cells(
+        spark.createDataFrame(
+            OCC_ROWS_1 + OCC_ROWS_2, "reference_id long, item_id long"
+        )
+    )
+    want = sorted(
+        (r.item_a, r.item_b, round(r.scaled_score, 9))
+        for r in similar_items_exact(batch, k_sigma=1.0).collect()
+    )
+    clear_materialized(spark)
+    assert got == want and len(got) > 0
