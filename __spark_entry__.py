@@ -38,6 +38,7 @@ from propius_spark.operators import (
     jaccard_pairs,
     minhash_lsh_pairs,
     resolve_duplicates,
+    sessionize,
     simhash_pairs,
     similar_items_candidates,
     similar_items_exact,
@@ -237,6 +238,14 @@ def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(doc_stats(_docs(spark, sf_dir)), "quality")
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) of the events
+    stream per user — gaps-and-islands via LAG + running SUM, one
+    shuffle on the entity key."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
 CROSS_SET_OFFSET = 1_000_000  # shifts supplier ids above every part id
 
 
@@ -355,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_dup_pairs": q_ann_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_doc_stats": q_text_doc_stats,
+        "sessionize_events": q_sessionize_events,
         "corr_pairs_cross_set": q_corr_pairs_cross_set,
         "model_roundtrip": q_model_roundtrip,
         "streaming_cells": q_streaming_cells,
@@ -716,6 +726,24 @@ def oracle_sql() -> dict[str, str]:
                      j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT))
                      AS pixel_sum
             FROM documents
+        """,
+        # gaps-and-islands over epoch-micros event times; ties (equal
+        # t) can't open a session (gap 0), so the running-sum ids are
+        # order-deterministic in both engines
+        "sessionize_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            m AS (SELECT user_id, t,
+                    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                               ORDER BY t) > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            s AS (SELECT user_id, t,
+                    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m)
+            SELECT user_id, MIN(t) AS session_start_us,
+                   MAX(t) AS session_end_us, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "text_doc_stats": rf"""
             WITH t0 AS (SELECT doc_id, trim(lower(text)) AS lt,

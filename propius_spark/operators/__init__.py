@@ -27,6 +27,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .publish import correlated_items, export_jdbc, publish_model
+from .sessions import sessionize
 from .similarity import get_similar_items, similar_items_candidates, similar_items_exact
 from .textstats import doc_stats
 
@@ -60,6 +61,7 @@ __all__ = [
     "export_jdbc",
     "publish_model",
     "get_similar_items",
+    "sessionize",
     "similar_items_candidates",
     "similar_items_exact",
 ]

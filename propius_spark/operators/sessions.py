@@ -1,0 +1,71 @@
+"""Sessionization: gap-based event grouping per entity.
+
+Beyond-reference training-pipeline operator (the reference has no
+event-time concepts at all — SURVEY.md §2.9): split each user's event
+stream into sessions separated by more than `gap` of inactivity. The
+classic gaps-and-islands computation, expressed with pure window
+functions so the whole pipeline stays in Tungsten codegen — and so a
+DuckDB oracle computes the identical answer (LAG + running SUM).
+
+Scale notes (100 TB): one shuffle, partitioned by the entity key — the
+minimum any per-entity ordering needs. Per-user data is tiny (events
+per user ≪ partition size) so the sort is in-memory per group; hot
+entities (bot traffic) are the skew hazard and AQE's skew handling
+plus an optional per-(user, day) pre-split bound them. The streaming
+twin (streaming/sessions.py) maintains the same sessions incrementally
+with applyInPandasWithState instead of re-sorting history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import require_columns
+
+
+def _ts_micros(events: DataFrame, ts_col: str) -> F.Column:
+    """Event time as epoch micros (long). The driver testdata stores
+    TIMESTAMP(NANOS), which Spark reads as long nanos under
+    spark.sql.legacy.parquet.nanosAsLong (see session.py); proper
+    timestamp columns convert via unix_micros."""
+    if dict(events.dtypes)[ts_col] in ("bigint", "long"):
+        # integer div, not `/`: double division loses micros on
+        # nanosecond epochs (> 2^53)
+        return F.expr(f"`{ts_col}` div 1000")
+    return F.unix_micros(F.col(ts_col))
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, session_start_us, session_end_us, n_events): maximal
+    runs of a user's events where consecutive gaps are ≤ gap_minutes.
+
+    Session boundaries via LAG (a new session starts where the gap
+    exceeds the threshold), session ids via running SUM of the break
+    flags — ties in ts cannot break a session (gap 0), so the result is
+    order-deterministic even though ties sort arbitrarily.
+    """
+    require_columns(events, [user_col, ts_col], "sessionize")
+    gap_us = int(gap_minutes * 60_000_000)
+    e = events.select(
+        F.col(user_col).alias("user_id"), _ts_micros(events, ts_col).alias("t")
+    )
+    wo = Window.partitionBy("user_id").orderBy("t")
+    brk = F.when(F.col("t") - F.lag("t").over(wo) > gap_us, 1).otherwise(0)
+    sid = F.sum(brk).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        e.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t").alias("session_start_us"),
+            F.max("t").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )

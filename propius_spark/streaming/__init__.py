@@ -5,10 +5,13 @@ from .cooccurrence import (
     streaming_cells,
     windowed_event_counts,
 )
+from .sessions import sessionize_stream, start_sessions_query
 
 __all__ = [
+    "sessionize_stream",
     "start_cells_query",
     "start_model_refresh",
+    "start_sessions_query",
     "stream_occurrences",
     "streaming_cells",
     "windowed_event_counts",

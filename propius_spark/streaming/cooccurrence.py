@@ -159,7 +159,7 @@ def windowed_event_counts(
     # timestamp type) — normalize to a micros-precision timestamp
     if dict(events.dtypes)["ts"] in ("bigint", "long"):
         events = events.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return (
         events.withWatermark("ts", watermark)

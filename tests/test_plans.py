@@ -122,6 +122,7 @@ def test_parity_paths_are_python_free(spark, sf_dir):
         "dedup_simhash",
         "text_doc_stats",
         "ann_cosine_topk",
+        "sessionize_events",
     ]
     qs = entrymod.queries()
     offending = {}

@@ -1,0 +1,107 @@
+"""Sessionization: batch gaps-and-islands (operators/sessions.py) and
+the applyInPandasWithState streaming twin (streaming/sessions.py).
+
+Stream/batch contract: every session the stream emits is final and
+must appear verbatim in the batch answer; every session the batch
+CLOSES (i.e. the user has a later session after it) must be emitted by
+the stream. Per-user last sessions may legitimately still be open in
+stream state when the bounded run ends.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from propius_spark.operators import sessionize
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _min(m: float) -> datetime:
+    return T0 + timedelta(minutes=m)
+
+
+EVENTS = [
+    # user 1: [0,10,20] then gap 40 > 30 → [60,70]
+    (1, _min(0)), (1, _min(10)), (1, _min(20)), (1, _min(60)), (1, _min(70)),
+    # user 2: single event
+    (2, _min(5)),
+    # user 3: three sessions, boundary gap exactly 30 merges (<= gap)
+    (3, _min(0)), (3, _min(30)), (3, _min(100)), (3, _min(200)),
+]
+
+US = 60_000_000  # micros per minute
+
+
+def _us(m: float) -> int:
+    return int(T0.timestamp() * 1_000_000) + int(m * US)
+
+
+EXPECTED = {
+    (1, _us(0), _us(20), 3),
+    (1, _us(60), _us(70), 2),
+    (2, _us(5), _us(5), 1),
+    (3, _us(0), _us(30), 2),
+    (3, _us(100), _us(100), 1),
+    (3, _us(200), _us(200), 1),
+}
+# sessions with a later same-user session — the stream must close these
+EXPECTED_GAP_CLOSED = {
+    (1, _us(0), _us(20), 3),
+    (3, _us(0), _us(30), 2),
+    (3, _us(100), _us(100), 1),
+}
+
+
+def _events_df(spark):
+    return spark.createDataFrame(EVENTS, "user_id long, ts timestamp")
+
+
+def test_sessionize_batch_hand_computed(spark):
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize(_events_df(spark), gap_minutes=30).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_sessionize_long_nanos_input(spark):
+    """Driver testdata path: ts arrives as long nanos (parquet
+    TIMESTAMP(NANOS) under nanosAsLong) — same sessions."""
+    from pyspark.sql import functions as F
+
+    df = _events_df(spark).withColumn("ts", F.unix_micros("ts") * 1000)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_sessionize_stream_closes_batch_sessions(spark, tmp_path):
+    from propius_spark.streaming import sessionize_stream, start_sessions_query
+
+    land = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    # two files → (up to) two micro-batches; watermark advances between
+    df = _events_df(spark)
+    df.filter("user_id <= 2").coalesce(1).write.mode("append").parquet(land)
+    df.filter("user_id > 2").coalesce(1).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = start_sessions_query(
+        sessionize_stream(stream, gap_minutes=30, watermark="10 minutes"),
+        ckpt,
+        query_name="t_sessions",
+    )
+    q.awaitTermination()
+
+    emitted = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+    assert EXPECTED_GAP_CLOSED <= emitted <= EXPECTED
