@@ -36,6 +36,7 @@ from propius_spark.operators import (
     get_similar_items,
     ivf_topk,
     jaccard_pairs,
+    knn_join,
     minhash_lsh_pairs,
     resolve_duplicates,
     sessionize,
@@ -233,6 +234,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join: top-10 corpus neighbors for each of 8 query
+    vectors in ONE corpus scan (broadcast query matrix + Arrow-batched
+    BLAS partial top-k; the batch-retrieval shape)."""
+    emb = _emb(spark, sf_dir)
+    return _r6(
+        knn_join(emb.filter(F.col("vec_id") < 8), emb, k=10), "cosine"
+    )
+
+
 def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token count, language ID, quality score, fingerprint."""
     return _r6(doc_stats(_docs(spark, sf_dir)), "quality")
@@ -363,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_dup_pairs": q_ann_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_knn_join": q_ann_knn_join,
         "text_doc_stats": q_text_doc_stats,
         "sessionize_events": q_sessionize_events,
         "corr_pairs_cross_set": q_corr_pairs_cross_set,
@@ -646,6 +658,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
                      b.vec_id ASC
             LIMIT 10
+        """,
+        "ann_knn_join": f"""
+            WITH {_EMB_BASE},
+            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn
+                  FROM nb WHERE vec_id < 8),
+            s AS (SELECT q.query_id, b.vec_id,
+                         list_dot_product(b.v, q.qv)/(b.norm*q.qn) AS cosine
+                  FROM nb b, q WHERE b.vec_id <> q.query_id)
+            SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rn
+                  FROM s)
+            WHERE rn <= 10
         """,
         "ann_dup_pairs": f"""
             WITH {_EMB_BASE}

@@ -13,6 +13,7 @@ from .ann import (
     cosine_topk,
     embedding_dup_pairs,
     ivf_topk,
+    knn_join,
 )
 from .dedup import (
     dup_clusters,
@@ -36,6 +37,7 @@ __all__ = [
     "cosine_topk",
     "embedding_dup_pairs",
     "ivf_topk",
+    "knn_join",
     "dup_clusters",
     "exact_dedup",
     "jaccard_pairs",

@@ -174,6 +174,98 @@ def embedding_dup_pairs(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join: for EVERY query vector, its top-k corpus
+    neighbors by cosine — (query_id, vec_id, cosine), ties broken by
+    vec_id, self-matches (same id) excluded. The batch retrieval shape
+    (hard-negative mining, cross-corpus dedup) where per-query
+    ``cosine_topk`` calls would re-scan the corpus Q times.
+
+    Physical strategy: the query side is collected to a dense matrix
+    and broadcast (it is the SMALL side by contract — exactly a
+    broadcast hash join's build side, ~Q·dim·8 bytes); the corpus
+    streams through ONE Arrow-batched ``mapInPandas`` scan that scores
+    each batch against all queries with a single BLAS matmul and keeps
+    a per-batch partial top-k per query. The surviving Q·k-per-batch
+    candidate table is tiny, so the global per-query top-k window at
+    the end shuffles candidates, never the corpus: one corpus scan,
+    zero corpus shuffles, regardless of Q.
+
+    At 100 TB compose with IVF: semi-join the corpus on the queries'
+    probed centroid lists first (assign_centroids), then knn_join the
+    pruned scan — the kernel is unchanged.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qrows = (
+        queries.select(
+            F.col(id_col).cast("long").alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, vec_id long, cosine double")
+    qids = np.array([r["qid"] for r in qrows], dtype="int64")
+    qmat = np.stack([np.asarray(r["qv"], dtype="float64") for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def batch_topk(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        b_qids, b_qmat, b_qnorm = bc.value
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ids = pdf["vid"].to_numpy()
+            m = np.stack(pdf["vec"].to_numpy())
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # (batch × Q) cosine submatrix in one BLAS call
+                sims = (m @ b_qmat.T) / np.outer(
+                    np.linalg.norm(m, axis=1), b_qnorm
+                )
+            sims[ids[:, None] == b_qids[None, :]] = -np.inf  # self
+            out_q, out_v, out_c = [], [], []
+            kk = min(k, sims.shape[0])
+            for j in range(len(b_qids)):
+                col = sims[:, j]
+                # NaN (zero-norm vectors) ranks ABOVE all doubles in
+                # Spark/DuckDB ordering — mirror that in the selection
+                # key while emitting the original NaN value
+                skey = np.where(np.isnan(col), np.inf, col)
+                # partial select then exact (cosine desc, id asc) order
+                cand = np.argpartition(-skey, kk - 1)[:kk] if kk < len(skey) else np.arange(len(skey))
+                order = np.lexsort((ids[cand], -skey[cand]))[:kk]
+                sel = cand[order]
+                keep = skey[sel] > -np.inf
+                out_q.extend([b_qids[j]] * int(keep.sum()))
+                out_v.extend(ids[sel][keep].tolist())
+                out_c.extend(col[sel][keep].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
+            )
+
+    cand = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).mapInPandas(batch_topk, "query_id long, vec_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
 def assign_centroids(
     emb: DataFrame,
     n_centroids: int = 8,

@@ -87,3 +87,35 @@ def test_ivf_topk_subset_of_exact_when_probing_all(spark):
         for r in ivf_topk(df, 0, k=3, n_centroids=2, n_probe=1).collect()
     ]
     assert set(pruned).issubset({2, 4})
+
+
+def test_knn_join_matches_numpy_bruteforce(spark):
+    """knn_join over a multi-partition corpus ≡ per-query numpy
+    brute force with the (cosine desc, id asc) tie order; self
+    excluded."""
+    import numpy as np
+
+    from propius_spark.operators import knn_join
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = emb.repartition(5)
+    queries = emb.filter("vec_id < 6")
+    k = 4
+
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.cosine, 9))
+        for r in knn_join(queries, corpus, k=k).collect()
+    )
+
+    norms = np.linalg.norm(vecs, axis=1)
+    want = []
+    for q in range(6):
+        cos = (vecs @ vecs[q]) / (norms * norms[q])
+        order = sorted(
+            (i for i in range(40) if i != q), key=lambda i: (-cos[i], i)
+        )[:k]
+        want.extend((q, i, round(float(cos[i]), 9)) for i in order)
+    assert got == sorted(want)
