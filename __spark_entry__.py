@@ -38,9 +38,11 @@ from propius_spark.operators import (
     jaccard_pairs,
     knn_join,
     minhash_lsh_pairs,
+    filter_corpus,
     resolve_duplicates,
     sessionize,
     simhash_pairs,
+    stratified_sample,
     similar_items_candidates,
     similar_items_exact,
 )
@@ -249,6 +251,29 @@ def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(doc_stats(_docs(spark, sf_dir)), "quality")
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus quality gate: keep en docs with rounded quality
+    ≥ 0.72 and 20–90 tokens — stats fused into the scan, no shuffle."""
+    return filter_corpus(
+        _docs(spark, sf_dir),
+        min_quality=0.72,
+        langs=("en",),
+        min_tokens=20,
+        max_tokens=90,
+    )
+
+
+def q_sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling of the event log (50% click,
+    25% view, 100% purchase; other types dropped) — selection is pure
+    key arithmetic, stable under re-partitioning and replayable by the
+    oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stratified_sample(
+        ev, {"click": 0.5, "view": 0.25, "purchase": 1.0}, "event_type", "event_id"
+    ).select("event_id", "user_id", "event_type")
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) of the events
     stream per user — gaps-and-islands via LAG + running SUM, one
@@ -376,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_knn_join": q_ann_knn_join,
         "text_doc_stats": q_text_doc_stats,
+        "corpus_filter": q_corpus_filter,
+        "sample_events_stratified": q_sample_events_stratified,
         "sessionize_events": q_sessionize_events,
         "corr_pairs_cross_set": q_corr_pairs_cross_set,
         "model_roundtrip": q_model_roundtrip,
@@ -483,6 +510,57 @@ _EVENTS_CANDIDATES_SQL = """
     FROM gram g JOIN vs a ON g.item_a = a.item
     JOIN vs b ON g.item_b = b.item, nn n
     WHERE (n.n*g.dot - a.s*b.s)/(a.den*b.den) >= -1.0
+"""
+
+
+# Full text-stats pipeline (token count, stopword language ID, quality
+# arithmetic, rolling-hash fingerprint) — shared by the text_doc_stats
+# oracle and the corpus_filter oracle that filters over it.
+_TEXT_STATS_SQL = rf"""
+            WITH t0 AS (SELECT doc_id, trim(lower(text)) AS lt,
+                               trim(text) AS tt
+                        FROM documents),
+            tk AS (SELECT doc_id, tt,
+                          CASE WHEN lt = '' THEN []::VARCHAR[]
+                               ELSE string_split_regex(lt, '\s+') END AS toks,
+                          list_transform(
+                            string_split(regexp_replace(lt, '\s+', ' ', 'g'),
+                                         ''),
+                            c -> unicode(c)::BIGINT) AS codes
+                   FROM t0),
+            st AS (SELECT doc_id, len(toks) AS n,
+                          len(list_distinct(toks)) AS nd,
+                          length(regexp_replace(tt, '\s+', '', 'g')) AS chars,
+                          length(regexp_replace(tt, '[^A-Za-zÀ-ɏ一-鿿]', '',
+                                                'g')) AS alpha,
+                          list_reduce(list_prepend(0::BIGINT, codes),
+                                      (acc, c) -> (acc*131 + c)
+                                                  % {MINHASH_PRIME})
+                            AS fingerprint,
+                          {_STOPWORD_COLS}
+                   FROM (SELECT doc_id, tt, toks, codes,
+                                list_distinct(toks) AS dt FROM tk))
+            SELECT doc_id, n AS n_tokens,
+                   CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) <= 0
+                          THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'de'
+                        WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'es'
+                        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'fr'
+                        ELSE 'zh' END AS lang,
+                   ROUND(CASE WHEN n <= 0 THEN 0.0
+                              ELSE 0.25*(least(1.0, n/100.0)
+                                         + nd::DOUBLE/n
+                                         + (1.0 - least(1.0,
+                                             abs(chars::DOUBLE/n - 5.0)/5.0))
+                                         + alpha::DOUBLE/chars) END, 6)
+                     AS quality,
+                   fingerprint
+            FROM st
 """
 
 
@@ -770,50 +848,25 @@ def oracle_sql() -> dict[str, str]:
                    MAX(t) AS session_end_us, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
         """,
-        "text_doc_stats": rf"""
-            WITH t0 AS (SELECT doc_id, trim(lower(text)) AS lt,
-                               trim(text) AS tt
-                        FROM documents),
-            tk AS (SELECT doc_id, tt,
-                          CASE WHEN lt = '' THEN []::VARCHAR[]
-                               ELSE string_split_regex(lt, '\s+') END AS toks,
-                          list_transform(
-                            string_split(regexp_replace(lt, '\s+', ' ', 'g'),
-                                         ''),
-                            c -> unicode(c)::BIGINT) AS codes
-                   FROM t0),
-            st AS (SELECT doc_id, len(toks) AS n,
-                          len(list_distinct(toks)) AS nd,
-                          length(regexp_replace(tt, '\s+', '', 'g')) AS chars,
-                          length(regexp_replace(tt, '[^A-Za-zÀ-ɏ一-鿿]', '',
-                                                'g')) AS alpha,
-                          list_reduce(list_prepend(0::BIGINT, codes),
-                                      (acc, c) -> (acc*131 + c)
-                                                  % {MINHASH_PRIME})
-                            AS fingerprint,
-                          {_STOPWORD_COLS}
-                   FROM (SELECT doc_id, tt, toks, codes,
-                                list_distinct(toks) AS dt FROM tk))
-            SELECT doc_id, n AS n_tokens,
-                   CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) <= 0
-                          THEN 'und'
-                        WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                          THEN 'en'
-                        WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                          THEN 'de'
-                        WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                          THEN 'es'
-                        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                          THEN 'fr'
-                        ELSE 'zh' END AS lang,
-                   ROUND(CASE WHEN n <= 0 THEN 0.0
-                              ELSE 0.25*(least(1.0, n/100.0)
-                                         + nd::DOUBLE/n
-                                         + (1.0 - least(1.0,
-                                             abs(chars::DOUBLE/n - 5.0)/5.0))
-                                         + alpha::DOUBLE/chars) END, 6)
-                     AS quality,
-                   fingerprint
-            FROM st
+        "text_doc_stats": _TEXT_STATS_SQL,
+        # same stats pipeline, filter pushed on the rounded quality —
+        # thresholds in filter_corpus compare 6-dp-rounded values so
+        # both engines select the identical doc set
+        "corpus_filter": f"""
+            SELECT doc_id, n_tokens, lang, quality
+            FROM ({_TEXT_STATS_SQL})
+            WHERE quality >= 0.72 AND lang = 'en'
+              AND n_tokens BETWEEN 20 AND 90
+        """,
+        # selection is pure key arithmetic (operators/sampling.py) —
+        # the oracle replays the identical sample
+        "sample_events_stratified": """
+            SELECT e.event_id, e.user_id, e.event_type
+            FROM events e
+            JOIN (VALUES ('click', 500000), ('view', 250000),
+                         ('purchase', 1000000)) v(event_type, cut)
+              ON e.event_type = v.event_type
+            WHERE ((2654435761 * e.event_id + 1013904223) % 2147483647)
+                  % 1000000 < v.cut
         """,
     }

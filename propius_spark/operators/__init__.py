@@ -28,9 +28,10 @@ from .dedup import (
     simhash_pairs,
 )
 from .publish import correlated_items, export_jdbc, publish_model
+from .sampling import deterministic_sample, stratified_sample
 from .sessions import sessionize
 from .similarity import get_similar_items, similar_items_candidates, similar_items_exact
-from .textstats import doc_stats
+from .textstats import doc_stats, filter_corpus
 
 __all__ = [
     "assign_centroids",
@@ -48,7 +49,10 @@ __all__ = [
     "shingles",
     "simhash",
     "simhash_pairs",
+    "deterministic_sample",
     "doc_stats",
+    "filter_corpus",
+    "stratified_sample",
     "build_cells",
     "vstack",
     "encode_contexts",

@@ -33,3 +33,33 @@ def doc_stats(
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def filter_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.0,
+    langs: tuple[str, ...] | None = None,
+    min_tokens: int = 0,
+    max_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality gate for a training corpus: docs passing the language /
+    quality-score / token-count filters, as (doc_id, n_tokens, lang,
+    quality). Still one map-side scan+project — the stats never
+    materialize, Catalyst fuses compute and filter into the scan stage.
+
+    Thresholds compare against the 6-dp-rounded quality score so the
+    selected set is identical across engines (raw doubles differ in the
+    last ulp between summation orders)."""
+    s = doc_stats(docs, id_col, text_col).select(
+        "doc_id", "n_tokens", "lang", F.round("quality", 6).alias("quality")
+    )
+    out = s.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    if langs is not None:
+        out = out.filter(F.col("lang").isin(list(langs)))
+    if max_tokens is not None:
+        out = out.filter(F.col("n_tokens") <= max_tokens)
+    return out

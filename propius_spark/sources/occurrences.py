@@ -40,12 +40,21 @@ def load_occurrences(
     if path.startswith("s3://"):
         path = "s3a://" + path[len("s3://"):]
     if fmt is None:
-        fmt = "parquet" if path.endswith(".parquet") else "csv"
+        for ext in ("parquet", "json", "orc"):
+            if path.endswith("." + ext):
+                fmt = ext
+                break
+        else:
+            fmt = "csv"
     schema = OCCURRENCES_STR_REF if string_reference else OCCURRENCES
     if fmt == "csv":
         df = spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+    elif fmt == "json":
+        df = spark.read.schema(schema).json(path)
     elif fmt == "parquet":
         df = spark.read.parquet(path).select("reference_id", "item_id")
+    elif fmt == "orc":
+        df = spark.read.orc(path).select("reference_id", "item_id")
     else:
         raise ValueError(f"unsupported occurrences format: {fmt}")
     require_columns(df, ["reference_id", "item_id"], "load_occurrences")

@@ -1,0 +1,45 @@
+"""Deterministic sampling (operators/sampling.py): selection must be a
+pure function of the key — identical under re-partitioning — and match
+the explicit modular arithmetic computed in plain Python."""
+
+from __future__ import annotations
+
+from propius_spark.operators import deterministic_sample, stratified_sample
+from propius_spark.operators.sampling import (
+    SAMPLE_A,
+    SAMPLE_B,
+    SAMPLE_P,
+    SAMPLE_RES,
+)
+
+
+def _bucket(key: int) -> int:
+    return ((SAMPLE_A * key + SAMPLE_B) % SAMPLE_P) % SAMPLE_RES
+
+
+def test_deterministic_sample_matches_arithmetic_and_partitioning(spark):
+    rows = [(i,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long")
+    rate = 0.3
+    want = sorted(i for (i,) in rows if _bucket(i) < int(rate * SAMPLE_RES))
+    got1 = sorted(r.k for r in deterministic_sample(df, rate, "k").collect())
+    got7 = sorted(
+        r.k for r in deterministic_sample(df.repartition(7), rate, "k").collect()
+    )
+    assert got1 == want == got7
+    assert 0 < len(want) < 2000
+
+
+def test_stratified_sample_rates_and_missing_strata(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_sample(df, {"a": 1.0, "b": 0.25}, "s", "k").collect()
+    got = {(r.k, r.s) for r in out}
+    want = {
+        (i, s)
+        for i, s in rows
+        if (s == "a") or (s == "b" and _bucket(i) < int(0.25 * SAMPLE_RES))
+    }
+    assert got == want
+    assert not any(s == "c" for _, s in got)  # absent stratum dropped
+    assert len({k for k, s in got if s == "a"}) == 1000  # rate 1.0 keeps all

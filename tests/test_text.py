@@ -64,3 +64,25 @@ def test_doc_stats_schema(spark):
     }
     assert got[1]["n_tokens"] == 6 and got[1]["lang"] == "en"
     assert got[2]["n_tokens"] == 0 and got[2]["quality"] == 0.0
+
+
+def test_filter_corpus_thresholds(spark):
+    from propius_spark.operators import doc_stats, filter_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "x"),
+            (3, "der die das und ist von mit den im ein haus garten"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in doc_stats(docs).collect()}
+    got = {r.doc_id: r for r in filter_corpus(
+        docs, min_quality=0.1, langs=("en",), min_tokens=3
+    ).collect()}
+    # only doc 1 is en with >=3 tokens and adequate quality
+    assert set(got) == {1}
+    assert got[1].n_tokens == stats[1].n_tokens
+    assert got[1].quality == round(stats[1].quality, 6)
