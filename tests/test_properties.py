@@ -176,3 +176,46 @@ def test_publication_matches_dense_bruteforce(spark, rows):
         ev, es = expect_scaled[k]
         assert math.isclose(v, ev, rel_tol=1e-9, abs_tol=1e-9)
         assert math.isclose(scaled, es, rel_tol=1e-9, abs_tol=1e-9)
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edge_lists)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_dup_clusters_matches_union_find(spark, edges):
+    """large-star/small-star connected components ≡ a sequential
+    union-find on every random graph (self-loops dropped, arbitrary
+    topology — chains, cycles, stars, forests)."""
+    from propius_spark.operators import dup_clusters
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    clear_materialized(spark)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            nodes |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    # normalize: union-find roots are already the component minimum
+    # because unions always point the larger root at the smaller
+    assert got == want
