@@ -45,6 +45,7 @@ from propius_spark.operators import (
     stratified_sample,
     similar_items_candidates,
     similar_items_exact,
+    top_k_per_item,
 )
 from propius_spark.serving import (
     get_database_stats,
@@ -251,6 +252,19 @@ def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(doc_stats(_docs(spark, sf_dir)), "quality")
 
 
+def q_similar_topk_per_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item top-k cap over the candidate neighbor lists (SURVEY §2
+    op-34 note): each item keeps its 2 best neighbors. Ranking is on
+    the 6-dp-rounded score with id tie-break so both engines rank
+    identically."""
+    sims = similar_items_candidates(
+        build_cells(occurrences_from_events(spark, sf_dir)),
+        threshold_method="absolute",
+        threshold_value=-1.0,
+    )
+    return top_k_per_item(_r6(sims, "corr"), k=2)
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus quality gate: keep en docs with rounded quality
     ≥ 0.72 and 20–90 tokens — stats fused into the scan, no shuffle."""
@@ -387,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_one_part": q_similar_one_part,
         "similar_exact_parts": q_similar_exact_parts,
         "similar_candidates_events": q_similar_candidates_events,
+        "similar_topk_per_item": q_similar_topk_per_item,
         "retrieve_topk_part": q_retrieve_topk_part,
         "item_info": q_item_info,
         "search_items": q_search_items,
@@ -599,6 +614,16 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE corr >= mean_ + 2.0*std_
         """,
         "similar_candidates_events": _EVENTS_CANDIDATES_SQL,
+        # rank on the ROUNDED score (+ id tie-break), matching the
+        # Spark query — raw doubles differ in the last ulp between
+        # engines and would make rank boundaries nondeterministic
+        "similar_topk_per_item": f"""
+            SELECT item_a, item_b, corr
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
+                            ORDER BY corr DESC, item_b ASC) AS rn
+                  FROM ({_EVENTS_CANDIDATES_SQL}))
+            WHERE rn <= 2
+        """,
         "retrieve_topk_part": f"""
             {_ONE_ROW}
             SELECT r.item_b AS item_b_id, p.p_name AS item_name,

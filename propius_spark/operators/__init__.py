@@ -30,7 +30,12 @@ from .dedup import (
 from .publish import correlated_items, export_jdbc, publish_model
 from .sampling import deterministic_sample, stratified_sample
 from .sessions import sessionize
-from .similarity import get_similar_items, similar_items_candidates, similar_items_exact
+from .similarity import (
+    get_similar_items,
+    similar_items_candidates,
+    similar_items_exact,
+    top_k_per_item,
+)
 from .textstats import doc_stats, filter_corpus
 
 __all__ = [
@@ -70,4 +75,5 @@ __all__ = [
     "sessionize",
     "similar_items_candidates",
     "similar_items_exact",
+    "top_k_per_item",
 ]

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .correlation import (
     CORR_EXPR,
@@ -82,6 +83,27 @@ def get_similar_items(
     else:  # absolute threshold (any non-"std_dev" method, per the reference)
         out = row.filter(F.col("corr") >= F.lit(threshold_value))
     return out.orderBy(F.desc("corr"), F.asc("item_b"))
+
+
+def top_k_per_item(
+    pairs: DataFrame,
+    k: int,
+    item_col: str = "item_a",
+    score_col: str = "corr",
+) -> DataFrame:
+    """Cap each item's neighbor list at its k best (score desc, ties by
+    neighbor id asc) — the standard bound on published-store size
+    (SURVEY.md §2 op-34 note). A window over the PAIR table: shuffles
+    the result-sized table once, never the inputs."""
+    other = [c for c in pairs.columns if c not in (item_col, score_col)]
+    w = Window.partitionBy(item_col).orderBy(
+        F.desc(score_col), *[F.asc(c) for c in other]
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def similar_items_candidates(

@@ -181,3 +181,21 @@ def test_vstack_cross_set(spark):
     assert all(a != 1 and b != 1 for a, b in pairs)
     # item 2 counts [1,2]; item 101 (b-set 1) counts [1,0]; corr = -1
     np.testing.assert_allclose(pairs[(2, 101)], -1.0, atol=1e-12)
+
+
+def test_top_k_per_item_caps_and_orders(spark):
+    from propius_spark.operators import top_k_per_item
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.9), (1, 3, 0.8), (1, 4, 0.8), (1, 5, 0.1),
+            (2, 1, 0.5),
+        ],
+        "item_a long, item_b long, corr double",
+    )
+    got = sorted(
+        (r.item_a, r.item_b, r.corr)
+        for r in top_k_per_item(pairs, k=2).collect()
+    )
+    # item 1: 0.9 then the 0.8 tie broken by item_b asc (3 beats 4)
+    assert got == [(1, 2, 0.9), (1, 3, 0.8), (2, 1, 0.5)]
