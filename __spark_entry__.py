@@ -43,6 +43,7 @@ from propius_spark.operators import (
     sessionize,
     simhash_pairs,
     stratified_sample,
+    windowed_counts,
     similar_items_candidates,
     similar_items_exact,
     top_k_per_item,
@@ -296,6 +297,14 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_minutes=30)
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts per event type (batch twin of the
+    watermarked streaming rollup): F.window's epoch-aligned buckets ≡
+    integer bucketing of the micros timeline."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_counts(ev, window_duration="1 hour")
+
+
 CROSS_SET_OFFSET = 1_000_000  # shifts supplier ids above every part id
 
 
@@ -419,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "sample_events_stratified": q_sample_events_stratified,
         "sessionize_events": q_sessionize_events,
+        "windowed_event_counts": q_windowed_event_counts,
         "corr_pairs_cross_set": q_corr_pairs_cross_set,
         "model_roundtrip": q_model_roundtrip,
         "streaming_cells": q_streaming_cells,
@@ -872,6 +882,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(t) AS session_start_us,
                    MAX(t) AS session_end_us, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        # F.window's epoch-aligned 1-hour tumbling buckets ≡ integer
+        # bucketing of the micros timeline (UTC session zone)
+        "windowed_event_counts": """
+            WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events)
+            SELECT (t // 3600000000) * 3600000000 AS window_start_us,
+                   (t // 3600000000) * 3600000000 + 3600000000
+                     AS window_end_us,
+                   event_type, COUNT(*) AS n_events
+            FROM e GROUP BY 1, 2, 3
         """,
         "text_doc_stats": _TEXT_STATS_SQL,
         # same stats pipeline, filter pushed on the rounded quality —

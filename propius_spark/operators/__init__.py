@@ -29,7 +29,7 @@ from .dedup import (
 )
 from .publish import correlated_items, export_jdbc, publish_model
 from .sampling import deterministic_sample, stratified_sample
-from .sessions import sessionize
+from .sessions import sessionize, windowed_counts
 from .similarity import (
     get_similar_items,
     similar_items_candidates,
@@ -76,4 +76,5 @@ __all__ = [
     "similar_items_candidates",
     "similar_items_exact",
     "top_k_per_item",
+    "windowed_counts",
 ]

@@ -1,4 +1,4 @@
-"""Sessionization: gap-based event grouping per entity.
+"""Event-time operators: sessionization and tumbling-window rollups.
 
 Beyond-reference training-pipeline operator (the reference has no
 event-time concepts at all — SURVEY.md §2.9): split each user's event
@@ -68,4 +68,34 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
         .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts per group — the batch twin of
+    streaming/cooccurrence.windowed_event_counts (same `F.window`
+    semantics, no watermark needed on bounded data). Window bounds are
+    emitted as epoch micros so results are engine-portable: `F.window`
+    aligns tumbling windows to the epoch in the session's UTC zone,
+    which is exactly integer bucketing of the micros timeline — the
+    form a SQL oracle replays. One shuffle on (window, group); the
+    partial aggregation makes the map side do the bucketing."""
+    require_columns(events, [ts_col, group_col], "windowed_counts")
+    t = _ts_micros(events, ts_col)
+    w = F.window(F.timestamp_micros(t), window_duration)
+    return (
+        events.select(w.alias("w"), F.col(group_col))
+        .groupBy("w", group_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            F.unix_micros("w.end").alias("window_end_us"),
+            group_col,
+            "n_events",
+        )
     )

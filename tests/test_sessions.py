@@ -105,3 +105,27 @@ def test_sessionize_stream_closes_batch_sessions(spark, tmp_path):
         for r in spark.table("t_sessions").collect()
     }
     assert EXPECTED_GAP_CLOSED <= emitted <= EXPECTED
+
+
+def test_windowed_counts_hand_computed(spark):
+    from propius_spark.operators import windowed_counts
+
+    ev = spark.createDataFrame(
+        [
+            (_min(0), "a"), (_min(30), "a"), (_min(59.9), "b"),
+            (_min(60), "a"), (_min(125), "b"),
+        ],
+        "ts timestamp, event_type string",
+    )
+    got = sorted(
+        (r.window_start_us, r.window_end_us, r.event_type, r.n_events)
+        for r in windowed_counts(ev, "1 hour").collect()
+    )
+    h = 3_600_000_000
+    t0 = _us(0)
+    assert got == sorted([
+        (t0, t0 + h, "a", 2),
+        (t0, t0 + h, "b", 1),
+        (t0 + h, t0 + 2 * h, "a", 1),
+        (t0 + 2 * h, t0 + 3 * h, "b", 1),
+    ])
