@@ -11,8 +11,22 @@ __spark_entry__.py's oracle twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def register_model_views(
+    spark: SparkSession, paths: dict[str, str]
+) -> None:
+    """Register the published model tables as temp views so every
+    serving query is also reachable as plain `spark.sql(...)` — the
+    SQL twin surface of SURVEY.md §3.3 (the reference's serving SQL
+    ran against SQLite; here the same statements run on the parquet
+    store through Catalyst). `paths` is publish_model's return value;
+    non-path entries (n_buckets) are ignored."""
+    for table in ("similar_items", "correlated_items"):
+        if table in paths:
+            spark.read.parquet(paths[table]).createOrReplaceTempView(table)
 
 
 def retrieve_similar_items(

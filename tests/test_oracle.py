@@ -88,3 +88,40 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0 and len(df.columns) > 0
+
+
+def test_register_model_views_sql_serving(spark, tmp_path):
+    """Published tables registered as temp views serve the reference's
+    SQL statements verbatim through spark.sql (SURVEY.md §3.3)."""
+    from pyspark.sql import functions as F
+
+    from propius_spark.operators import publish_model
+    from propius_spark.serving import register_model_views
+    from propius_spark.session import clear_materialized
+
+    sf_dir = SF_DIR
+    occ = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("reference_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    dim = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("title")
+    )
+    paths = publish_model(occ, dim, str(tmp_path / "model"), n_buckets=4)
+    clear_materialized(spark)
+    register_model_views(spark, paths)
+
+    row = spark.sql(
+        """SELECT COUNT(*) AS total_similarities,
+                  (SELECT COUNT(*) FROM correlated_items) AS total_items
+           FROM similar_items"""
+    ).first()
+    assert row.total_similarities > 0 and row.total_items > 0
+
+    top = spark.sql(
+        """SELECT si.item_b_id, ci.key, si.scaled_score
+           FROM similar_items si JOIN correlated_items ci
+             ON si.item_b_id = ci.id
+           ORDER BY si.scaled_score DESC LIMIT 5"""
+    ).collect()
+    assert 0 < len(top) <= 5 and top[0].key is not None
