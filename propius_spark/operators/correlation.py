@@ -170,8 +170,10 @@ def corr_pairs(
     )
 
 
-def _rank_gap_extreme(stats: DataFrame, gram_df: DataFrame, descending: bool) -> DataFrame:
-    """Per item_a: the extreme t among valid NON-co-occurring neighbors.
+def _rank_gap_extremes(stats: DataFrame, gram_df: DataFrame) -> DataFrame:
+    """Per item_a: the MAX and MIN t among valid NON-co-occurring
+    neighbors, in one pass — (item_a, t_nc_max, t_nc_min); items whose
+    co-occurrence set covers all other valid items are absent.
 
     Rank-gap trick (no I² blowup): rank all V valid items by t
     (row_number over a V-row dimension — bounded by item cardinality,
@@ -180,33 +182,58 @@ def _rank_gap_extreme(stats: DataFrame, gram_df: DataFrame, descending: bool) ->
     item itself. Each item only needs to examine its first deg+2
     candidate ranks, so the generated candidate table is O(nnz pairs).
 
-    Returns (item_a, t_nc) where t_nc is max t over non-cooc neighbors
-    when descending=True, min t when False; items whose co-occurrence
-    set covers all other valid items are absent (no non-cooc neighbor).
+    Both extremes share ONE rank order: descending (t desc, id asc)
+    gives the max; the ascending order is exactly its reverse, so
+    rnk_asc = V+1−rnk_desc and no second ranking, taken-set shuffle, or
+    anti-join is needed — the two sides ride the same joins under a
+    `side` tag (measured: halves the dominant cost of neighbor_stats).
     """
     from pyspark.sql.window import Window
 
-    order = [F.col("t").desc(), F.col("item_id").asc()] if descending else [
-        F.col("t").asc(), F.col("item_id").asc()
-    ]
-    ranked = stats.select(
-        "item_id", "t", F.row_number().over(Window.orderBy(*order)).alias("rnk")
+    v_df = stats.agg(F.count(F.lit(1)).alias("v_items"))
+    ranked = (
+        stats.select(
+            "item_id",
+            "t",
+            F.row_number()
+            .over(Window.orderBy(F.col("t").desc(), F.col("item_id").asc()))
+            .alias("rnk"),
+        )
+        .crossJoin(F.broadcast(v_df))
+        .withColumn("rnk_rev", F.col("v_items") + 1 - F.col("rnk"))
     )
-    rb = ranked.select(F.col("item_id").alias("item_b"), F.col("rnk").alias("rnk_b"))
-    # ranks occupied per item_a: its co-occurring partners plus itself
+    rb = ranked.select(
+        F.col("item_id").alias("item_b"), F.col("rnk").alias("rnk_b"),
+        F.col("rnk_rev").alias("rnk_rev_b"),
+    )
+    both = F.explode(
+        F.array(
+            F.struct(F.lit("d").alias("side"), F.col("rnk_b").alias("taken_rnk")),
+            F.struct(F.lit("a").alias("side"), F.col("rnk_rev_b").alias("taken_rnk")),
+        )
+    )
+    self_both = F.explode(
+        F.array(
+            F.struct(F.lit("d").alias("side"), F.col("rnk").alias("taken_rnk")),
+            F.struct(F.lit("a").alias("side"), F.col("rnk_rev").alias("taken_rnk")),
+        )
+    )
+    # ranks occupied per (item_a, side): co-occurring partners + self
     taken = (
         gram_df.select("item_a", "item_b")
         .join(F.broadcast(rb), "item_b")
-        .select("item_a", F.col("rnk_b").alias("taken_rnk"))
+        .select("item_a", both.alias("x"))
+        .select("item_a", "x.side", "x.taken_rnk")
         .unionByName(
-            ranked.select(F.col("item_id").alias("item_a"), F.col("rnk").alias("taken_rnk"))
+            ranked.select(F.col("item_id").alias("item_a"), self_both.alias("x")).select(
+                "item_a", "x.side", "x.taken_rnk"
+            )
         )
     )
     deg = gram_df.groupBy("item_a").agg(F.count(F.lit(1)).alias("deg"))
     spine = stats.select(F.col("item_id").alias("item_a")).join(deg, "item_a", "left").fillna(
         0, ["deg"]
     )
-    v_df = stats.agg(F.count(F.lit(1)).alias("v_items"))
     cand = (
         spine.crossJoin(F.broadcast(v_df))
         .select(
@@ -215,20 +242,34 @@ def _rank_gap_extreme(stats: DataFrame, gram_df: DataFrame, descending: bool) ->
                 F.sequence(F.lit(1), F.least(F.col("deg") + F.lit(2), F.col("v_items")))
             ).alias("cand_rnk"),
         )
+        .select(
+            "item_a",
+            "cand_rnk",
+            F.explode(F.array(F.lit("d"), F.lit("a"))).alias("side"),
+        )
     )
     first_free = (
         cand.join(
-            taken,
-            (cand.item_a == taken.item_a) & (cand.cand_rnk == taken.taken_rnk),
+            taken.withColumnRenamed("taken_rnk", "cand_rnk"),
+            ["item_a", "side", "cand_rnk"],
             "left_anti",
         )
-        .groupBy("item_a")
+        .groupBy("item_a", "side")
         .agg(F.min("cand_rnk").alias("free_rnk"))
     )
-    return first_free.join(
-        F.broadcast(ranked.select(F.col("rnk").alias("free_rnk"), F.col("t").alias("t_nc"))),
-        "free_rnk",
-    ).select("item_a", "t_nc")
+    # map the free rank back to its t per side (rnk for desc, rnk_rev
+    # for asc) and pivot the two sides into one row
+    tmap = ranked.select(F.col("t"), self_both.alias("x")).select(
+        F.col("x.side").alias("side"), F.col("x.taken_rnk").alias("free_rnk"), "t"
+    )
+    return (
+        first_free.join(F.broadcast(tmap), ["side", "free_rnk"])
+        .groupBy("item_a")
+        .agg(
+            F.max(F.when(F.col("side") == "d", F.col("t"))).alias("t_nc_max"),
+            F.max(F.when(F.col("side") == "a", F.col("t"))).alias("t_nc_min"),
+        )
+    )
 
 
 def neighbor_stats(
@@ -277,14 +318,12 @@ def neighbor_stats(
         F.min("corr").alias("cmin"),
         F.max("corr").alias("cmax"),
     )
-    nc_max_t = _rank_gap_extreme(stats, g, descending=True).withColumnRenamed("t_nc", "t_nc_max")
-    nc_min_t = _rank_gap_extreme(stats, g, descending=False).withColumnRenamed("t_nc", "t_nc_min")
+    nc_t = _rank_gap_extremes(stats, g)
 
     sp = (
         stats.join(peritem, stats.item_id == peritem.item_a, "left")
         .drop("item_a")
-        .join(nc_max_t.withColumnRenamed("item_a", "item_id"), "item_id", "left")
-        .join(nc_min_t.withColumnRenamed("item_a", "item_id"), "item_id", "left")
+        .join(nc_t.withColumnRenamed("item_a", "item_id"), "item_id", "left")
         .crossJoin(F.broadcast(gl))
         .fillna(0.0, ["g1", "g2", "g3"])
         .fillna(0, ["deg"])

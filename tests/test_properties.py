@@ -160,8 +160,13 @@ def test_publication_matches_dense_bruteforce(spark, rows):
         vals = np.array(list(row.values()))
         cut = vals.mean() + k_sigma * vals.std(ddof=1)
         mn, mx = vals.min(), vals.max()
+        # np.corrcoef can return values 1 ulp apart for pairs whose
+        # true correlations are mathematically equal (e.g. all −1/2);
+        # a float-noise "range" would scale to spurious 0/1 while the
+        # engine's closed form sees a genuinely constant row
+        constant_row = (mx - mn) <= 1e-12
         for b, v in row.items():
-            scaled = 0.0 if mx == mn else (v - mn) / (mx - mn)
+            scaled = 0.0 if constant_row else (v - mn) / (mx - mn)
             if v > cut + eps:
                 must.add((a, b))
                 expect_scaled[(a, b)] = (v, scaled)
