@@ -34,6 +34,7 @@ from propius_spark.operators import (
     embedding_dup_pairs,
     exact_dedup,
     get_similar_items,
+    ivf_knn_join,
     ivf_topk,
     jaccard_pairs,
     knn_join,
@@ -238,6 +239,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned batch retrieval: 6 query vectors, each scoring only
+    its 2 probed centroid lists, in one masked-BLAS corpus scan."""
+    emb = _emb(spark, sf_dir)
+    return _r6(
+        ivf_knn_join(
+            emb.filter(F.col("vec_id") < 6), emb, k=10, n_centroids=8, n_probe=2
+        ),
+        "cosine",
+    )
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join: top-10 corpus neighbors for each of 8 query
     vectors in ONE corpus scan (broadcast query matrix + Arrow-batched
@@ -424,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_dup_pairs": q_ann_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_knn_join": q_ann_knn_join,
+        "ann_ivf_knn_join": q_ann_ivf_knn_join,
         "text_doc_stats": q_text_doc_stats,
         "corpus_filter": q_corpus_filter,
         "sample_events_stratified": q_sample_events_stratified,
@@ -771,6 +785,43 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
                      b.vec_id ASC
             LIMIT 10
+        """,
+        "ann_ivf_knn_join": f"""
+            WITH {_EMB_BASE},
+            cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn
+                      FROM nb WHERE vec_id < 8),
+            qs AS (SELECT vec_id AS query_id, v AS qv, norm AS qn
+                   FROM nb WHERE vec_id < 6),
+            assign AS (SELECT vec_id, cid FROM (
+                         SELECT b.vec_id, c.cid,
+                                ROW_NUMBER() OVER (
+                                  PARTITION BY b.vec_id
+                                  ORDER BY list_dot_product(b.v, c.cv)
+                                           /(b.norm*c.cn) DESC, c.cid ASC
+                                ) AS rn
+                         FROM nb b, cents c)
+                       WHERE rn = 1),
+            probes AS (SELECT query_id, cid FROM (
+                         SELECT q.query_id, c.cid,
+                                ROW_NUMBER() OVER (
+                                  PARTITION BY q.query_id
+                                  ORDER BY list_dot_product(c.cv, q.qv)
+                                           /(c.cn*q.qn) DESC, c.cid ASC
+                                ) AS rn
+                         FROM qs q, cents c)
+                       WHERE rn <= 2),
+            scored AS (SELECT q.query_id, b.vec_id,
+                              list_dot_product(b.v, q.qv)/(b.norm*q.qn)
+                                AS cosine
+                       FROM nb b JOIN assign USING (vec_id)
+                       JOIN probes p ON assign.cid = p.cid
+                       JOIN qs q ON q.query_id = p.query_id
+                       WHERE b.vec_id <> q.query_id)
+            SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rn
+                  FROM scored)
+            WHERE rn <= 10
         """,
         "ann_knn_join": f"""
             WITH {_EMB_BASE},

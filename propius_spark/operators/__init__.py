@@ -12,6 +12,7 @@ from .ann import (
     assign_centroids,
     cosine_topk,
     embedding_dup_pairs,
+    ivf_knn_join,
     ivf_topk,
     knn_join,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "assign_centroids",
     "cosine_topk",
     "embedding_dup_pairs",
+    "ivf_knn_join",
     "ivf_topk",
     "knn_join",
     "dup_clusters",

@@ -266,6 +266,120 @@ def knn_join(
     )
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned batch retrieval: `knn_join` composed with centroid
+    probing — each query only scores corpus vectors assigned to its
+    ``n_probe`` nearest centroid lists (the knn_join docstring's 100 TB
+    path). Still ONE corpus scan; the probe mask rides into the BLAS
+    kernel as a (centroid × query) boolean matrix, so pruning costs a
+    row-mask, not a join. Exact within the probed lists; recall follows
+    the standard IVF n_probe/n_centroids trade.
+
+    Probe selection (query side) runs through the same Catalyst
+    expressions as `ivf_topk`, so an SQL oracle reproduces the probe
+    sets exactly. Corpus-side centroid assignment happens INSIDE the
+    kernel (argmax against the KB-sized broadcast centroid matrix, same
+    sim-desc/cid-asc tie order as assign_centroids) — no N-row
+    assignment table is ever joined or shuffled.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cents, _ = assign_centroids(corpus, n_centroids, id_col, vec_col)
+    qbase = with_norm(queries, vec_col).select(
+        F.col(id_col).cast("long").alias("qid"), "vec", "norm"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        qbase.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "centroid_id",
+            (_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "centroid_id")
+        .collect()
+    )
+    qrows = qbase.select("qid", "vec").collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, vec_id long, cosine double")
+    qids = np.array([r["qid"] for r in qrows], dtype="int64")
+    qmat = np.stack([np.asarray(r["vec"], dtype="float64") for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qpos = {int(q): j for j, q in enumerate(qids)}
+    crows = sorted(
+        cents.select("centroid_id", "cvec").collect(), key=lambda r: r["centroid_id"]
+    )
+    cmat = np.stack([np.asarray(r["cvec"], dtype="float64") for r in crows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cpos = {int(r["centroid_id"]): i for i, r in enumerate(crows)}
+    mask = np.zeros((len(crows), len(qids)), dtype=bool)
+    for r in probes:
+        mask[cpos[int(r["centroid_id"])], qpos[int(r["qid"])]] = True
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm, cmat, cnorm, mask))
+
+    def batch_topk(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        b_qids, b_qmat, b_qnorm, b_cmat, b_cnorm, b_mask = bc.value
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ids = pdf["vid"].to_numpy()
+            m = np.stack(pdf["vec"].to_numpy())
+            norms = np.linalg.norm(m, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # per-row centroid: argmax cosine, ties → smaller cid
+                # (cmat rows are cid-ascending, argmax takes the first)
+                ca = np.argmax((m @ b_cmat.T) / np.outer(norms, b_cnorm), axis=1)
+                sims = (m @ b_qmat.T) / np.outer(norms, b_qnorm)
+            sims = np.where(np.isnan(sims), np.inf, sims)  # engine NaN order
+            sims[~b_mask[ca]] = -np.inf  # not in a probed list
+            sims[ids[:, None] == b_qids[None, :]] = -np.inf  # self
+            out_q, out_v, out_c = [], [], []
+            kk = min(k, sims.shape[0])
+            for j in range(len(b_qids)):
+                col = sims[:, j]
+                cand = (
+                    np.argpartition(-col, kk - 1)[:kk]
+                    if kk < len(col)
+                    else np.arange(len(col))
+                )
+                order = np.lexsort((ids[cand], -col[cand]))[:kk]
+                sel = cand[order]
+                keep = col[sel] > -np.inf
+                out_q.extend([b_qids[j]] * int(keep.sum()))
+                out_v.extend(ids[sel][keep].tolist())
+                out_c.extend(
+                    np.where(np.isinf(col[sel][keep]), np.nan, col[sel][keep]).tolist()
+                )
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_c})
+
+    cand = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).mapInPandas(batch_topk, "query_id long, vec_id long, cosine double")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
 def assign_centroids(
     emb: DataFrame,
     n_centroids: int = 8,

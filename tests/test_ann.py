@@ -119,3 +119,32 @@ def test_knn_join_matches_numpy_bruteforce(spark):
         )[:k]
         want.extend((q, i, round(float(cos[i]), 9)) for i in order)
     assert got == sorted(want)
+
+
+def test_ivf_knn_join_matches_ivf_topk_per_query(spark):
+    """IVF batch retrieval ≡ the single-query ivf_topk path for each
+    query (same seed centroids, same probe rule): identical neighbor
+    ids, scores equal to 1e-9 (Catalyst fold vs BLAS summation)."""
+    import numpy as np
+
+    from propius_spark.operators import ivf_knn_join, ivf_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 6)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = emb.repartition(4)
+    queries = emb.filter("vec_id < 4")
+
+    got = {}
+    for r in ivf_knn_join(
+        queries, corpus, k=5, n_centroids=8, n_probe=2
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, round(r.cosine, 9)))
+
+    for q in range(4):
+        want = [
+            (r.vec_id, round(r.cosine, 9))
+            for r in ivf_topk(emb, query_id=q, k=5, n_centroids=8, n_probe=2).collect()
+        ]
+        assert got.get(q, []) == want, q
