@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from propius_spark.functions import decode_media, media_from_documents
 from propius_spark.operators import (
+    asof_join,
     build_cells,
     corr_pairs,
     vstack,
@@ -310,6 +311,23 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_minutes=30)
 
 
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gains the value of the user's
+    latest purchase at-or-before it (null if none) — one shuffle on
+    user_id, no range explosion. Spark lacks a native as-of join; this
+    is the union + last(ignorenulls) window composition."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return _r6(
+        asof_join(clicks, purchases, on="user_id"), "last_purchase_value"
+    )
+
+
 def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window counts per event type (batch twin of the
     watermarked streaming rollup): F.window's epoch-aligned buckets ≡
@@ -443,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_events_stratified": q_sample_events_stratified,
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
+        "asof_click_purchase": q_asof_click_purchase,
         "corr_pairs_cross_set": q_corr_pairs_cross_set,
         "model_roundtrip": q_model_roundtrip,
         "streaming_cells": q_streaming_cells,
@@ -933,6 +952,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(t) AS session_start_us,
                    MAX(t) AS session_end_us, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        # DuckDB's native ASOF JOIN is the oracle for the engine's
+        # union + last(ignorenulls) window composition
+        "asof_click_purchase": """
+            SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id,
+                   ROUND(r.value, 6) AS last_purchase_value
+            FROM (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
         """,
         # F.window's epoch-aligned 1-hour tumbling buckets ≡ integer
         # bucketing of the micros timeline (UTC session zone)

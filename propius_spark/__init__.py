@@ -15,6 +15,7 @@ similar_items_exact → publish_model → serving queries.
 """
 
 from .operators import (
+    asof_join,
     build_cells,
     corr_pairs,
     cosine_topk,
@@ -92,6 +93,7 @@ __all__ = [
     "stratified_sample",
     "sessionize",
     "windowed_counts",
+    "asof_join",
 ]
 
 __version__ = "0.1.0"

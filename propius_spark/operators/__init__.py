@@ -8,6 +8,7 @@ from .correlation import (
     neighbor_stats,
     valid_item_stats,
 )
+from .asof import asof_join
 from .ann import (
     assign_centroids,
     cosine_topk,
@@ -40,6 +41,7 @@ from .similarity import (
 from .textstats import doc_stats, filter_corpus
 
 __all__ = [
+    "asof_join",
     "assign_centroids",
     "cosine_topk",
     "embedding_dup_pairs",

@@ -1,0 +1,90 @@
+"""As-of join: attach the latest right-side observation at-or-before
+each left event (backward as-of, the kdb/pandas `merge_asof` /
+DuckDB `ASOF JOIN` operator). Spark has no native as-of join; this is
+the idiomatic composition — union the tagged streams and carry right
+values forward with last(ignorenulls) over one entity-ordered window:
+
+    L:(k, t, ...) ⟕asof R:(k, t, v...)  ≡
+    union → Window.partitionBy(k).orderBy(t, side) →
+    last(v, ignorenulls=True) → keep left rows
+
+Cost model (100 TB): ONE shuffle of |L|+|R| rows on the entity key —
+the same minimum any per-entity ordering needs (cf. sessionize) — and
+a per-key sort; no range-explosion, no per-left-row probe. Hot
+entities are the usual skew hazard (AQE + per-(key, day) pre-split).
+Contrast the naive theta-join `l.k = r.k AND r.t <= l.t` + max-window,
+which explodes to Σ_k |L_k|·|R_k| rows before pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import require_columns
+from .sessions import _ts_micros
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of: each left row gains `value_cols` from the right
+    row with the greatest right.ts ≤ left.ts for the same `on` key
+    (null when no such row — a left join). Timestamps are normalized
+    to epoch micros and returned as `{ts_col}_us`.
+
+    Equal timestamps on opposite sides match (right at t is visible to
+    left at t). Multiple right rows tied on (key, ts) pick one
+    arbitrarily — give right a deterministic tiebreak column upstream
+    if that matters.
+    """
+    require_columns(left, [on, ts_col], "asof_join(left)")
+    require_columns(right, [on, ts_col], "asof_join(right)")
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, ts_col)]
+    lonly = [c for c in left.columns if c not in (on, ts_col)]
+    clash = set(lonly) & set(value_cols)
+    if clash:
+        raise ValueError(f"column name clash between sides: {sorted(clash)}")
+
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    l2 = left.select(
+        F.col(on),
+        _ts_micros(left, ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in lonly],
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols],
+    )
+    r2 = right.select(
+        F.col(on),
+        _ts_micros(right, ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lonly],
+        *[F.col(c) for c in value_cols],
+    )
+    # at equal ts, right (__side 1) sorts BEFORE left so its value is
+    # already carried when the left row is evaluated
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l2.unionByName(r2).select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols],
+    )
+    return (
+        filled.filter(F.col("__side") == 0)
+        .select(
+            F.col(on),
+            F.col("__ts").alias(f"{ts_col}_us"),
+            *[F.col(c) for c in lonly],
+            *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+        )
+    )

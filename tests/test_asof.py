@@ -1,0 +1,49 @@
+"""As-of join (operators/asof.py): hand-computed backward-as-of
+semantics including the left-join null, equal-timestamp visibility,
+and epoch normalization from both timestamp and long-nanos inputs."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from propius_spark.operators import asof_join
+
+
+def _ts(us: int):
+    return datetime.utcfromtimestamp(us / 1_000_000)
+
+
+def test_asof_join_hand_computed(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(5), 101), (2, _ts(7), 102), (3, _ts(1), 103)],
+        "k long, ts timestamp, x long",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(4), 1.5), (1, _ts(9), 2.5), (2, _ts(8), 3.5), (2, _ts(7), 4.5)],
+        "k long, ts timestamp, v double",
+    )
+    got = sorted(
+        (r.k, r.ts_us, r.x, r.v)
+        for r in asof_join(left, right, on="k").collect()
+    )
+    assert got == [
+        (1, 5, 101, 1.5),   # latest right ≤ 5 is t=4
+        (1, 10, 100, 2.5),  # latest right ≤ 10 is t=9
+        (2, 7, 102, 4.5),   # equal timestamps match (right t=7 visible)
+        (3, 1, 103, None),  # no right row for key → null (left join)
+    ]
+
+
+def test_asof_join_long_nanos_and_clash(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 5_000, 9)], "k long, ts long, v long")
+    right = spark.createDataFrame([(1, 4_000, 1.0)], "k long, ts long, v double")
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k")  # v on both sides
+    got = asof_join(
+        left.withColumnRenamed("v", "x"), right, on="k"
+    ).collect()
+    assert [(r.k, r.ts_us, r.x, r.v) for r in got] == [(1, 5, 9, 1.0)]
