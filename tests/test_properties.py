@@ -224,3 +224,106 @@ def test_dup_clusters_matches_union_find(spark, edges):
     # normalize: union-find roots are already the component minimum
     # because unions always point the larger root at the smaller
     assert got == want
+
+
+event_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=event_rows, gap=st.integers(1, 2000))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_sessionize_matches_bruteforce(spark, rows, gap):
+    """Window-function sessionization ≡ a per-user sequential scan on
+    random event sets (duplicate timestamps included)."""
+    from propius_spark.operators import sessionize
+
+    df = spark.createDataFrame(
+        [(u, t * 1000) for u, t in rows], "user_id long, ts long"  # ns
+    )
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize(df, gap_minutes=gap / 60_000_000 * 1000).collect()
+    )
+
+    gap_us = int(gap / 60_000_000 * 1000 * 60_000_000)
+    want = []
+    by_user: dict[int, list[int]] = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)  # t already micros
+    for u, ts in by_user.items():
+        ts.sort()
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last <= gap_us:
+                last = t
+                n += 1
+            else:
+                want.append((u, start, last, n))
+                start = last = t
+                n = 1
+        want.append((u, start, last, n))
+    assert got == sorted(want)
+
+
+asof_rows = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=0, max_size=30),
+)
+
+
+@given(data=asof_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """asof_join ≡ pandas.merge_asof (backward, allow_exact_matches)
+    on random series — including keys with no right history. Right
+    timestamps are deduplicated per key (tie winner is unspecified in
+    both engines)."""
+    import pandas as pd
+
+    from propius_spark.operators import asof_join
+
+    lrows, rrows = data
+    rdedup = {}
+    for i, (k, t) in enumerate(rrows):
+        rdedup[(k, t)] = float(i)
+    rrows2 = [(k, t, v) for (k, t), v in rdedup.items()]
+
+    left = spark.createDataFrame(
+        [(k, t * 1000, i) for i, (k, t) in enumerate(lrows)],
+        "k long, ts long, lid long",  # ts ns
+    )
+    right = spark.createDataFrame(
+        [(k, t * 1000, v) for k, t, v in rrows2], "k long, ts long, v double"
+    ) if rrows2 else spark.createDataFrame([], "k long, ts long, v double")
+    got = sorted(
+        (r.k, r.ts_us, r.lid, r.v)
+        for r in asof_join(left, right, on="k").collect()
+    )
+
+    if rrows2:
+        lpd = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)],
+            columns=["k", "ts", "lid"],
+        ).sort_values("ts", kind="stable")
+        rpd = pd.DataFrame(rrows2, columns=["k", "ts", "v"]).sort_values(
+            "ts", kind="stable"
+        )
+        m = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction="backward",
+            allow_exact_matches=True,
+        )
+        want = sorted(
+            (int(r.k), int(r.ts), int(r.lid), None if pd.isna(r.v) else float(r.v))
+            for r in m.itertuples()
+        )
+    else:  # no right history at all → every left row gets null
+        want = sorted(
+            (k, t, i, None) for i, (k, t) in enumerate(lrows)
+        )
+    assert got == want
