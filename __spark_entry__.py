@@ -60,6 +60,7 @@ from propius_spark.sources import (
     load_pairs,
     occurrences_from_events,
     occurrences_from_lineitem,
+    read_events,
     save_pairs,
 )
 from propius_spark.streaming import start_cells_query, streaming_cells
@@ -297,7 +298,7 @@ def q_sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     25% view, 100% purchase; other types dropped) — selection is pure
     key arithmetic, stable under re-partitioning and replayable by the
     oracle."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     return stratified_sample(
         ev, {"click": 0.5, "view": 0.25, "purchase": 1.0}, "event_type", "event_id"
     ).select("event_id", "user_id", "event_type")
@@ -307,7 +308,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) of the events
     stream per user — gaps-and-islands via LAG + running SUM, one
     shuffle on the entity key."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     return sessionize(ev, gap_minutes=30)
 
 
@@ -316,7 +317,7 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest purchase at-or-before it (null if none) — one shuffle on
     user_id, no range explosion. Spark lacks a native as-of join; this
     is the union + last(ignorenulls) window composition."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )
@@ -332,7 +333,7 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window counts per event type (batch twin of the
     watermarked streaming rollup): F.window's epoch-aligned buckets ≡
     integer bucketing of the micros timeline."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     return windowed_counts(ev, window_duration="1 hour")
 
 
@@ -425,7 +426,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select(
         "media_id",
         "modality",
-        F.aggregate("pixels", F.lit(0), lambda a, x: a + x).alias("pixel_sum"),
+        # long seed: keeps the fold at int64 so the column type matches
+        # the BIGINT-cast oracle (int32 vs HUGEINT was a round-1 hash
+        # mismatch with identical values)
+        F.aggregate("pixels", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "pixel_sum"
+        ),
     )
 
 
@@ -931,8 +937,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": """
             SELECT doc_id AS media_id, 'image' AS modality,
                    list_sum(list_transform(range(0, 16),
-                     j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT))
-                     AS pixel_sum
+                     j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
+                     )::BIGINT AS pixel_sum
             FROM documents
         """,
         # gaps-and-islands over epoch-micros event times; ties (equal

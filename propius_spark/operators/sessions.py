@@ -26,14 +26,29 @@ from ..schemas import require_columns
 
 
 def _ts_micros(events: DataFrame, ts_col: str) -> F.Column:
-    """Event time as epoch micros (long). The driver testdata stores
-    TIMESTAMP(NANOS), which Spark reads as long nanos under
-    spark.sql.legacy.parquet.nanosAsLong (see session.py); proper
-    timestamp columns convert via unix_micros."""
-    if dict(events.dtypes)[ts_col] in ("bigint", "long"):
+    """Event time as epoch micros (long), for any of the three
+    encodings event data arrives in:
+
+    - long nanos — parquet TIMESTAMP(NANOS) read under
+      spark.sql.legacy.parquet.nanosAsLong (sources/occurrences.py
+      read_events sets it at runtime so a default session works too);
+    - TIMESTAMP_NTZ — parquet TIMESTAMP(isAdjustedToUTC=false), the
+      driver-testdata encoding; converted via timestampdiff from the
+      NTZ epoch, which is session-timezone-independent and equals
+      DuckDB's epoch_us (unix_micros rejects NTZ; casting through
+      TIMESTAMP would shift by the session zone);
+    - TIMESTAMP — unix_micros.
+    """
+    dt = dict(events.dtypes)[ts_col]
+    if dt in ("bigint", "long"):
         # integer div, not `/`: double division loses micros on
         # nanosecond epochs (> 2^53)
         return F.expr(f"`{ts_col}` div 1000")
+    if dt == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
     return F.unix_micros(F.col(ts_col))
 
 

@@ -1,10 +1,16 @@
-from .occurrences import load_occurrences, occurrences_from_lineitem, occurrences_from_events
+from .occurrences import (
+    load_occurrences,
+    occurrences_from_lineitem,
+    occurrences_from_events,
+    read_events,
+)
 from .model_io import save_pairs, load_pairs
 
 __all__ = [
     "load_occurrences",
     "occurrences_from_lineitem",
     "occurrences_from_events",
+    "read_events",
     "save_pairs",
     "load_pairs",
 ]

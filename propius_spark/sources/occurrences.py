@@ -74,6 +74,23 @@ def occurrences_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table regardless of session defaults.
+
+    Event timestamps arrive in two parquet encodings depending on the
+    writer: INT64 TIMESTAMP(NANOS), which a default SparkSession
+    refuses to read (PARQUET_TYPE_ILLEGAL) unless
+    `spark.sql.legacy.parquet.nanosAsLong` is set (runtime-settable,
+    so it is set here rather than only at session build — a vanilla
+    session then reads `ts` as long nanos), and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which reads natively as TIMESTAMP_NTZ.
+    Downstream event-time operators normalize either through
+    `_ts_micros` (operators/sessions.py).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def occurrences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User–event-type co-occurrences from the events table.
 
@@ -81,7 +98,7 @@ def occurrences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinal via a join against the distinct set — tiny dimension, so the
     join broadcasts.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_type")
+    ev = read_events(spark, sf_dir).select("user_id", "event_type")
     types = ev.select("event_type").distinct()
     coded = types.select(
         "event_type",

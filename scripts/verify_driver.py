@@ -1,0 +1,120 @@
+"""Replicates the driver's CORRECTNESS gate on a DEFAULT SparkSession.
+
+The driver builds a vanilla session (no propius_spark.session confs),
+runs each queries() entry at sf0.01, and hash-compares against the
+oracle_sql() twin via DuckDB. Round 1 lost 7 queries to exactly this
+difference, so this script is the regression net: run it before every
+round commit.
+
+Usage: python scripts/verify_driver.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = os.environ.get("PROPIUS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(rows, ncols):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row[:ncols]:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+                    if v == 0:
+                        v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    # deliberately vanilla: the ONLY confs the driver is known to set
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify_driver")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sys.argv[1:] or sorted(qs.keys())
+    n_fail = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            sql = oracles.get(name)
+            if sql is None:
+                print(f"{name}: ROWS-ONLY ({len(srows)} rows)")
+                continue
+            ores = con.execute(sql)
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+            order = [ocols.index(next(o for o in ocols if o.lower() == c.lower()))
+                     for c in sorted(scols, key=str.lower)]
+            sorder = [scols.index(c) for c in sorted(scols, key=str.lower)]
+            ok_cols = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
+            got = _norm([[r[i] for i in sorder] for r in srows], len(scols))
+            want = _norm([[r[i] for i in order] for r in orows], len(scols))
+            # driver also compares types via the value hash: surface
+            # python-type mismatches explicitly
+            type_mism = [
+                (g, w) for g, w in zip(got, want)
+                if tuple(type(x) for x in g) != tuple(type(x) for x in w)
+            ]
+            if not ok_cols:
+                print(f"{name}: FAIL cols spark={scols} oracle={ocols}")
+                n_fail += 1
+            elif len(got) != len(want):
+                print(f"{name}: FAIL rows spark={len(got)} oracle={len(want)}")
+                n_fail += 1
+            elif got != want:
+                mism = [(g, w) for g, w in zip(got, want) if g != w]
+                print(f"{name}: FAIL {len(mism)} value mismatches; first {mism[:2]}")
+                n_fail += 1
+            elif type_mism:
+                print(f"{name}: FAIL type mismatch; first {type_mism[:2]}")
+                n_fail += 1
+            else:
+                print(f"{name}: OK ({len(got)} rows)")
+        except Exception:
+            print(f"{name}: ERR\n{traceback.format_exc()}")
+            n_fail += 1
+    print(f"\n{len(names) - n_fail}/{len(names)} green")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
