@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..schemas import require_columns
@@ -42,6 +43,12 @@ def asof_join(
     left at t). Multiple right rows tied on (key, ts) pick one
     arbitrarily — give right a deterministic tiebreak column upstream
     if that matters.
+
+    Row integrity: all `value_cols` come from the SAME matched right
+    row (they travel as one struct carried by a single
+    last(ignorenulls)), so a right row whose value column is NULL
+    contributes that NULL — matching pandas merge_asof / DuckDB ASOF —
+    rather than falling through to an older non-null value.
     """
     require_columns(left, [on, ts_col], "asof_join(left)")
     require_columns(right, [on, ts_col], "asof_join(right)")
@@ -52,21 +59,25 @@ def asof_join(
     if clash:
         raise ValueError(f"column name clash between sides: {sorted(clash)}")
 
-    rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
+    # the whole right payload rides in ONE struct: non-null for every
+    # right row (even when all its fields are null), null filler on
+    # left rows — last(ignorenulls) then attaches exactly one matched
+    # right row, never a column-wise mix of several
+    vstruct = T.StructType([right.schema[c] for c in value_cols])
     l2 = left.select(
         F.col(on),
         _ts_micros(left, ts_col).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.col(c) for c in lonly],
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(vstruct).alias("__v"),
     )
     r2 = right.select(
         F.col(on),
         _ts_micros(right, ts_col).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lonly],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
     )
     # at equal ts, right (__side 1) sorts BEFORE left so its value is
     # already carried when the left row is evaluated
@@ -76,8 +87,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l2.unionByName(r2).select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols],
+        "*", F.last("__v", ignorenulls=True).over(w).alias("__fv")
     )
     return (
         filled.filter(F.col("__side") == 0)
@@ -85,6 +95,6 @@ def asof_join(
             F.col(on),
             F.col("__ts").alias(f"{ts_col}_us"),
             *[F.col(c) for c in lonly],
-            *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+            *[F.col("__fv")[c].alias(c) for c in value_cols],
         )
     )

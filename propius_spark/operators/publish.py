@@ -85,8 +85,14 @@ def publish_model(
 def export_jdbc(spark: SparkSession, paths: dict[str, str], url: str, **options) -> None:
     """Optional serving-parity export of the published tables to any
     JDBC store (the reference's SQLite role). Batched inserts replace
-    the reference's executemany generators (propius/data.py:199-212)."""
+    the reference's executemany generators (propius/data.py:199-212).
+
+    Accepts publish_model's return value directly: only the table
+    entries are exported (the dict also carries metadata like
+    n_buckets, which is not a path)."""
     for table, path in paths.items():
+        if table not in ("similar_items", "correlated_items"):
+            continue
         (
             spark.read.parquet(path)
             .write.mode("overwrite")

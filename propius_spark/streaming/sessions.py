@@ -3,18 +3,24 @@
 Incremental twin of operators/sessions.sessionize: per-user session
 state maintained with applyInPandasWithState (Arrow-batched grouped
 state — the idiomatic Spark surface for operators the built-in
-aggregates can't express). Sessions close two ways:
+aggregates can't express).
 
-- by DATA: a new event more than `gap` after the open session's end
-  closes it (emitted immediately, exactly the batch boundary rule);
-- by TIME: EventTimeTimeout fires once the watermark passes
-  session_end + gap — no later event can extend the session, so it is
-  finalized and its state evicted. Bounded state at 100 TB: one small
-  tuple per ACTIVE user, not per user ever seen.
+Correctness rule: a session (island) is CLOSED exactly when the
+watermark passes session_end + gap. Only then is it final — any
+in-watermark event t satisfies t ≥ watermark > session_end + gap, so
+it can neither extend the island nor bridge it to a later one. Closing
+earlier (e.g. the moment a newer out-of-gap event arrives) is wrong
+twice over: a late in-watermark event may still extend the island, or
+even MERGE two open islands by landing in the gap between them. So
+state holds ALL islands the watermark hasn't finalized (arrays, sorted
+by start) — bounded per user by the watermark horizon / gap, typically
+1-2 — and every emitted session is verbatim-final, identical to the
+batch answer over the same in-watermark data.
 
-Late events inside the watermark merge into the open session (interval
-extension with min/max); events later than the watermark are dropped
-by Spark before reaching the operator (standard semantics).
+Events later than the watermark are dropped by Spark before reaching
+the operator (standard semantics). State is evicted as islands close:
+bounded state at 100 TB — a few small tuples per ACTIVE user, not per
+user ever seen.
 """
 
 from __future__ import annotations
@@ -25,14 +31,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.types import StructType
 
 from ..schemas import require_columns
 
 SESSION_OUT = (
     "user_id long, session_start_us long, session_end_us long, n_events long"
 )
-SESSION_STATE = "start long, last long, n long"
+# parallel arrays of open islands, sorted by start
+SESSION_STATE = "starts array<long>, lasts array<long>, ns array<long>"
 
 
 def sessionize_stream(
@@ -47,8 +53,8 @@ def sessionize_stream(
     require_columns(events, [user_col, ts_col], "sessionize_stream")
     gap_us = int(gap_minutes * 60_000_000)
     gap_ms = gap_us // 1000
-    # testdata parquet stores TIMESTAMP(NANOS) → long nanos under the
-    # session's nanosAsLong conf; watermarks need a timestamp column
+    # long-nanos input (parquet TIMESTAMP(NANOS) under nanosAsLong)
+    # → micros timestamp; watermarks need a timestamp column
     if dict(events.dtypes)[ts_col] in ("bigint", "long"):
         events = events.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
@@ -59,35 +65,48 @@ def sessionize_stream(
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
         cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame([[user, start, last, n]], columns=cols)
-            return
-        ts: list[int] = []
-        for pdf in pdfs:
-            # unit-safe: datetime64[ns] or [us] both land on micros
-            ts.extend(
-                pdf[ts_col].values.astype("datetime64[us]").astype("int64").tolist()
-            )
-        ts.sort()
-        cur = tuple(state.get) if state.exists else None
-        closed: list[list[int]] = []
-        for t in ts:
-            if cur is None:
-                cur = (t, t, 1)
-            elif cur[0] - gap_us <= t <= cur[1] + gap_us:
-                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
+        islands: list[tuple[int, int, int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            islands = list(zip(starts, lasts, ns))
+        if not state.hasTimedOut:
+            ts: list[int] = []
+            for pdf in pdfs:
+                # unit-safe: datetime64[ns] or [us] both land on micros
+                ts.extend(
+                    pdf[ts_col]
+                    .values.astype("datetime64[us]")
+                    .astype("int64")
+                    .tolist()
+                )
+            islands.extend((t, t, 1) for t in ts)
+        # merge: islands sorted by start coalesce while the gap between
+        # one's end and the next's start is within `gap`
+        islands.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, last, n in islands:
+            if merged and s - merged[-1][1] <= gap_us:
+                ps, pl, pn = merged[-1]
+                merged[-1] = (ps, max(pl, last), pn + n)
             else:
-                closed.append([user, *cur])
-                cur = (t, t, 1)
-        if cur is not None:
-            state.update(cur)
-            # finalize once no in-watermark event can extend the session
-            state.setTimeoutTimestamp(
-                max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+                merged.append((s, last, n))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [i for i in merged if i[1] + gap_us <= wm_us]
+        live = [i for i in merged if i[1] + gap_us > wm_us]
+        if live:
+            state.update(
+                ([i[0] for i in live], [i[1] for i in live], [i[2] for i in live])
             )
-        yield pd.DataFrame(closed, columns=cols)
+            # wake when the earliest live island becomes final
+            deadline_ms = min(i[1] for i in live) // 1000 + gap_ms
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            [[user, s, last, n] for s, last, n in closed], columns=cols
+        )
 
     return (
         events.withWatermark(ts_col, watermark)

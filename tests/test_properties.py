@@ -327,3 +327,71 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
             (k, t, i, None) for i, (k, t) in enumerate(lrows)
         )
     assert got == want
+
+
+asof_null_rows = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 200)), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 200),
+            st.one_of(st.none(), st.integers(0, 99)),
+            st.one_of(st.none(), st.integers(0, 99)),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+
+
+@given(data=asof_null_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_asof_join_null_values_keep_row_integrity(spark, data):
+    """With nulls scattered across TWO right-side value columns, every
+    left row must receive both values from the SAME matched right row —
+    including its nulls — exactly as pandas merge_asof attaches whole
+    rows. Guards against per-column last(ignorenulls) fills that (a)
+    skip a matched NULL for an older non-null and (b) mix columns from
+    different right rows."""
+    import pandas as pd
+
+    from propius_spark.operators import asof_join
+
+    lrows, rrows = data
+    # dedupe right (key, ts): tie winner is unspecified in both engines
+    rdedup = {}
+    for k, t, a, b in rrows:
+        rdedup[(k, t)] = (a, b)
+    rrows2 = [(k, t, a, b) for (k, t), (a, b) in rdedup.items()]
+
+    left = spark.createDataFrame(
+        [(k, t * 1000, i) for i, (k, t) in enumerate(lrows)],
+        "k long, ts long, lid long",  # ts ns
+    )
+    right = spark.createDataFrame(
+        [(k, t * 1000, a, b) for k, t, a, b in rrows2],
+        "k long, ts long, va long, vb long",
+    )
+    got = sorted(
+        (r.k, r.ts_us, r.lid, r.va, r.vb)
+        for r in asof_join(left, right, on="k").collect()
+    )
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], columns=["k", "ts", "lid"]
+    ).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(rrows2, columns=["k", "ts", "va", "vb"]).sort_values(
+        "ts", kind="stable"
+    )
+    m = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="backward",
+        allow_exact_matches=True,
+    )
+    def _i(x):
+        return None if pd.isna(x) else int(x)
+    want = sorted(
+        (int(r.k), int(r.ts), int(r.lid), _i(r.va), _i(r.vb))
+        for r in m.itertuples()
+    )
+    assert got == want

@@ -129,3 +129,52 @@ def test_windowed_counts_hand_computed(spark):
         (t0 + h, t0 + 2 * h, "a", 1),
         (t0 + 2 * h, t0 + 3 * h, "b", 1),
     ])
+
+
+def test_sessionize_stream_late_events_merge_and_never_close_early(spark, tmp_path):
+    """In-watermark late events must extend — or BRIDGE — open islands,
+    never prematurely finalize them (round-2 advice: an older late
+    event used to close the still-open newer session and replace
+    state).
+
+    gap=30m, watermark=60m. Batch 1: user 1 at [100', 160'] (two
+    islands), user 2 at [160']. Batch 2 (late, ≥ watermark 100'):
+    user 1 at 130' bridges both islands into ONE session [100',160']×3;
+    user 2 at 110' opens a separate older island without touching the
+    open [160'] session. Batch 3: a flush event at 300' pushes the
+    watermark to 240', finalizing everything except the flush itself."""
+    from propius_spark.streaming import sessionize_stream, start_sessions_query
+
+    land = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(rows):
+        spark.createDataFrame(
+            [(u, _min(m)) for u, m in rows], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(land)
+
+    _write([(1, 100), (1, 160), (2, 160)])
+    _write([(1, 130), (2, 110)])
+    _write([(9, 300)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = start_sessions_query(
+        sessionize_stream(stream, gap_minutes=30, watermark="60 minutes"),
+        ckpt,
+        query_name="t_sessions_late",
+    )
+    q.awaitTermination()
+
+    emitted = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table("t_sessions_late").collect()
+    }
+    assert emitted == {
+        (1, _us(100), _us(160), 3),
+        (2, _us(110), _us(110), 1),
+        (2, _us(160), _us(160), 1),
+    }
