@@ -201,7 +201,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified at τ=0.5 — the scale path for near-dedup."""
     return _r6(
         minhash_lsh_pairs(
-            _docs(spark, sf_dir), k=3, num_perm=16, bands=4, threshold=0.5
+            _docs(spark, sf_dir),
+            k=3,
+            num_perm=16,
+            bands=4,
+            threshold=0.5,
+            # dict-coded ids pinned: DuckDB replays the identical
+            # signatures (production default is xxhash)
+            id_mode="dict",
         ),
         "jaccard",
     )
@@ -220,7 +227,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-32 near-duplicates within Hamming ≤ 3 via the
     pigeonhole block join."""
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    # dict-coded token ids pinned for oracle parity (production
+    # default is xxhash)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, id_mode="dict")
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

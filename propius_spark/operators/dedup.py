@@ -16,12 +16,13 @@ Five dedup families over a documents table (id, text):
 - embedding cosine         — see operators/ann.py
 
 Oracle-parity design: every hash is explicit modular arithmetic
-(h_i(x) = (a_i·x + b_i) mod 2³¹−1) over *dictionary-coded* shingle ids
-(dense_rank over the distinct shingles), so DuckDB computes bit-equal
-signatures — no engine-private hash functions. For production scale
-the dictionary (a global sort over distinct shingles) can be swapped
-for xxhash64 via ``id_mode="xxhash"``: same pipeline shape, no sort,
-at the cost of oracle comparability (and a ~2⁻³² collision rate).
+(h_i(x) = (a_i·x + b_i) mod 2³¹−1) over shingle ids. The PRODUCTION
+default (``id_mode="xxhash"``) codes shingles with xxhash64 — fully
+map-side, no dictionary, no sort (a ~2⁻³² collision rate, standard for
+minhash). ``id_mode="dict"`` codes them with dense_rank over the
+distinct shingles so DuckDB computes bit-equal signatures — the oracle
+queries pin it; its dictionary build is a single-task global sort over
+distinct shingles, fine at test scale but never the 100 TB default.
 
 Scale notes (100 TB): shingling/hashing are map-side; the only
 shuffles are the distinct-shingle dictionary (skippable via xxhash),
@@ -99,7 +100,7 @@ def shingles(
     )
 
 
-def shingle_ids(sh: DataFrame, id_mode: str = "dict") -> DataFrame:
+def shingle_ids(sh: DataFrame, id_mode: str = "xxhash") -> DataFrame:
     """(doc_id, sid long). 'dict': dense_rank over the distinct
     shingle strings (oracle-comparable; global sort over the shingle
     *dictionary*, which is ≪ corpus). 'xxhash': stateless 64-bit hash
@@ -214,7 +215,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    id_mode: str = "dict",
+    id_mode: str = "xxhash",
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicates: (doc_a, doc_b, jaccard), doc_a <
@@ -399,7 +400,7 @@ def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    id_mode: str = "dict",
+    id_mode: str = "xxhash",
 ) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over unigram tokens weighted
     by occurrence count. bit b of h(token_id) contributes ±count to
@@ -449,7 +450,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    id_mode: str = "dict",
+    id_mode: str = "xxhash",
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) with hamming ≤ max_hamming, via the
     pigeonhole block join: split the 32-bit signature into

@@ -171,3 +171,42 @@ def test_resolve_duplicates_keepers_and_singletons(spark):
         4: (2, False),
         7: (7, True),
     }
+
+
+def test_id_mode_xxhash_equals_dict_on_fixture_corpus(spark, sf_dir):
+    """Guards the round-2 production-default flip to id_mode='xxhash'.
+
+    minhash_lsh_pairs must resolve the SAME pair set in both codings:
+    the exact-Jaccard verify step makes the output hash-independent
+    (hashing only steers candidate recall, and at fixture scale both
+    codings recall every true pair). SimHash has no verify step — its
+    radius-3 output is hash-dependent BY DESIGN (each coding is a
+    different random projection; the fixture corpus has a ~31-token
+    vocabulary, far too small for the two projections to agree), so for
+    it only the default-wiring (default ≡ xxhash) is asserted."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def pairs_mh(**kw):
+        return sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in minhash_lsh_pairs(
+                docs, k=3, num_perm=16, bands=4, threshold=0.5, **kw
+            ).collect()
+        )
+
+    def pairs_sh(**kw):
+        return sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(docs, max_hamming=3, **kw).collect()
+        )
+
+    mh_dict = pairs_mh(id_mode="dict")
+    mh_xx = pairs_mh(id_mode="xxhash")
+    mh_default = pairs_mh()  # default IS xxhash now
+    assert mh_xx == mh_default
+    assert mh_dict == mh_xx and len(mh_xx) > 0
+
+    sh_xx = pairs_sh(id_mode="xxhash")
+    assert pairs_sh() == sh_xx and len(sh_xx) > 0
