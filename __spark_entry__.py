@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from propius_spark.functions import decode_media, media_from_documents
 from propius_spark.operators import (
     asof_join,
+    assign_centroids,
     build_cells,
     corr_pairs,
     vstack,
@@ -240,6 +241,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-duplicates at cosine ≥ 0.4."""
     return _r6(embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4), "cosine")
+
+
+def q_ann_dup_pairs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pruned near-duplicates: IVF seed-centroid buckets
+    (8 centroids) feed embedding_dup_pairs, so only same-list pairs are
+    scored — Σ|list|² work, the 100 TB default (the exact all-pairs
+    twin above is the recall oracle; SCALE.md documents the trade)."""
+    emb = _emb(spark, sf_dir)
+    _, assignment = assign_centroids(emb, n_centroids=8)
+    return _r6(
+        embedding_dup_pairs(emb, threshold=0.4, candidates=assignment), "cosine"
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_dup_pairs": q_ann_dup_pairs,
+        "ann_dup_pairs_pruned": q_ann_dup_pairs_pruned,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_knn_join": q_ann_knn_join,
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
@@ -876,6 +890,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)
                      AS cosine
             FROM nb a JOIN nb b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
+        """,
+        "ann_dup_pairs_pruned": f"""
+            WITH {_EMB_BASE},
+            cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn
+                      FROM nb WHERE vec_id < 8),
+            assign AS (SELECT vec_id, cid FROM (
+                         SELECT b.vec_id, c.cid,
+                                ROW_NUMBER() OVER (
+                                  PARTITION BY b.vec_id
+                                  ORDER BY list_dot_product(b.v, c.cv)
+                                           /(b.norm*c.cn) DESC, c.cid ASC
+                                ) AS rn
+                         FROM nb b, cents c)
+                       WHERE rn = 1)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)
+                     AS cosine
+            FROM nb a JOIN assign sa ON a.vec_id = sa.vec_id
+            JOIN assign sb ON sa.cid = sb.cid
+            JOIN nb b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
         """,
         "ann_ivf_topk": f"""

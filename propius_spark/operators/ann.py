@@ -86,17 +86,29 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact embedding near-duplicates: (vec_a, vec_b, cosine) with
+    """Embedding near-duplicates: (vec_a, vec_b, cosine) with
     vec_a < vec_b and cosine ≥ threshold.
 
-    Physical strategy: *block nested-loop with a BLAS inner kernel*.
-    Vectors are hashed into ``n_blocks`` blocks; each unordered block
-    pair (i ≤ j) becomes one ``applyInPandas`` group whose rows carry
-    both blocks' vectors, and inside the group the full cosine
-    submatrix is one NumPy matmul. Every unordered vector pair lands
-    in exactly one block pair (its own blocks'), so the result is the
-    exact all-pairs answer with no dedup pass.
+    Without ``candidates``: EXACT all-pairs, via *block nested-loop
+    with a BLAS inner kernel*. Vectors are hashed into ``n_blocks``
+    blocks; each unordered block pair (i ≤ j) becomes one
+    ``applyInPandas`` group whose rows carry both blocks' vectors, and
+    inside the group the full cosine submatrix is one NumPy matmul.
+    Every unordered vector pair lands in exactly one block pair (its
+    own blocks'), so the result is the exact all-pairs answer with no
+    dedup pass.
+
+    With ``candidates`` — a 2-column DataFrame (vector id, bucket id)
+    from any candidate generator (IVF: assign_centroids' assignment;
+    LSH bucketing; a pre-joined pair list exploded to buckets) — only
+    pairs sharing a bucket are scored: one shuffle on the bucket id,
+    per-bucket BLAS, Σ|bucket|² work instead of N². Exact above the
+    threshold WITHIN buckets; recall follows the candidate generator
+    (for IVF seed-centroid buckets, the standard n_probe=1 trade —
+    see SCALE.md). A vector may appear in several buckets (LSH);
+    duplicate pair hits are deduplicated (cosine is identical).
 
     Why not the pure-Catalyst form (non-equi self-join + zip_with/
     aggregate fold)? Higher-order array functions are interpreted, not
@@ -105,13 +117,17 @@ def embedding_dup_pairs(
     (845 s vs this path). This is the documented exception where
     built-ins genuinely can't express the semantics efficiently.
 
-    Scale: total work is N²·dim multiply-adds no matter what — at
-    100 TB feed candidates from IVF/LSH bucketing instead. The knob
-    that matters is ``n_blocks``: each group holds ~2N/n_blocks
+    Scale: exact mode's total work is N²·dim multiply-adds no matter
+    what — at 100 TB always feed ``candidates``. The knob that matters
+    in exact mode is ``n_blocks``: each group holds ~2N/n_blocks
     vectors (bound it to executor memory); data replication is
     ~(n_blocks+1)/2 ×. Groups are independent → embarrassingly
-    parallel across executors.
+    parallel across executors. In candidate mode the analogous hazard
+    is a hot bucket (⇒ sub-split it upstream or cap like
+    minhash's max_bucket_size).
     """
+    if candidates is not None:
+        return _bucketed_dup_pairs(emb, threshold, id_col, vec_col, candidates)
     spark = emb.sparkSession
     base = emb.select(
         F.col(id_col).cast("long").alias("vid"),
@@ -171,6 +187,56 @@ def embedding_dup_pairs(
         side_a.unionByName(side_b)
         .groupBy("pa", "pb")
         .applyInPandas(block_cosines, "vec_a long, vec_b long, cosine double")
+    )
+
+
+def _bucketed_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    candidates: DataFrame,
+) -> DataFrame:
+    """Candidate-pruned near-dup pairs: score only pairs co-located in
+    a candidate bucket. One shuffle of the (pruned) corpus on the
+    bucket id; the same strict-upper-triangle BLAS kernel as the exact
+    path runs per bucket."""
+    idc, bkc = candidates.columns[:2]
+    cand = candidates.select(
+        F.col(idc).cast("long").alias("vid"), F.col(bkc).cast("long").alias("bkt")
+    ).dropDuplicates(["vid", "bkt"])
+    rows = (
+        emb.select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .join(cand, "vid")
+    )
+
+    def bucket_cosines(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vid"].to_numpy()
+        m = np.stack(pdf["vec"].to_numpy())
+        with np.errstate(divide="ignore", invalid="ignore"):
+            n = np.linalg.norm(m, axis=1)
+            sims = (m @ m.T) / np.outer(n, n)
+        # NaN ≥ τ is TRUE under Spark/DuckDB ordering — keep engine
+        # semantics (same rule as the exact kernel)
+        keep = (sims >= threshold) | np.isnan(sims)
+        keep &= ids[:, None] < ids[None, :]
+        ia, ib = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_a": ids[ia], "vec_b": ids[ib], "cosine": sims[ia, ib]}
+        )
+
+    return (
+        rows.groupBy("bkt")
+        .applyInPandas(bucket_cosines, "vec_a long, vec_b long, cosine double")
+        # multi-bucket membership (LSH) can surface a pair twice with
+        # the identical cosine — keep one
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from propius_spark.operators import (
     assign_centroids,
     cosine_topk,
@@ -148,3 +150,46 @@ def test_ivf_knn_join_matches_ivf_topk_per_query(spark):
             for r in ivf_topk(emb, query_id=q, k=5, n_centroids=8, n_probe=2).collect()
         ]
         assert got.get(q, []) == want, q
+
+
+def test_candidate_fed_dup_pairs_exact_within_buckets(spark):
+    """embedding_dup_pairs(candidates=...) must equal the exact
+    all-pairs answer RESTRICTED to co-bucketed pairs (here: IVF
+    seed-centroid lists) — same cosines, no extras, no duplicates even
+    when a vector sits in several buckets."""
+    import numpy as np
+
+    from propius_spark.operators import assign_centroids, embedding_dup_pairs
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(80, 5)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    _, assignment = assign_centroids(emb, n_centroids=6)
+    got = sorted(
+        (r.vec_a, r.vec_b, round(r.cosine, 9))
+        for r in embedding_dup_pairs(
+            emb, threshold=0.3, candidates=assignment
+        ).collect()
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): round(r.cosine, 9)
+        for r in embedding_dup_pairs(emb, threshold=0.3).collect()
+    }
+    bucket = {r.vec_id: r.centroid_id for r in assignment.collect()}
+    want = sorted(
+        (a, b, c) for (a, b), c in exact.items() if bucket[a] == bucket[b]
+    )
+    assert got == want and len(got) > 0
+
+    # multi-bucket membership (LSH-style): duplicate hits collapse
+    two = assignment.unionByName(
+        assignment.withColumn("centroid_id", F.col("centroid_id") + 100)
+    )
+    got2 = sorted(
+        (r.vec_a, r.vec_b, round(r.cosine, 9))
+        for r in embedding_dup_pairs(emb, threshold=0.3, candidates=two).collect()
+    )
+    assert got2 == want
