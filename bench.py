@@ -1,11 +1,17 @@
-"""Benchmark harness: times every declared query at one scale factor.
+"""Benchmark harness: times every declared query at one scale factor,
+plus a secondary pass at sf0.01 so CORRECTNESS failures (graded at
+sf0.01) and BENCH numbers (graded at the main sf) can be cross-read.
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": sf}
+   "queries": {name: sec, ...}, "sf": sf,
+   "secondary": {"sf": 0.01, "value": total_sec,
+                 "queries": {name: sec, ...}}}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_SECONDARY_SF_DIR (default /root/testdata/sf0.01;
+     set empty to skip the secondary pass).
 Each query is executed to completion with a `noop`-format write so the
 measured time covers the full distributed plan (scan → shuffles →
 aggregates) without driver-side collect overhead.
@@ -28,7 +34,6 @@ from propius_spark.session import clear_materialized, get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("propius_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -39,31 +44,45 @@ def main() -> None:
         "l_returnflag"
     ).count().write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # release materialized intermediates so one pipeline's blocks
-        # don't skew the next query's timing, and nudge the JVM to
-        # collect them now — long multi-query sessions otherwise hit
-        # multi-second GC pauses inside later queries (measured 3-4×
-        # inflation on queries that run in ~3 s isolated)
-        clear_materialized(spark)
-        spark.sparkContext._jvm.System.gc()
+    def run_suite(d: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            # release materialized intermediates so one pipeline's
+            # blocks don't skew the next query's timing, and nudge the
+            # JVM to collect them now — long multi-query sessions
+            # otherwise hit multi-second GC pauses inside later queries
+            # (measured 3-4× inflation on queries that run in ~3 s
+            # isolated)
+            clear_materialized(spark)
+            spark.sparkContext._jvm.System.gc()
+        return timings
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    def sf_of(d: str):
+        s = d.rstrip("/").rsplit("sf", 1)[-1]
+        return float(s) if s.replace(".", "").isdigit() else s
+
+    timings = run_suite(sf_dir)
+    result = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+    }
+    sec_dir = os.environ.get(
+        "SPARK_GRAFT_SECONDARY_SF_DIR", "/root/testdata/sf0.01"
     )
+    if sec_dir and os.path.isdir(sec_dir) and sec_dir != sf_dir:
+        sec = run_suite(sec_dir)
+        result["secondary"] = {
+            "sf": sf_of(sec_dir),
+            "value": round(sum(sec.values()), 3),
+            "queries": sec,
+        }
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -45,12 +45,21 @@ def materialize(df: DataFrame) -> DataFrame:
 
     Only call this on item-, pair-, or sketch-cardinality tables —
     orders of magnitude smaller than the event log / corpus they derive
-    from — so they store safely even at large scale. (On a multi-node
-    cluster localCheckpoint data lives on executors and does not
-    survive executor loss; a production deployment would point
-    spark.checkpoint.dir at durable storage and use checkpoint()
-    instead — same semantics.) Call
+    from — so they store safely even at large scale.
+
+    Durability: when a checkpoint directory is configured (either
+    ``spark.checkpoint.dir`` at session build or
+    ``sc.setCheckpointDir(...)`` at runtime — point it at durable
+    storage on a real cluster), this uses reliable ``checkpoint()``,
+    which survives executor loss. Otherwise it uses
+    ``localCheckpoint()`` (executor-local blocks, MEMORY_AND_DISK) —
+    right for single-JVM/local runs where executor loss means the app
+    is gone anyway. Same semantics either way: eager materialization +
+    lineage truncation. Call
     ``propius_spark.session.clear_materialized(spark)`` after consuming
     the pipeline so the blocks don't linger into later queries.
     """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

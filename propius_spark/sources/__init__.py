@@ -4,7 +4,7 @@ from .occurrences import (
     occurrences_from_events,
     read_events,
 )
-from .model_io import save_pairs, load_pairs
+from .model_io import save_pairs, load_pairs, load_reference_matrix
 
 __all__ = [
     "load_occurrences",
@@ -13,4 +13,5 @@ __all__ = [
     "read_events",
     "save_pairs",
     "load_pairs",
+    "load_reference_matrix",
 ]

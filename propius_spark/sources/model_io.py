@@ -32,3 +32,39 @@ def load_pairs(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
         )
     else:
         raise ValueError(f"Unsupported format: {fmt}")
+
+
+def load_reference_matrix(
+    spark: SparkSession, path: str, fmt: str = "numpy"
+) -> DataFrame:
+    """Interchange shim for models stored by the REFERENCE engine
+    (propius/similarity.py:170-207): a dense I×I correlation matrix as
+    `.npy` (``format="numpy"``) or pandas CSV (``format="csv"``,
+    columns are 0-based matrix positions), loaded into the engine's
+    long-form pairs schema (item_a, item_b, corr), 0-based ids,
+    off-diagonal finite entries only (the reference's NaN rows are
+    zero-variance items, which the native pipeline also excludes;
+    the all-1.0 diagonal is implicit).
+
+    Driver-side numpy at the API edge is deliberate: this is a MODEL
+    FILE the reference produced, inherently driver-sized (the
+    reference held the dense matrix in one process's memory to write
+    it). Migrating stores land here once, then live as parquet via
+    save_pairs.
+    """
+    import numpy as np
+
+    if fmt == "numpy":
+        m = np.load(path)
+    elif fmt == "csv":
+        import pandas as pd
+
+        m = pd.read_csv(path).to_numpy()
+    else:
+        raise ValueError(f"Unsupported format: {fmt}")
+    m = np.asarray(m, dtype="float64")
+    if m.ndim != 2 or m.shape[0] != m.shape[1]:
+        raise ValueError(f"expected a square matrix, got shape {m.shape}")
+    a, b = np.nonzero(~np.eye(m.shape[0], dtype=bool) & np.isfinite(m))
+    rows = [(int(i), int(j), float(m[i, j])) for i, j in zip(a, b)]
+    return spark.createDataFrame(rows, "item_a long, item_b long, corr double")

@@ -145,3 +145,39 @@ def test_parity_path_has_codegen(spark, sf_dir):
     assert "isFinalPlan=true" in executed
     # codegen stages print as "*(id) Operator" in the simple plan string
     assert "*(" in executed
+
+
+def test_materialize_durable_checkpoint_mode(spark, tmp_path):
+    """materialize() picks reliable checkpoint() when a checkpoint dir
+    is configured (the cluster/executor-loss story) and
+    localCheckpoint() otherwise — identical results either way."""
+    import os
+
+    from propius_spark.plans import materialize
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    want = sorted((r.id, r.v) for r in df.collect())
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    local = materialize(df)
+    assert sorted((r.id, r.v) for r in local.collect()) == want
+    assert not local.isStreaming
+
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        durable = materialize(df)
+        assert sorted((r.id, r.v) for r in durable.collect()) == want
+        # reliable checkpoints write real files under the dir
+        found = [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(ckdir)
+            for f in fs
+        ]
+        assert found, "no reliable checkpoint files written"
+    finally:
+        # reset to executor-local mode so later tests are unaffected
+        jsc = sc._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert sc.getCheckpointDir() is None

@@ -178,3 +178,77 @@ def test_sessionize_stream_late_events_merge_and_never_close_early(spark, tmp_pa
         (2, _us(110), _us(110), 1),
         (2, _us(160), _us(160), 1),
     }
+
+
+def test_event_encodings_equal_under_default_session_confs(spark, tmp_path):
+    """The round-1 failure mode, pinned forever: events.parquet arrives
+    in any of three writer encodings — INT64 TIMESTAMP(NANOS) (needs
+    nanosAsLong, which a DEFAULT driver session does not set),
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ),
+    and TIMESTAMP(MICROS, UTC) — and read_events + _ts_micros must
+    yield identical sessionize/windowed/asof results for all three,
+    WITHOUT relying on session-build confs (we unset nanosAsLong
+    first; read_events must set it at runtime)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from propius_spark.operators import asof_join, sessionize, windowed_counts
+    from propius_spark.sources import read_events
+
+    users = [1, 1, 1, 2, 2, 1]
+    mins = [0, 10, 60, 5, 50, 120]
+    us = [_us(m) for m in mins]
+
+    encodings = {
+        "nanos": pa.timestamp("ns"),
+        "ntz_us": pa.timestamp("us"),
+        "utc_us": pa.timestamp("us", tz="UTC"),
+    }
+    dirs = {}
+    for name, typ in encodings.items():
+        d = tmp_path / name
+        d.mkdir()
+        ts = pa.array([u * 1000 for u in us], pa.timestamp("ns")).cast(typ)
+        t = pa.table({"user_id": pa.array(users, pa.int64()), "ts": ts})
+        pq.write_table(t, str(d / "events.parquet"), version="2.6")
+        dirs[name] = str(d)
+    # prove the nanos fixture really is TIMESTAMP(NANOS) on disk
+    lt = pq.ParquetFile(f"{dirs['nanos']}/events.parquet").schema.column(1)
+    assert "nanoseconds" in str(lt.logical_type)
+
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+
+    results = {}
+    for name, d in dirs.items():
+        ev = read_events(spark, d)
+        sess = sorted(
+            map(tuple, sessionize(ev, gap_minutes=30).collect())
+        )
+        win = sorted(
+            map(
+                tuple,
+                windowed_counts(
+                    ev.withColumn("event_type", F.lit("e")), "1 hour"
+                ).collect(),
+            )
+        )
+        left = ev.filter("user_id = 1").select("user_id", "ts")
+        right = (
+            ev.filter("user_id = 2")
+            .select("user_id", "ts")
+            .withColumn("mark", F.lit(1))
+        )
+        asof = sorted(map(tuple, asof_join(left, right, on="user_id").collect()))
+        results[name] = (sess, win, asof)
+
+    assert results["nanos"] == results["ntz_us"] == results["utc_us"]
+    sess, _, _ = results["nanos"]
+    assert sess == sorted(
+        [(1, _us(0), _us(10), 2), (1, _us(60), _us(60), 1),
+         (1, _us(120), _us(120), 1), (2, _us(5), _us(5), 1),
+         (2, _us(50), _us(50), 1)]
+    )

@@ -46,3 +46,50 @@ def test_load_occurrences_infers_format(spark, tmp_path):
 def test_load_occurrences_empty_path_raises(spark):
     with pytest.raises(ValueError):
         load_occurrences(spark, "")
+
+
+def test_load_reference_matrix_npy_and_csv(spark, tmp_path):
+    """Reference-engine model interchange (propius/similarity.py
+    save_correlation_matrix formats): a dense I x I matrix round-trips
+    into the long-form pairs schema — off-diagonal finite entries,
+    0-based ids, NaN (zero-variance) entries dropped."""
+    import numpy as np
+    import pandas as pd
+
+    from propius_spark.sources import load_reference_matrix
+
+    m = np.array(
+        [
+            [1.0, 0.5, np.nan, -0.25],
+            [0.5, 1.0, np.nan, 0.75],
+            [np.nan, np.nan, np.nan, np.nan],
+            [-0.25, 0.75, np.nan, 1.0],
+        ]
+    )
+    want = sorted(
+        (i, j, m[i, j])
+        for i in range(4)
+        for j in range(4)
+        if i != j and np.isfinite(m[i, j])
+    )
+
+    npy = str(tmp_path / "model.npy")
+    np.save(npy, m)
+    got = sorted(
+        (r.item_a, r.item_b, r.corr)
+        for r in load_reference_matrix(spark, npy).collect()
+    )
+    assert got == want
+
+    csv = str(tmp_path / "model.csv")
+    pd.DataFrame(m).to_csv(csv, index=False)
+    got_csv = sorted(
+        (r.item_a, r.item_b, r.corr)
+        for r in load_reference_matrix(spark, csv, fmt="csv").collect()
+    )
+    assert got_csv == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_reference_matrix(spark, npy, fmt="pickle")
