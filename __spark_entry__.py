@@ -32,8 +32,10 @@ from propius_spark.operators import (
     corr_pairs,
     vstack,
     cosine_topk,
+    decontaminate,
     doc_stats,
     embedding_dup_pairs,
+    repetition_stats,
     exact_dedup,
     get_similar_items,
     ivf_knn_join,
@@ -231,6 +233,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dict-coded token ids pinned for oracle parity (production
     # default is xxhash)
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, id_mode="dict")
+
+
+def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc fraction of 3-gram shingles
+    contained in a held-out 'benchmark' slice (doc_id < 20) — the
+    n-gram containment check run before training data ships. Corpus
+    scan is shuffle-free; the benchmark shingle set broadcasts."""
+    docs = _docs(spark, sf_dir)
+    return decontaminate(docs, docs.filter(F.col("doc_id") < 20), k=3)
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repeated-3-gram stats (Gopher-style quality signal):
+    multiset shingle counts → dup_ratio + hottest-shingle count."""
+    return repetition_stats(_docs(spark, sf_dir), k=3)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
         "text_doc_stats": q_text_doc_stats,
         "corpus_filter": q_corpus_filter,
+        "decontam_docs": q_decontam_docs,
+        "doc_repetition": q_doc_repetition,
         "sample_events_stratified": q_sample_events_stratified,
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
@@ -730,6 +749,35 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "decontam_docs": f"""
+            WITH {_SHINGLES},
+            bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+            per AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+                           COUNT(b.shingle) AS n_contaminated
+                    FROM sh s LEFT JOIN bsh b USING (shingle)
+                    GROUP BY 1)
+            SELECT doc_id, n_shingles, n_contaminated,
+                   ROUND(n_contaminated::DOUBLE / n_shingles, 6)
+                     AS contamination
+            FROM per
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (SELECT doc_id,
+                                 string_split_regex(trim(lower(text)),
+                                                    '\s+') AS t
+                          FROM documents),
+            sha AS (SELECT doc_id, array_to_string(t[i.i:i.i+2], ' ')
+                      AS shingle
+                    FROM toks, LATERAL unnest(range(1, len(t)-1)) AS i(i)
+                    WHERE len(t) >= 3),
+            per AS (SELECT doc_id, shingle, COUNT(*) AS c
+                    FROM sha GROUP BY 1, 2)
+            SELECT doc_id, SUM(c)::BIGINT AS n_shingles,
+                   COUNT(*) AS n_distinct,
+                   ROUND(1.0 - COUNT(*)::DOUBLE/SUM(c), 6) AS dup_ratio,
+                   MAX(c) AS max_repeat
+            FROM per GROUP BY 1
         """,
         "dedup_jaccard": f"""
             WITH {_SHINGLES},

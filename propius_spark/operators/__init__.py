@@ -38,7 +38,7 @@ from .similarity import (
     similar_items_exact,
     top_k_per_item,
 )
-from .textstats import doc_stats, filter_corpus
+from .textstats import doc_stats, filter_corpus, decontaminate, repetition_stats
 
 __all__ = [
     "asof_join",
@@ -61,6 +61,8 @@ __all__ = [
     "deterministic_sample",
     "doc_stats",
     "filter_corpus",
+    "decontaminate",
+    "repetition_stats",
     "stratified_sample",
     "build_cells",
     "vstack",

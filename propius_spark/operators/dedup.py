@@ -75,17 +75,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles(
-    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unique: bool = True,
 ) -> DataFrame:
-    """(doc_id, shingle): DISTINCT k-token shingles per document.
-    Docs with fewer than k tokens produce none (excluded from set
-    similarity, matching the standard definition)."""
+    """(doc_id, shingle): DISTINCT k-token shingles per document
+    (``unique=False`` keeps every occurrence — the multiset view
+    repetition analysis needs). Docs with fewer than k tokens produce
+    none (excluded from set similarity, matching the standard
+    definition)."""
     # shingle i = tokens[i..i+k-1] joined by space, built with direct
     # array indexing (t[i]); the slice()+array_join() form allocates a
     # sub-array per position and measured 5× slower at sf0.1
     idx = " , ".join(f"__toks[i+{j}]" for j in range(k))
     sh = F.expr(f"transform(sequence(0, size(__toks)-{k}), i -> concat_ws(' ', {idx}))")
-    return (
+    out = (
         # hash-repartition by doc BEFORE the per-doc map work: a small
         # corpus arrives as one parquet file = one partition, and the
         # tokenize/shingle expressions would run on a single core. The
@@ -96,8 +102,8 @@ def shingles(
         .withColumn("__toks", tokens(F.col(text_col)))
         .filter(F.size("__toks") >= k)
         .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if unique else out
 
 
 def shingle_ids(sh: DataFrame, id_mode: str = "xxhash") -> DataFrame:

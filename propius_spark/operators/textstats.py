@@ -63,3 +63,100 @@ def filter_corpus(
     if max_tokens is not None:
         out = out.filter(F.col("n_tokens") <= max_tokens)
     return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    threshold: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct k-token shingles that also occur in `benchmark` (the
+    standard n-gram containment check published training pipelines run
+    before a model ever sees the data). Returns (doc_id, n_shingles,
+    n_contaminated, contamination); with ``threshold`` set, only docs
+    with contamination >= threshold (the quarantine list).
+
+    Docs with fewer than k tokens have no shingles and are excluded —
+    same convention as jaccard_pairs (nothing to test containment on).
+
+    Scale: the benchmark side is the SMALL side by contract (eval sets
+    are thousands of docs, the corpus is the 100 TB side) — its
+    distinct-shingle set broadcasts, so the corpus pass is one
+    shuffle-free scan + map-side join over the shingle stream. At
+    extreme benchmark sizes swap the broadcast for a bloom filter
+    (same plan shape, approximate membership, zero false negatives on
+    the quarantine side by re-verifying hits).
+    """
+    from .dedup import shingles
+
+    dsh = shingles(docs, k, id_col, text_col)
+    bsh = (
+        shingles(benchmark, k, id_col, text_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        dsh.join(F.broadcast(bsh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+    )
+    if threshold is not None:
+        per_doc = per_doc.filter(F.col("contamination") >= threshold)
+    return per_doc
+
+
+def repetition_stats(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition: per doc over the MULTISET of k-token
+    shingles — (doc_id, n_shingles, n_distinct, dup_ratio, max_repeat).
+    dup_ratio = 1 − distinct/total is the Gopher-style repeated-n-gram
+    quality signal (templated/spam text scores high); max_repeat is the
+    hottest single shingle's count. Docs with < k tokens are excluded.
+
+    One shuffle on (doc, shingle) with map-side combine, then a
+    doc-cardinality reaggregation — shingling itself stays map-side.
+    """
+    from .dedup import shingles
+
+    per_sh = (
+        shingles(docs, k, id_col, text_col, unique=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_sh.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_repeat"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_shingles"), 6).alias(
+                "dup_ratio"
+            ),
+            "max_repeat",
+        )
+    )

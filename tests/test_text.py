@@ -86,3 +86,45 @@ def test_filter_corpus_thresholds(spark):
     assert set(got) == {1}
     assert got[1].n_tokens == stats[1].n_tokens
     assert got[1].quality == round(stats[1].quality, 6)
+
+
+def test_decontaminate_hand_computed(spark):
+    """doc 1 shares 'a b c' with the benchmark (1 of 2 shingles =
+    0.5); doc 2 shares nothing; doc 3 (< k tokens) is excluded."""
+    from propius_spark.operators import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "q a b c r")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination)
+        for r in decontaminate(docs, bench, k=3).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (1, 0, 0.0)}
+
+    flagged = [
+        r.doc_id
+        for r in decontaminate(docs, bench, k=3, threshold=0.4).collect()
+    ]
+    assert flagged == [1]
+
+
+def test_repetition_stats_hand_computed(spark):
+    """'a b a b a b a' has 5 shingles, 2 distinct ('a b a' ×3,
+    'b a b' ×2) → dup_ratio 0.6, max_repeat 3; an all-unique doc
+    scores 0; a < k-token doc is excluded."""
+    from propius_spark.operators import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a"), (2, "p q r s"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_distinct, r.dup_ratio, r.max_repeat)
+        for r in repetition_stats(docs, k=3).collect()
+    }
+    assert got == {1: (5, 2, 0.6, 3), 2: (2, 2, 0.0, 1)}
