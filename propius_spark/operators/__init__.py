@@ -11,6 +11,7 @@ from .correlation import (
 from .asof import asof_join
 from .ann import (
     assign_centroids,
+    multi_probe_assignments,
     cosine_topk,
     embedding_dup_pairs,
     ivf_knn_join,
@@ -43,6 +44,7 @@ from .textstats import doc_stats, filter_corpus, decontaminate, repetition_stats
 __all__ = [
     "asof_join",
     "assign_centroids",
+    "multi_probe_assignments",
     "cosine_topk",
     "embedding_dup_pairs",
     "ivf_knn_join",

@@ -476,6 +476,40 @@ def assign_centroids(
     return cents, assignment
 
 
+def multi_probe_assignments(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id) with each vector in its ``n_probe``
+    nearest centroid lists (ties → smaller centroid id) — the recall
+    knob for candidate-fed near-dup: two vectors whose true match
+    straddles a centroid boundary still co-bucket if either's probe
+    set reaches the other's list. Feed to
+    ``embedding_dup_pairs(candidates=...)``; its dedup collapses the
+    duplicate hits. Same broadcast-centroids plan as assign_centroids
+    (map-side at any scale), emitting n_probe rows per vector."""
+    base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        (_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "centroid_id")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,

@@ -193,3 +193,46 @@ def test_candidate_fed_dup_pairs_exact_within_buckets(spark):
         for r in embedding_dup_pairs(emb, threshold=0.3, candidates=two).collect()
     )
     assert got2 == want
+
+
+def test_multi_probe_recall_dominates_single_assignment(spark):
+    """multi_probe_assignments(n_probe=1) ≡ assign_centroids'
+    assignment; raising n_probe only ADDS co-bucketed pairs, and the
+    candidate-fed dup pairs found at n_probe=2 are a superset of the
+    single-probe set while staying a subset of the exact answer —
+    the recall-knob contract SCALE.md documents."""
+    import numpy as np
+
+    from propius_spark.operators import (
+        assign_centroids,
+        embedding_dup_pairs,
+        multi_probe_assignments,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(70, 5)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(70)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    one = sorted(
+        map(tuple, multi_probe_assignments(emb, 6, n_probe=1).collect())
+    )
+    _, assignment = assign_centroids(emb, 6)
+    assert one == sorted(map(tuple, assignment.collect()))
+
+    def pairs(cand):
+        return {
+            (r.vec_a, r.vec_b)
+            for r in embedding_dup_pairs(
+                emb, threshold=0.3, candidates=cand
+            ).collect()
+        }
+
+    p1 = pairs(multi_probe_assignments(emb, 6, n_probe=1))
+    p2 = pairs(multi_probe_assignments(emb, 6, n_probe=2))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dup_pairs(emb, threshold=0.3).collect()
+    }
+    assert p1 <= p2 <= exact
+    assert len(p2) > len(p1)  # the knob actually buys recall here
