@@ -71,17 +71,35 @@ def start_cells_query(
     checkpoint_dir: str,
     query_name: str = "propius_cells",
     available_now: bool = True,
+    sink_path: str | None = None,
 ) -> StreamingQuery:
-    """Run the streaming cell aggregation into an in-memory sink
-    (complete mode — the aggregate is the whole model state). For a
-    durable sink swap in foreachBatch → parquet/Delta overwrite; the
-    memory sink is the test/serving-cache surface."""
-    writer = (
-        cells.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-    )
+    """Run the streaming cell aggregation (complete mode — the
+    aggregate is the whole model state).
+
+    ``sink_path=None`` → in-memory sink: the test/serving-cache
+    surface ONLY (the full aggregate lands on the driver; never the
+    production sink). With ``sink_path`` set → durable sink: each
+    trigger overwrites the cell parquet via foreachBatch — a
+    distributed write of the nnz-cardinality state, nothing on the
+    driver, restart-safe from the checkpoint."""
+    if sink_path is not None:
+
+        def _dump(batch_cells: DataFrame, batch_id: int) -> None:
+            batch_cells.write.mode("overwrite").parquet(sink_path)
+
+        writer = (
+            cells.writeStream.outputMode("complete")
+            .foreachBatch(_dump)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+    else:
+        writer = (
+            cells.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

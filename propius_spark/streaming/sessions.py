@@ -126,16 +126,22 @@ def start_sessions_query(
     checkpoint_dir: str,
     query_name: str = "propius_sessions",
     available_now: bool = True,
+    sink_path: str | None = None,
 ) -> StreamingQuery:
-    """Run the closed-session stream into a memory sink (append mode —
-    each closed session is final). Swap in a parquet/Delta sink for a
-    durable session log."""
+    """Run the closed-session stream (append mode — each closed
+    session is final). ``sink_path=None`` → memory sink (test
+    surface); with ``sink_path`` → a durable parquet session log:
+    append-mode file sink, exactly-once per closed session via the
+    checkpoint + file-sink commit log."""
     writer = (
         sessions.writeStream.outputMode("append")
-        .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
     )
+    if sink_path is not None:
+        writer = writer.format("parquet").option("path", sink_path)
+    else:
+        writer = writer.format("memory")
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -136,3 +136,76 @@ def test_model_refresh_stream_equals_batch_publication(spark, tmp_path):
     )
     clear_materialized(spark)
     assert got == want and len(got) > 0
+
+
+def test_streaming_cells_durable_parquet_sink(spark, tmp_path):
+    """sink_path mode: the cell state lands as parquet (distributed
+    write, nothing on the driver) and equals the batch answer; a second
+    wave overwrites with accumulated counts."""
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "cells")
+    _write_occ(spark, OCC_ROWS_1, land)
+
+    q = start_cells_query(
+        streaming_cells(stream_occurrences(spark, land)),
+        ckpt,
+        query_name="t_cells_pq",
+        sink_path=out,
+    )
+    q.awaitTermination()
+    batch1 = build_cells(
+        spark.createDataFrame(OCC_ROWS_1, "reference_id long, item_id long")
+    )
+    assert _sorted_cells(spark.read.parquet(out)) == _sorted_cells(batch1)
+
+    _write_occ(spark, OCC_ROWS_2, land)
+    q2 = start_cells_query(
+        streaming_cells(stream_occurrences(spark, land)),
+        ckpt,
+        query_name="t_cells_pq",
+        sink_path=out,
+    )
+    q2.awaitTermination()
+    both = build_cells(
+        spark.createDataFrame(
+            OCC_ROWS_1 + OCC_ROWS_2, "reference_id long, item_id long"
+        )
+    )
+    assert _sorted_cells(spark.read.parquet(out)) == _sorted_cells(both)
+
+
+def test_sessions_durable_parquet_sink(spark, tmp_path):
+    """The session log parquet sink captures exactly the closed
+    sessions the memory sink would emit."""
+    from datetime import datetime, timedelta
+
+    from propius_spark.streaming import sessionize_stream, start_sessions_query
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (1, t0), (1, t0 + timedelta(minutes=5)),
+        (1, t0 + timedelta(minutes=120)),
+        (2, t0 + timedelta(minutes=200)),
+    ]
+    land = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.mode("append").parquet(land)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(land)
+    out = str(tmp_path / "sessions_log")
+    q = start_sessions_query(
+        sessionize_stream(stream, gap_minutes=30, watermark="10 minutes"),
+        str(tmp_path / "ck"),
+        query_name="t_slog",
+        sink_path=out,
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    us = lambda m: int(t0.timestamp() * 1_000_000) + m * 60_000_000
+    # watermark reaches 190' -> [0,5]x2 and [120] close; [200] stays open
+    assert got == [(1, us(0), us(5), 2), (1, us(120), us(120), 1)]
