@@ -32,8 +32,10 @@ from propius_spark.operators import (
     corr_pairs,
     vstack,
     cosine_topk,
+    cap_per_group,
     decontaminate,
     doc_stats,
+    props_rollup,
     embedding_dup_pairs,
     repetition_stats,
     exact_dedup,
@@ -233,6 +235,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dict-coded token ids pinned for oracle parity (production
     # default is xxhash)
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, id_mode="dict")
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing / quota capping: keep the top-5 docs per source by
+    n_chars (doc_id tiebreak) — the 'no domain dominates' control.
+    One group-key shuffle, rank+filter window, no global sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return cap_per_group(
+        docs, "source", n=5, order_col="n_chars", tiebreak_col="doc_id"
+    )
+
+
+def q_events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest rollup: extract props.k (JSON) map-side,
+    then per-event-type count / value sum / mean k."""
+    return props_rollup(read_events(spark, sf_dir), field="k")
 
 
 def q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "decontam_docs": q_decontam_docs,
         "doc_repetition": q_doc_repetition,
+        "cap_per_source": q_cap_per_source,
+        "events_props_rollup": q_events_props_rollup,
         "sample_events_stratified": q_sample_events_stratified,
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
@@ -749,6 +771,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source, n_chars
+            FROM (SELECT doc_id, source, n_chars,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                  FROM documents)
+            WHERE rn <= 5
+        """,
+        "events_props_rollup": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6)
+                     AS avg_field
+            FROM events GROUP BY 1
         """,
         "decontam_docs": f"""
             WITH {_SHINGLES},

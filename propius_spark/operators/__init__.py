@@ -31,7 +31,8 @@ from .dedup import (
     simhash_pairs,
 )
 from .publish import correlated_items, export_jdbc, publish_model
-from .sampling import deterministic_sample, stratified_sample
+from .sampling import cap_per_group, deterministic_sample, stratified_sample
+from .semistructured import json_field, props_rollup
 from .sessions import sessionize, windowed_counts
 from .similarity import (
     get_similar_items,
@@ -60,7 +61,10 @@ __all__ = [
     "shingles",
     "simhash",
     "simhash_pairs",
+    "cap_per_group",
     "deterministic_sample",
+    "json_field",
+    "props_rollup",
     "doc_stats",
     "filter_corpus",
     "decontaminate",

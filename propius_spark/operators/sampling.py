@@ -68,3 +68,40 @@ def stratified_sample(
         .filter(sample_bucket(F.col(key_col)) < F.col("__cut"))
         .drop("__cut")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Quota capping / data mixing: keep at most ``n`` rows per group —
+    the top rows by ``order_col`` (priority: quality score, length,
+    recency...), ties broken by ``tiebreak_col`` ascending (required
+    for deterministic, oracle-replayable selection when the order
+    column repeats). The standard pipeline control for "no source/
+    domain dominates the corpus".
+
+    One shuffle on the group key; rank + filter is a window over each
+    group, never a global sort. Heavily hot groups are bounded by
+    construction — the window's per-group state is the row stream, and
+    the filter discards past rank n, so output is ≤ n·|groups| however
+    skewed the input.
+    """
+    require_columns(df, [group_col, order_col], "cap_per_group")
+    ob = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tiebreak_col is not None:
+        ob.append(F.col(tiebreak_col).asc())
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(*ob)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -43,3 +43,34 @@ def test_stratified_sample_rates_and_missing_strata(spark):
     assert got == want
     assert not any(s == "c" for _, s in got)  # absent stratum dropped
     assert len({k for k, s in got if s == "a"}) == 1000  # rate 1.0 keeps all
+
+
+def test_cap_per_group_hand_computed(spark):
+    """Top-2 per group by score desc, id asc tiebreak; a group smaller
+    than the cap passes through whole."""
+    from propius_spark.operators import cap_per_group
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 20),
+            ("b", 5, 1),
+        ],
+        "g string, id long, score long",
+    )
+    got = sorted(
+        (r.g, r.id)
+        for r in cap_per_group(
+            df, "g", n=2, order_col="score", tiebreak_col="id"
+        ).collect()
+    )
+    # a: score-30 ties broken by id → ids 2,3; b: passes through
+    assert got == [("a", 2), ("a", 3), ("b", 5)]
+
+    asc = sorted(
+        (r.g, r.id)
+        for r in cap_per_group(
+            df, "g", n=1, order_col="score", descending=False,
+            tiebreak_col="id",
+        ).collect()
+    )
+    assert asc == [("a", 1), ("b", 5)]

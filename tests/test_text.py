@@ -128,3 +128,24 @@ def test_repetition_stats_hand_computed(spark):
         for r in repetition_stats(docs, k=3).collect()
     }
     assert got == {1: (5, 2, 0.6, 3), 2: (2, 2, 0.0, 1)}
+
+
+def test_props_rollup_hand_computed(spark):
+    """JSON extraction is lax (missing / malformed → null, skipped by
+    avg); value sums per group."""
+    from propius_spark.operators import props_rollup
+
+    ev = spark.createDataFrame(
+        [
+            ("click", 1.5, '{"k": 10}'),
+            ("click", 2.5, '{"k": 20}'),
+            ("view", 1.0, '{"other": 1}'),
+            ("view", 2.0, 'not json'),
+        ],
+        "event_type string, value double, props string",
+    )
+    got = {
+        r.event_type: (r.n_events, r.sum_value, r.avg_field)
+        for r in props_rollup(ev, field="k").collect()
+    }
+    assert got == {"click": (2, 4.0, 15.0), "view": (2, 3.0, None)}
