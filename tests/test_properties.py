@@ -395,3 +395,72 @@ def test_asof_join_null_values_keep_row_integrity(spark, data):
         for r in m.itertuples()
     )
     assert got == want
+
+
+corpus_rows = st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda r: r[0],
+)
+
+
+def _py_shingles(words, k=3):
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+@given(docs=corpus_rows, bench=corpus_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_decontaminate_matches_python_reference(spark, docs, bench):
+    """decontaminate ≡ a literal python containment computation on
+    random corpora (docs with < k tokens excluded; duplicate shingles
+    counted once)."""
+    from propius_spark.operators import decontaminate
+
+    sdocs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs], "doc_id long, text string"
+    )
+    sbench = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in bench], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated)
+        for r in decontaminate(sdocs, sbench, k=3).collect()
+    }
+
+    bset = set()
+    for _, ws in bench:
+        bset.update(_py_shingles(ws))
+    want = {}
+    for i, ws in docs:
+        sh = set(_py_shingles(ws))
+        if sh:
+            want[i] = (len(sh), len(sh & bset))
+    assert got == want
+
+
+@given(docs=corpus_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_repetition_stats_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    from propius_spark.operators import repetition_stats
+
+    sdocs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_distinct, r.max_repeat)
+        for r in repetition_stats(sdocs, k=3).collect()
+    }
+    want = {}
+    for i, ws in docs:
+        c = Counter(_py_shingles(ws))
+        if c:
+            want[i] = (sum(c.values()), len(c), max(c.values()))
+    assert got == want
