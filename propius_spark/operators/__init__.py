@@ -16,6 +16,7 @@ from .ann import (
     embedding_dup_pairs,
     ivf_knn_join,
     ivf_topk,
+    kmeans_centroids,
     knn_join,
 )
 from .dedup import (
@@ -46,6 +47,7 @@ __all__ = [
     "asof_join",
     "assign_centroids",
     "multi_probe_assignments",
+    "kmeans_centroids",
     "cosine_topk",
     "embedding_dup_pairs",
     "ivf_knn_join",

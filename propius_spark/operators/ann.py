@@ -23,10 +23,11 @@ precision) — no UDFs, fully codegen'd, and expressible 1:1 in the
 DuckDB oracle (list_dot_product over DOUBLE[]).
 
 Centroid policy: deterministic "seed centroids" — the vectors with
-the ``n_centroids`` smallest ids. Real deployments would run k-means
-(pyspark.ml.clustering.KMeans fits in one line and the assignment/
-probe machinery here is unchanged); seeds keep the operator
-deterministic for oracle comparison.
+the ``n_centroids`` smallest ids — keep every operator bit-replayable
+by the SQL oracle. ``kmeans_centroids`` is the trained production
+alternative (distributed MLlib fit over L2-normalized vectors); it
+plugs into ``assign_centroids(centroids=...)`` and from there into the
+candidate-fed dedup path with zero changes to the probe machinery.
 """
 
 from __future__ import annotations
@@ -446,22 +447,68 @@ def ivf_knn_join(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Trained IVF centroids via pyspark.ml KMeans — the production
+    replacement for the deterministic seed centroids (which exist for
+    oracle comparability; the probe/assignment machinery is identical
+    for either). Vectors are L2-normalized before training so
+    euclidean k-means optimizes the cosine geometry the probes use
+    (on the unit sphere, euclidean argmin ≡ cosine argmax). Returns
+    (centroid_id, cvec, cnorm) — the same KB-sized broadcast shape
+    assign_centroids builds from seeds. The fit is MLlib's distributed
+    Lloyd iteration; only the k centers land on the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    feat = (
+        with_norm(emb, vec_col)
+        .filter(F.col("norm") > 0)
+        .select(
+            array_to_vector(
+                F.zip_with("vec", "vec", lambda x, _: x / F.col("norm"))
+            ).alias("features")
+        )
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    rows = [
+        (i, [float(x) for x in c], float(sum(x * x for x in c)) ** 0.5)
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(
+        rows, "centroid_id long, cvec array<double>, cnorm double"
+    )
+
+
 def assign_centroids(
     emb: DataFrame,
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (centroids, assignment): centroids = seed vectors
-    (n_centroids smallest ids); assignment = (vec_id, centroid_id)
-    by max cosine (ties → smaller centroid id). One broadcast join of
-    the tiny centroid set against the corpus — map-side at any scale."""
+    (n_centroids smallest ids) or a caller-supplied
+    (centroid_id, cvec, cnorm) table (e.g. kmeans_centroids);
+    assignment = (vec_id, centroid_id) by max cosine (ties → smaller
+    centroid id). One broadcast join of the tiny centroid set against
+    the corpus — map-side at any scale."""
     base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
-    cents = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
-    )
+    if centroids is not None:
+        cents = centroids.select("centroid_id", "cvec", "cnorm")
+    else:
+        cents = base.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",

@@ -236,3 +236,49 @@ def test_multi_probe_recall_dominates_single_assignment(spark):
     }
     assert p1 <= p2 <= exact
     assert len(p2) > len(p1)  # the knob actually buys recall here
+
+
+def test_kmeans_centroids_feed_candidate_dedup(spark):
+    """Trained-centroid IVF buckets compose with the candidate-fed
+    near-dup kernel exactly like seed centroids: found pairs are exact
+    cosines and a subset of the all-pairs answer; well-separated
+    clusters keep their in-cluster pairs."""
+    import numpy as np
+
+    from propius_spark.operators import (
+        assign_centroids,
+        embedding_dup_pairs,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    # two tight direction-clusters on the unit sphere
+    base_a = np.array([1.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.0, 1.0, 0.0, 0.0])
+    vecs = [
+        (b + rng.normal(scale=0.05, size=4)) for b in [base_a] * 25 + [base_b] * 25
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(emb, n_centroids=2, seed=1, max_iter=10)
+    assert cents.count() == 2
+    _, assignment = assign_centroids(emb, centroids=cents)
+    got = {
+        (r.vec_a, r.vec_b): round(r.cosine, 9)
+        for r in embedding_dup_pairs(
+            emb, threshold=0.9, candidates=assignment
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): round(r.cosine, 9)
+        for r in embedding_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(exact[p] == c for p, c in got.items())
+    # k-means separates the two direction clusters, so every true pair
+    # within one cluster is recovered
+    in_cluster = {
+        (a, b) for (a, b) in exact if (a < 25) == (b < 25)
+    }
+    assert in_cluster <= set(got)
