@@ -33,6 +33,7 @@ from propius_spark.operators import (
     vstack,
     cosine_topk,
     cap_per_group,
+    corpus_summary,
     decontaminate,
     doc_stats,
     props_rollup,
@@ -235,6 +236,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dict-coded token ids pinned for oracle parity (production
     # default is xxhash)
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, id_mode="dict")
+
+
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus report: doc/token/vocab/char rollup — one
+    map-side doc-stats pass plus a two-phase distinct over the token
+    stream, joined on the tiny lang key."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return corpus_summary(docs, group_col="lang")
 
 
 def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": q_decontam_docs,
         "doc_repetition": q_doc_repetition,
         "cap_per_source": q_cap_per_source,
+        "corpus_summary": q_corpus_summary,
         "events_props_rollup": q_events_props_rollup,
         "sample_events_stratified": q_sample_events_stratified,
         "sessionize_events": q_sessionize_events,
@@ -771,6 +783,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "corpus_summary": r"""
+            WITH tk AS (SELECT doc_id, lang, text,
+                               CASE WHEN trim(lower(text)) = ''
+                                    THEN []::VARCHAR[]
+                                    ELSE string_split_regex(
+                                           trim(lower(text)), '\s+') END
+                                 AS toks
+                        FROM documents),
+            ds AS (SELECT lang, COUNT(*) AS n_docs,
+                          SUM(len(toks))::BIGINT AS total_tokens,
+                          ROUND(AVG(LENGTH(text)), 6) AS avg_chars
+                   FROM tk GROUP BY 1),
+            vo AS (SELECT lang, COUNT(DISTINCT tok) AS vocab_size
+                   FROM tk, LATERAL unnest(toks) AS u(tok)
+                   GROUP BY 1)
+            SELECT ds.lang, n_docs, total_tokens,
+                   COALESCE(vocab_size, 0) AS vocab_size, avg_chars
+            FROM ds LEFT JOIN vo ON ds.lang = vo.lang
         """,
         "cap_per_source": """
             SELECT doc_id, source, n_chars

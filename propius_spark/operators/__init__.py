@@ -41,7 +41,13 @@ from .similarity import (
     similar_items_exact,
     top_k_per_item,
 )
-from .textstats import doc_stats, filter_corpus, decontaminate, repetition_stats
+from .textstats import (
+    corpus_summary,
+    decontaminate,
+    doc_stats,
+    filter_corpus,
+    repetition_stats,
+)
 
 __all__ = [
     "asof_join",
@@ -69,6 +75,7 @@ __all__ = [
     "props_rollup",
     "doc_stats",
     "filter_corpus",
+    "corpus_summary",
     "decontaminate",
     "repetition_stats",
     "stratified_sample",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, lang_id, quality_score, token_count
+from ..schemas import require_columns
 
 
 def doc_stats(
@@ -159,4 +160,50 @@ def repetition_stats(
             ),
             "max_repeat",
         )
+    )
+
+
+def corpus_summary(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level analytics per group (language, source, ...):
+    (group, n_docs, total_tokens, vocab_size, avg_chars) — the
+    "what's in this corpus" report a data pipeline publishes with
+    every snapshot.
+
+    Two aggregates joined on the tiny group key: doc-level stats are a
+    map-side scan + one group-key shuffle; vocab_size is
+    count-distinct over the exploded token stream (Spark's two-phase
+    distinct aggregate — partial per-partition dedup before the
+    shuffle, so the wire carries the per-partition vocabulary, not the
+    token stream).
+    """
+    from ..functions.text import token_count, tokens
+
+    require_columns(docs, [group_col, id_col, text_col], "corpus_summary")
+    g = F.col(group_col)
+    per_doc = docs.select(
+        g,
+        token_count(F.col(text_col)).alias("__nt"),
+        F.length(F.col(text_col)).alias("__nc"),
+    )
+    doc_stats_agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.round(F.avg("__nc"), 6).alias("avg_chars"),
+    )
+    vocab = (
+        docs.select(g, F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .groupBy(group_col)
+        .agg(F.count_distinct("__tok").alias("vocab_size"))
+    )
+    return doc_stats_agg.join(vocab, group_col, "left").select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
+        "avg_chars",
     )

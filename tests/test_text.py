@@ -149,3 +149,24 @@ def test_props_rollup_hand_computed(spark):
         for r in props_rollup(ev, field="k").collect()
     }
     assert got == {"click": (2, 4.0, 15.0), "view": (2, 3.0, None)}
+
+
+def test_corpus_summary_hand_computed(spark):
+    from propius_spark.operators import corpus_summary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c"),
+            (2, "en", "a a d"),
+            (3, "de", "x"),
+            (4, "de", ""),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.lang: (r.n_docs, r.total_tokens, r.vocab_size, r.avg_chars)
+        for r in corpus_summary(docs).collect()
+    }
+    # en: 6 tokens over {a,b,c,d}; de: 1 token, empty doc counts in
+    # n_docs/avg_chars but contributes no tokens
+    assert got == {"en": (2, 6, 4, 5.0), "de": (2, 1, 1, 0.5)}
