@@ -5,9 +5,11 @@ from .cooccurrence import (
     streaming_cells,
     windowed_event_counts,
 )
+from .dedup import dedup_stream
 from .sessions import sessionize_stream, start_sessions_query
 
 __all__ = [
+    "dedup_stream",
     "sessionize_stream",
     "start_cells_query",
     "start_model_refresh",

@@ -1,0 +1,45 @@
+"""Streaming ingest-time deduplication.
+
+Exact dedup belongs at INGEST in a training pipeline — a duplicate
+dropped before it lands is storage, shuffle, and training compute
+saved everywhere downstream. The batch twin (operators/dedup.
+exact_dedup) resolves duplicates over a bounded corpus; this is the
+unbounded version: first-seen document per content hash survives,
+later arrivals are dropped.
+
+State discipline (the 100 TB concern): ``dropDuplicatesWithinWatermark``
+keys the state store on the content hash and EVICTS each key once the
+watermark passes its event time + the delay — so state holds only the
+recent-horizon hash set, not every document ever seen. The trade is
+explicit and standard: a duplicate recurring further apart than the
+watermark horizon is re-admitted (cross-horizon dedup is the batch
+job's role on the landed data). Keying on xxhash64(text) (not the
+text) keeps state rows at 8 bytes + key overhead; the ~2⁻⁶⁴ collision
+rate is the same engineering trade the batch path documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+
+
+def dedup_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-seen-wins exact dedup over an unbounded document stream
+    `(ts, text, ...)`: emits each content hash's first arrival, drops
+    re-arrivals within the watermark horizon. Append-mode compatible
+    (every emitted row is final)."""
+    require_columns(docs, [ts_col, text_col], "dedup_stream")
+    return (
+        docs.withColumn("__h", F.xxhash64(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

@@ -209,3 +209,49 @@ def test_sessions_durable_parquet_sink(spark, tmp_path):
     us = lambda m: int(t0.timestamp() * 1_000_000) + m * 60_000_000
     # watermark reaches 190' -> [0,5]x2 and [120] close; [200] stays open
     assert got == [(1, us(0), us(5), 2), (1, us(120), us(120), 1)]
+
+
+def test_dedup_stream_first_seen_wins(spark, tmp_path):
+    """Ingest-time dedup: within the watermark horizon only the first
+    arrival of each text survives, across micro-batches; distinct
+    texts all pass."""
+    from datetime import datetime, timedelta
+
+    from propius_spark.streaming import dedup_stream
+
+    t0 = datetime(2024, 5, 1)
+    land = str(tmp_path / "docs")
+
+    def _write(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("append").parquet(land)
+
+    _write([
+        (1, t0, "alpha"), (2, t0 + timedelta(minutes=1), "beta"),
+        (3, t0 + timedelta(minutes=2), "alpha"),      # dup in-batch
+    ])
+    _write([
+        (4, t0 + timedelta(minutes=3), "beta"),       # dup cross-batch
+        (5, t0 + timedelta(minutes=4), "gamma"),
+    ])
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        dedup_stream(stream, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.doc_id, r.text) for r in spark.table("t_dedup_stream").collect()
+    )
+    assert got == [(1, "alpha"), (2, "beta"), (5, "gamma")]
