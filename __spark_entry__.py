@@ -468,10 +468,23 @@ def q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "cells_stream_" + uuid.uuid4().hex[:8]
-    q = start_cells_query(
-        streaming_cells(occ), tempfile.mkdtemp(prefix="propius_ckpt_"), query_name=name
-    )
-    q.awaitTermination()
+    # state-store sizing: the streaming aggregate pays a per-(batch ×
+    # partition) store-commit overhead, and the partition count is
+    # pinned into the checkpoint at first start — size it to the STATE
+    # (nnz cells, ~60k at sf0.1; 8 stores ample), not to the session's
+    # scan parallelism (measured ~0.7-2 s saved per run at sf0.1).
+    # On a real cluster size this to state volume / executor count.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_cells_query(
+            streaming_cells(occ),
+            tempfile.mkdtemp(prefix="propius_ckpt_"),
+            query_name=name,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
