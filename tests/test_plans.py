@@ -181,3 +181,48 @@ def test_materialize_durable_checkpoint_mode(spark, tmp_path):
         jsc = sc._jsc.sc()
         getattr(jsc, "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
     assert sc.getCheckpointDir() is None
+
+
+def test_new_text_ops_plan_shape(spark, sf_dir):
+    """Round-2 text/mixing ops keep their scale posture: decontaminate
+    broadcasts the benchmark side (no corpus-side shuffle join);
+    cap_per_group and props_rollup are Python-free single-exchange
+    plans with column-pruned scans; none plans a cartesian product."""
+    from propius_spark.operators import (
+        cap_per_group,
+        decontaminate,
+        props_rollup,
+    )
+    from propius_spark.sources import read_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+
+    dec = _plan(decontaminate(docs, docs.filter(F.col("doc_id") < 20), k=3))
+    assert "BroadcastHashJoin" in dec or "BroadcastExchange" in dec
+    assert "CartesianProduct" not in dec
+    assert not [n for n in PY_EVAL_NODES if n in dec]
+
+    import re
+
+    def _n_shuffles(plan):
+        # formatted mode prints shuffle nodes as "Exchange (n)" /
+        # "(n) Exchange"; broadcast exchanges are "BroadcastExchange"
+        return len(re.findall(r"\bExchange\b", plan)) - plan.count(
+            "BroadcastExchange"
+        )
+
+    cap = _plan(
+        cap_per_group(
+            docs.select("doc_id", "source", "n_chars"),
+            "source", 5, "n_chars", tiebreak_col="doc_id",
+        )
+    )
+    assert _n_shuffles(cap) == 2  # node appears in tree + detail section
+    assert "text" not in cap.split("ReadSchema", 1)[1].splitlines()[0]
+    assert not [n for n in PY_EVAL_NODES if n in cap]
+
+    pr = _plan(props_rollup(read_events(spark, sf_dir), field="k"))
+    assert _n_shuffles(pr) == 2
+    assert not [n for n in PY_EVAL_NODES if n in pr]
