@@ -33,7 +33,9 @@ from propius_spark.operators import (
     vstack,
     cosine_topk,
     cap_per_group,
+    chunk_documents,
     corpus_summary,
+    pack_documents,
     decontaminate,
     doc_stats,
     props_rollup,
@@ -236,6 +238,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dict-coded token ids pinned for oracle parity (production
     # default is xxhash)
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, id_mode="dict")
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (32-token chunks, 8 overlap): the
+    clean-corpus → training-window reshape. Pure map-side array
+    expressions, no shuffle."""
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into ~256-token bins across 8
+    deterministic shards — one shard-key shuffle + per-shard running
+    sum, never a global ordering task."""
+    return pack_documents(_docs(spark, sf_dir), target_tokens=256, n_shards=8)
 
 
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": q_decontam_docs,
         "doc_repetition": q_doc_repetition,
         "cap_per_source": q_cap_per_source,
+        "chunk_docs": q_chunk_docs,
+        "pack_docs": q_pack_docs,
         "corpus_summary": q_corpus_summary,
         "events_props_rollup": q_events_props_rollup,
         "sample_events_stratified": q_sample_events_stratified,
@@ -796,6 +814,40 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "chunk_docs": r"""
+            WITH toks AS (SELECT doc_id,
+                                 CASE WHEN trim(lower(text)) = ''
+                                      THEN []::VARCHAR[]
+                                      ELSE string_split_regex(
+                                             trim(lower(text)), '\s+') END
+                                   AS t
+                          FROM documents)
+            SELECT doc_id, (s.s // 24)::BIGINT AS chunk_id,
+                   array_to_string(t[s.s+1 : s.s+32], ' ') AS chunk_text,
+                   len(t[s.s+1 : s.s+32])::BIGINT AS n_tokens
+            FROM toks, LATERAL unnest(range(0, len(t), 24)) AS s(s)
+            WHERE len(t) > 0
+        """,
+        "pack_docs": r"""
+            WITH toks AS (SELECT doc_id,
+                                 CASE WHEN trim(lower(text)) = ''
+                                      THEN []::VARCHAR[]
+                                      ELSE string_split_regex(
+                                             trim(lower(text)), '\s+') END
+                                   AS t
+                          FROM documents),
+            nt AS (SELECT doc_id, doc_id % 8 AS shard,
+                          len(t)::BIGINT AS n_tokens
+                   FROM toks WHERE len(t) > 0),
+            c AS (SELECT shard, doc_id, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           AS cum
+                  FROM nt)
+            SELECT shard, ((cum - n_tokens) // 256)::BIGINT AS bin_id,
+                   doc_id, n_tokens
+            FROM c
         """,
         "corpus_summary": r"""
             WITH tk AS (SELECT doc_id, lang, text,

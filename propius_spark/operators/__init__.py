@@ -32,6 +32,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .publish import correlated_items, export_jdbc, publish_model
+from .chunking import chunk_documents, pack_documents
 from .sampling import cap_per_group, deterministic_sample, stratified_sample
 from .semistructured import json_field, props_rollup
 from .sessions import sessionize, windowed_counts
@@ -70,6 +71,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "cap_per_group",
+    "chunk_documents",
+    "pack_documents",
     "deterministic_sample",
     "json_field",
     "props_rollup",

@@ -1,0 +1,105 @@
+"""Document chunking and sequence packing — the two reshaping ops a
+training pipeline runs between "clean corpus" and "training batches".
+
+Both are pure Catalyst (array expressions + one window), fully
+replayable by a SQL oracle, and deliberately deterministic: a chunk or
+bin assignment must not depend on partitioning or execution order, or
+re-runs produce different training data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+from ..schemas import require_columns
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_tokens`` with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    chunk_tokens − overlap): (doc_id, chunk_id, chunk_text, n_tokens).
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens); starts
+    run at 0, stride, 2·stride, ... < n, so trailing chunks may be
+    short. Empty docs produce no chunks.
+
+    Map-side only — tokenize, window-slice, and explode are per-row
+    array expressions fused into the scan; output cardinality is
+    Σ⌈n_i/stride⌉ rows. No shuffle at any scale.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    require_columns(docs, [id_col, text_col], "chunk_documents")
+    stride = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts, lambda s: F.slice("__t", s + 1, chunk_tokens)
+                )
+            ).alias("chunk_id", "__c"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", "__c").alias("chunk_text"),
+            F.size("__c").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    target_tokens: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: assign whole documents to training
+    bins of ~``target_tokens``, returning (shard, bin_id, doc_id,
+    n_tokens). Documents are packed in doc-id order within
+    ``n_shards`` deterministic shards (shard = doc_id mod n_shards);
+    a doc lands in the bin where its running token total starts
+    (bin_id = prefix_sum_before div target), so bins overflow by at
+    most one document — the standard greedy concat-and-cut packing.
+
+    Scale: the running sum is a per-shard window — one shuffle on the
+    shard key and n_shards-way parallelism (never a single global
+    ordering task); raise n_shards with cluster size. Deterministic in
+    (doc_id, n_shards, target) — independent of physical partitioning,
+    so re-runs and the SQL oracle agree row-for-row.
+    """
+    require_columns(docs, [id_col, text_col], "pack_documents")
+    nt = F.size(tokens(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        nt.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "shard",
+        ((cum - F.col("n_tokens")).cast("long") / F.lit(target_tokens))
+        .cast("long")
+        .alias("bin_id"),
+        "doc_id",
+        "n_tokens",
+    )
