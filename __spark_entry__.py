@@ -40,7 +40,10 @@ from propius_spark.operators import (
     doc_stats,
     props_rollup,
     embedding_dup_pairs,
+    redact_pii,
     repetition_stats,
+    split_corpus,
+    vocabulary,
     exact_dedup,
     get_similar_items,
     ivf_knn_join,
@@ -238,6 +241,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dict-coded token ids pinned for oracle parity (production
     # default is xxhash)
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, id_mode="dict")
+
+
+def q_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/URL/phone patterns replaced map-side
+    (lookaround-free regexes — byte-identical in any RE2-class
+    oracle engine)."""
+    return redact_pii(_docs(spark, sf_dir)).select("doc_id", "text")
+
+
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by key arithmetic —
+    partitioning- and engine-independent assignment."""
+    return split_corpus(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 by frequency (token asc tiebreak) —
+    the tokenizer-training precursor."""
+    return vocabulary(_docs(spark, sf_dir), min_count=1, limit=100)
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "chunk_docs": q_chunk_docs,
         "pack_docs": q_pack_docs,
+        "redact_docs": q_redact_docs,
+        "split_corpus": q_split_corpus,
+        "vocabulary": q_vocabulary,
         "corpus_summary": q_corpus_summary,
         "events_props_rollup": q_events_props_rollup,
         "sample_events_stratified": q_sample_events_stratified,
@@ -814,6 +841,43 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "redact_docs": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     'https?://[^\s]+', '<URL>', 'g'),
+                     '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g')
+                     AS text
+            FROM documents
+        """,
+        "split_corpus": """
+            SELECT doc_id,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((2654435761 * doc_id + 1013904223) % 2147483647)
+                           % 1000000 AS b
+                  FROM documents)
+        """,
+        "vocabulary": r"""
+            WITH toks AS (SELECT CASE WHEN trim(lower(text)) = ''
+                                      THEN []::VARCHAR[]
+                                      ELSE string_split_regex(
+                                             trim(lower(text)), '\s+') END
+                                   AS t
+                          FROM documents),
+            c AS (SELECT tok AS token, COUNT(*) AS count
+                  FROM toks, LATERAL unnest(t) AS u(tok)
+                  GROUP BY 1)
+            SELECT token, count, rank FROM (
+              SELECT token, count,
+                     ROW_NUMBER() OVER (ORDER BY count DESC, token ASC)
+                       AS rank
+              FROM c)
+            WHERE rank <= 100
         """,
         "chunk_docs": r"""
             WITH toks AS (SELECT doc_id,

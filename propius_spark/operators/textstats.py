@@ -207,3 +207,85 @@ def corpus_summary(
         F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
         "avg_chars",
     )
+
+
+# character classes shared by both engines (Java regex and RE2): no
+# lookarounds, no \b — plain classes and quantifiers only, so Spark's
+# regexp_replace and the oracle's produce identical text
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Scrub emails, URLs, and phone-shaped digit runs from the text
+    column (applied in PII_PATTERNS order — email before URL before
+    phone, so an address inside a URL query string is already gone
+    when the phone pattern runs). Pure map-side regexp_replace chain;
+    patterns are deliberately lookaround-free so any RE2-class oracle
+    replays them byte-for-byte. Pattern-match recall is the usual
+    regex-PII trade — this is the scrub stage, not a PII *detector*.
+    """
+    require_columns(docs, [text_col], "redact_pii")
+    col = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return docs.withColumn(out_col or text_col, col)
+
+
+def split_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a `split` label chosen
+    purely by key arithmetic (same bucket family as sampling.py), so
+    every re-run, every engine, and every downstream job agrees on the
+    assignment — the property RNG-based randomSplit cannot give.
+    Weights need not sum to 1; rows falling past the cumulative range
+    (sum < 1) are dropped (holdout)."""
+    from .sampling import SAMPLE_RES, sample_bucket
+
+    require_columns(docs, [key_col], "split_corpus")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    b = sample_bucket(F.col(key_col))
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        lo, acc = acc, acc + w
+        cond = (b >= int(lo * SAMPLE_RES)) & (b < int(acc * SAMPLE_RES))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr).filter(F.col("split").isNotNull())
+
+
+def vocabulary(
+    docs: DataFrame,
+    min_count: int = 1,
+    limit: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary with frequencies: (token, count, rank), rank
+    by count desc then token asc — the tokenizer-training precursor.
+    One map-side tokenize+explode with partial aggregation, a single
+    token-key shuffle, and (with ``limit``) a distributed top-k rather
+    than a global sort. The rank window's single-partition scope only
+    ever sees the post-filter vocabulary (≪ corpus) — cap it with
+    ``limit``/``min_count`` at scale."""
+    from ..functions.text import tokens
+    from pyspark.sql.window import Window
+
+    require_columns(docs, [text_col], "vocabulary")
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    return ranked.filter(F.col("rank") <= limit) if limit else ranked

@@ -170,3 +170,63 @@ def test_corpus_summary_hand_computed(spark):
     # en: 6 tokens over {a,b,c,d}; de: 1 token, empty doc counts in
     # n_docs/avg_chars but contributes no tokens
     assert got == {"en": (2, 6, 4, 5.0), "de": (2, 1, 1, 0.5)}
+
+
+def test_redact_pii_hand_computed(spark):
+    from propius_spark.operators import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write a.b+x@mail.org now"),
+            (2, "see https://ex.com/p?u=a@b.co end"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text stays"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in redact_pii(docs).collect()}
+    assert got[1] == "write <EMAIL> now"
+    # the URL swallows the embedded address? email pattern runs FIRST,
+    # so the address inside the query string is redacted, then the
+    # remaining URL (now containing <EMAIL>) is redacted as a URL
+    assert got[2] == "see <URL> end"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text stays"
+
+
+def test_split_corpus_deterministic_and_partitioned(spark):
+    from propius_spark.operators import split_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(500)], "doc_id long, text string"
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in split_corpus(docs, w).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in split_corpus(docs.repartition(7), w).collect()
+    }
+    assert a == b and len(a) == 500          # total, partition-invariant
+    from collections import Counter
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / 500 < 0.9      # roughly proportional
+    assert set(c) == {"train", "val", "test"}
+
+    # holdout: weights summing < 1 drop the tail bucket
+    h = split_corpus(docs, {"train": 0.5}).count()
+    assert h < 500
+
+
+def test_vocabulary_rank_order(spark):
+    from propius_spark.operators import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = [
+        (r.token, r["count"], r.rank)
+        for r in vocabulary(docs).orderBy("rank").collect()
+    ]
+    assert got == [("a", 3, 1), ("b", 2, 2), ("c", 1, 3)]
+    assert vocabulary(docs, min_count=2).count() == 2
+    assert vocabulary(docs, limit=1).collect()[0].token == "a"
