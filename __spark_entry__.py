@@ -558,6 +558,19 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal → similarity composition: Arrow-batched
+    decode emits per-media feature blocks (deterministic fake kernel),
+    which feed the BLAS near-dup operator unchanged — the plumbing a
+    real image-dedup pipeline runs, with stubbed codecs."""
+    dec = decode_media(media_from_documents(_docs(spark, sf_dir)), fake=True)
+    emb = dec.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("pixels").cast("array<double>").alias("embedding"),
+    )
+    return _r6(embedding_dup_pairs(emb, threshold=0.9), "cosine")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 'parts bought together' for one part at sf0.001 —
     full model row, name-joined, top-10."""
@@ -607,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cells": q_streaming_cells,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_dup_pairs": q_multimodal_dup_pairs,
     }
 
 
@@ -1229,6 +1243,20 @@ def oracle_sql() -> dict[str, str]:
                      j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
                      )::BIGINT AS pixel_sum
             FROM documents
+        """,
+        "multimodal_dup_pairs": """
+            WITH px AS (SELECT doc_id AS vec_id,
+                               list_transform(range(0, 16),
+                                 j -> ('0x' || substr(sha256(text),
+                                       j*2+1, 2))::INT)::DOUBLE[] AS v
+                        FROM documents),
+            nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+                   FROM px)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)
+                     AS cosine
+            FROM nb a JOIN nb b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.9
         """,
         # gaps-and-islands over epoch-micros event times; ties (equal
         # t) can't open a session (gap 0), so the running-sum ids are
