@@ -28,6 +28,8 @@ from propius_spark.functions import decode_media, media_from_documents
 from propius_spark.operators import (
     asof_join,
     assign_centroids,
+    cohort_retention,
+    funnel,
     build_cells,
     corr_pairs,
     vstack,
@@ -558,6 +560,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel click→view→purchase within 24 h —
+    one user-key shuffle, per-user array expressions for the chained
+    earliest-qualifying-step times (no k-way join chain)."""
+    return funnel(
+        read_events(spark, sf_dir),
+        ["click", "view", "purchase"],
+        within_minutes=1440,
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over epoch-week integers (engine- and
+    timezone-invariant): distinct user-weeks → first week per user →
+    offset counts."""
+    return cohort_retention(read_events(spark, sf_dir))
+
+
 def q_multimodal_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal → similarity composition: Arrow-batched
     decode emits per-media feature blocks (deterministic fake kernel),
@@ -621,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_dup_pairs": q_multimodal_dup_pairs,
+        "funnel_events": q_funnel_events,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -1243,6 +1265,40 @@ def oracle_sql() -> dict[str, str]:
                      j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
                      )::BIGINT AS pixel_sum
             FROM documents
+        """,
+        # chained-CTE funnel (the standard SQL formulation) replays the
+        # single-shuffle array-expression plan's semantics exactly
+        "funnel_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et
+                       FROM events),
+            s0 AS (SELECT user_id,
+                          MIN(CASE WHEN et = 'click' THEN t END) AS t0
+                   FROM e GROUP BY 1),
+            s1 AS (SELECT s0.user_id, t0,
+                          MIN(CASE WHEN e.et = 'view' AND e.t >= s0.t0
+                                    AND e.t <= s0.t0 + 86400000000
+                                   THEN e.t END) AS t1
+                   FROM s0 LEFT JOIN e USING (user_id) GROUP BY 1, 2),
+            s2 AS (SELECT s1.user_id, t0, t1,
+                          MIN(CASE WHEN e.et = 'purchase' AND e.t >= s1.t1
+                                    AND e.t <= s1.t0 + 86400000000
+                                   THEN e.t END) AS t2
+                   FROM s1 LEFT JOIN e USING (user_id) GROUP BY 1, 2, 3)
+            SELECT 0::BIGINT AS step_idx, 'click' AS step,
+                   COUNT(t0) AS n_users FROM s2
+            UNION ALL SELECT 1::BIGINT, 'view', COUNT(t1) FROM s2
+            UNION ALL SELECT 2::BIGINT, 'purchase', COUNT(t2) FROM s2
+        """,
+        "cohort_retention": """
+            WITH a AS (SELECT DISTINCT user_id,
+                              (epoch_us(ts) // 86400000000) // 7 AS week
+                       FROM events),
+            f AS (SELECT user_id, MIN(week) AS cohort_week
+                  FROM a GROUP BY 1)
+            SELECT cohort_week, week - cohort_week AS week_offset,
+                   COUNT(*) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "multimodal_dup_pairs": """
             WITH px AS (SELECT doc_id AS vec_id,

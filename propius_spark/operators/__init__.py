@@ -33,6 +33,7 @@ from .dedup import (
 )
 from .publish import correlated_items, export_jdbc, publish_model
 from .chunking import chunk_documents, pack_documents
+from .events import cohort_retention, funnel
 from .sampling import cap_per_group, deterministic_sample, stratified_sample
 from .semistructured import json_field, props_rollup
 from .sessions import sessionize, windowed_counts
@@ -75,6 +76,8 @@ __all__ = [
     "simhash_pairs",
     "cap_per_group",
     "chunk_documents",
+    "cohort_retention",
+    "funnel",
     "pack_documents",
     "deterministic_sample",
     "json_field",

@@ -1,0 +1,137 @@
+"""Event-log analytics: funnel progression and cohort retention.
+
+The classic product-analytics queries over the `(user_id, ts,
+event_type)` stream, expressed as chained conditional aggregations —
+deliberately NOT per-row UDF state machines, so Catalyst keeps the
+whole thing in codegen and a SQL oracle replays it exactly.
+
+Scale shape: both operators shuffle the event stream ONCE on user_id
+(the same minimum as sessionize); every later stage works on
+user-cardinality aggregates. Time arithmetic is integer epoch math
+(micros / days / weeks), never engine-local calendar functions, so
+the numbers are identical across engines and timezones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+from .sessions import _ts_micros
+
+US_PER_DAY = 86_400_000_000
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_minutes: float | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per step i, the number of users whose earliest
+    step-i event occurs at-or-after their earliest qualifying step-i−1
+    event (optionally within ``within_minutes`` of step 0). Returns
+    (step_idx, step, n_users) — the per-step survivor counts product
+    analytics calls a conversion funnel.
+
+    ONE shuffle total: the event stream groups once per user
+    (collect_list of (t, type) structs — per-user event counts bound
+    the array, the same assumption every per-entity operator makes;
+    pathological users want an upstream cap), then every step's
+    earliest qualifying timestamp is a chained array expression
+    (filter + transform + array_min, step i's lambda referencing step
+    i−1's column as an outer reference) — no k-way join chain
+    re-shuffling the stream per step. Equal timestamps count as
+    progression (enter and convert in the same instant), matching the
+    windowless SQL funnel convention.
+    """
+    require_columns(events, [user_col, ts_col, type_col], "funnel")
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        _ts_micros(events, ts_col).alias("t"),
+        F.col(type_col).alias("et"),
+    )
+    cur = e.groupBy("user_id").agg(
+        F.collect_list(F.struct("t", "et")).alias("__evs")
+    )
+
+    def step_min(i: int):
+        def cond(x):
+            c = x["et"] == steps[i]
+            if i > 0:
+                c = c & (x["t"] >= F.col(f"t{i - 1}"))
+                if within_minutes is not None:
+                    c = c & (
+                        x["t"] <= F.col("t0") + F.lit(int(within_minutes * 60_000_000))
+                    )
+            return c
+
+        return F.array_min(
+            F.transform(F.filter("__evs", cond), lambda x: x["t"])
+        )
+
+    for i in range(len(steps)):
+        cur = cur.withColumn(f"t{i}", step_min(i))
+    counts = cur.select(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.step_idx", "r.step", "r.n_users")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by their first-activity
+    week (epoch-week = epoch-day div 7 — pure integer arithmetic, no
+    calendar functions), counted once per later week they return:
+    (cohort_week, week_offset, n_users).
+
+    Two aggregations: distinct (user, week) activity — one user-key
+    shuffle with partial dedup — then the user's min week broadcastable
+    back via a user-partitioned join; the final count groups
+    cohort-cardinality rows.
+    """
+    require_columns(events, [user_col, ts_col], "cohort_retention")
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        _ts_micros(events, ts_col).alias("__us"),
+        # integer div, not `/`: double division near week boundaries
+        # must not round a user into the wrong cohort
+    ).select(
+        "user_id", F.expr(f"__us div {US_PER_DAY} div 7").alias("week")
+    )
+    active = e.distinct()
+    first = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
