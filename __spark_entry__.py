@@ -44,7 +44,9 @@ from propius_spark.operators import (
     embedding_dup_pairs,
     redact_pii,
     repetition_stats,
+    rolling_user_counts,
     split_corpus,
+    token_distribution,
     vocabulary,
     exact_dedup,
     get_similar_items,
@@ -578,6 +580,19 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(read_events(spark, sf_dir))
 
 
+def q_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (exact p50/p90/p99 +
+    mean/min/max) — the drift-tracking report; exact percentiles are
+    bit-identical to the oracle's quantile_cont."""
+    return token_distribution(_docs(spark, sf_dir), group_col="lang")
+
+
+def q_rolling_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user event counts via a RANGE-frame window —
+    the rolling feature-store column, no self-join range explosion."""
+    return rolling_user_counts(read_events(spark, sf_dir), window_days=7)
+
+
 def q_multimodal_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal → similarity composition: Arrow-batched
     decode emits per-media feature blocks (deterministic fake kernel),
@@ -643,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dup_pairs": q_multimodal_dup_pairs,
         "funnel_events": q_funnel_events,
         "cohort_retention": q_cohort_retention,
+        "token_distribution": q_token_distribution,
+        "rolling_user_counts": q_rolling_user_counts,
     }
 
 
@@ -1265,6 +1282,30 @@ def oracle_sql() -> dict[str, str]:
                      j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
                      )::BIGINT AS pixel_sum
             FROM documents
+        """,
+        "token_distribution": r"""
+            WITH nt AS (SELECT lang,
+                               CASE WHEN trim(lower(text)) = '' THEN 0
+                                    ELSE len(string_split_regex(
+                                           trim(lower(text)), '\s+')) END
+                                 AS n
+                        FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(n), 6) AS mean_tokens,
+                   MIN(n)::BIGINT AS min_tokens,
+                   MAX(n)::BIGINT AS max_tokens,
+                   quantile_cont(n, 0.5) AS p50,
+                   quantile_cont(n, 0.9) AS p90,
+                   quantile_cont(n, 0.99) AS p99
+            FROM nt GROUP BY 1
+        """,
+        "rolling_user_counts": """
+            SELECT user_id, epoch_us(ts) AS t_us,
+                   COUNT(*) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 604800000000 PRECEDING
+                       AND CURRENT ROW) AS n_trailing
+            FROM events
         """,
         # chained-CTE funnel (the standard SQL formulation) replays the
         # single-shuffle array-expression plan's semantics exactly

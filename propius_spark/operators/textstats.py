@@ -289,3 +289,39 @@ def vocabulary(
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
     return ranked.filter(F.col("rank") <= limit) if limit else ranked
+
+
+def token_distribution(
+    docs: DataFrame,
+    group_col: str = "lang",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-count distribution report per group: exact percentiles
+    (Spark's `percentile` — linear interpolation, bit-identical to
+    quantile_cont in an ANSI oracle) plus mean/min/max/n. The
+    per-snapshot length-distribution table a training pipeline tracks
+    for drift.
+
+    Exact percentiles sort within each group in the aggregate buffer —
+    right while group cardinalities are bounded (length distributions
+    per language/source); for unbounded groups switch to
+    `approx_percentile` (one pass, bounded memory, no oracle parity).
+    """
+    require_columns(docs, [group_col, text_col], "token_distribution")
+    nt = token_count(F.col(text_col))
+    aggs = [
+        F.percentile("__nt", F.lit(q)).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return (
+        docs.select(F.col(group_col), nt.alias("__nt"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__nt"), 6).alias("mean_tokens"),
+            F.min("__nt").cast("long").alias("min_tokens"),
+            F.max("__nt").cast("long").alias("max_tokens"),
+            *aggs,
+        )
+    )

@@ -69,3 +69,24 @@ def test_cohort_retention_weekly_offsets(spark):
         (w0, 3, 1),       # user 1 returns week 3
         (w0 + 1, 0, 1),   # user 3's own cohort
     ]
+
+
+def test_rolling_user_counts_hand_computed(spark):
+    from propius_spark.operators import rolling_user_counts
+
+    d = timedelta(days=1)
+    ev = _ev(spark, [
+        (1, T0, "a"), (1, T0 + 3 * d, "a"), (1, T0 + 7 * d, "a"),
+        (1, T0 + 11 * d, "a"),
+        (2, T0, "a"), (2, T0, "a"),  # equal-ts peers both in-frame
+    ])
+    got = sorted(
+        (r.user_id, r.t_us, r.n_trailing)
+        for r in rolling_user_counts(ev, window_days=7).collect()
+    )
+    us = lambda days: int(T0.timestamp() * 1_000_000) + days * 86_400_000_000
+    # day 7 is inclusive of day 0 (trailing window closed on both ends)
+    assert got == [
+        (1, us(0), 1), (1, us(3), 2), (1, us(7), 3), (1, us(11), 2),
+        (2, us(0), 2), (2, us(0), 2),
+    ]

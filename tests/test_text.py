@@ -230,3 +230,18 @@ def test_vocabulary_rank_order(spark):
     assert got == [("a", 3, 1), ("b", 2, 2), ("c", 1, 3)]
     assert vocabulary(docs, min_count=2).count() == 2
     assert vocabulary(docs, limit=1).collect()[0].token == "a"
+
+
+def test_token_distribution_hand_computed(spark):
+    from propius_spark.operators import token_distribution
+
+    docs = spark.createDataFrame(
+        [("en", "a b c"), ("en", "a"), ("en", "a b c d e"), ("de", "")],
+        "lang string, text string",
+    )
+    got = {
+        r.lang: (r.n_docs, r.mean_tokens, r.min_tokens, r.max_tokens, r.p50)
+        for r in token_distribution(docs).collect()
+    }
+    assert got["en"] == (3, 3.0, 1, 5, 3.0)
+    assert got["de"] == (1, 0.0, 0, 0, 0.0)
