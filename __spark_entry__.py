@@ -68,6 +68,7 @@ from propius_spark.operators import (
 from propius_spark.serving import (
     get_database_stats,
     get_item_info,
+    retrieve_similar_batch,
     retrieve_similar_items,
     search_items_by_name,
 )
@@ -163,6 +164,21 @@ def q_retrieve_topk_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = retrieve_similar_items(
         fact, _part_dim(spark, sf_dir), FLAGSHIP_ITEM, limit=10
     )
+    return _r6(out, "scaled_score")
+
+
+def q_retrieve_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk serving: top-5 neighbors for three items in ONE store pass
+    (IN-list + per-item rank window) — N point calls would scan the
+    fact table N times."""
+    items = [FLAGSHIP_ITEM, FLAGSHIP_ITEM + 1, FLAGSHIP_ITEM + 2]
+    pairs = corr_pairs(_lineitem_cells(spark, sf_dir))
+    fact = pairs.select(
+        F.col("item_a").cast("long").alias("item_a_id"),
+        F.col("item_b").cast("long").alias("item_b_id"),
+        F.col("corr").alias("scaled_score"),
+    )
+    out = retrieve_similar_batch(fact, _part_dim(spark, sf_dir), items, k=5)
     return _r6(out, "scaled_score")
 
 
@@ -620,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_candidates_events": q_similar_candidates_events,
         "similar_topk_per_item": q_similar_topk_per_item,
         "retrieve_topk_part": q_retrieve_topk_part,
+        "retrieve_topk_batch": q_retrieve_topk_batch,
         "item_info": q_item_info,
         "search_items": q_search_items,
         "db_stats": q_db_stats,
@@ -866,6 +883,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(r.corr, 6) AS scaled_score
             FROM row_ r JOIN part p ON r.item_b = p.p_partkey
             ORDER BY r.corr DESC, r.item_b ASC LIMIT 10
+        """,
+        "retrieve_topk_batch": f"""
+            {_MODEL},
+            pr AS (SELECT g.item_a, g.item_b,
+                          (n.n*g.dot - a.s*b.s)/(a.den*b.den) AS corr
+                   FROM gram g JOIN vs a ON g.item_a = a.item
+                   JOIN vs b ON g.item_b = b.item, nn n
+                   WHERE g.item_a IN ({FLAGSHIP_ITEM}, {FLAGSHIP_ITEM + 1},
+                                      {FLAGSHIP_ITEM + 2}))
+            SELECT item_a AS item_a_id, item_b AS item_b_id,
+                   p.p_name AS item_name, ROUND(corr, 6) AS scaled_score,
+                   rn
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
+                            ORDER BY corr DESC, item_b ASC) AS rn
+                  FROM pr) r
+            JOIN part p ON r.item_b = p.p_partkey
+            WHERE rn <= 5
         """,
         "item_info": """
             SELECT p_partkey AS id, p_name AS key,

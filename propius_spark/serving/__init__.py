@@ -99,3 +99,41 @@ def get_database_stats(similar_items: DataFrame, correlated_items: DataFrame) ->
         )
     )
     return items.crossJoin(sims).crossJoin(avg)
+
+
+def retrieve_similar_batch(
+    similar_items: DataFrame,
+    correlated_items: DataFrame,
+    item_ids: list[int],
+    k: int = 10,
+    n_buckets: int = 0,
+) -> DataFrame:
+    """Bulk retrieval: top-k neighbors for EVERY item in `item_ids` in
+    one pass — (item_a_id, item_b_id, item_name, scaled_score, rn).
+    The batch twin of `retrieve_similar_items` (N point calls would
+    scan the store N times); the per-item top-k is a rank window over
+    only the IN-list survivors, never the full store.
+
+    With a bucketed store, the IN-list's bucket set prunes partitions
+    the same way the single-item path does (buckets = {id mod n}).
+    """
+    from pyspark.sql.window import Window
+
+    src = similar_items
+    if n_buckets > 0:
+        buckets = sorted({i % n_buckets for i in item_ids})
+        src = src.filter(F.col("bucket").isin(buckets))
+    w = Window.partitionBy("item_a_id").orderBy(
+        F.desc("scaled_score"), F.asc("item_b_id")
+    )
+    return (
+        src.filter(F.col("item_a_id").isin(list(item_ids)))
+        .join(
+            F.broadcast(correlated_items),
+            F.col("item_b_id") == F.col("id"),
+            "inner",
+        )
+        .select("item_a_id", "item_b_id", F.col("key").alias("item_name"), "scaled_score")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

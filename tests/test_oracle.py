@@ -125,3 +125,36 @@ def test_register_model_views_sql_serving(spark, tmp_path):
            ORDER BY si.scaled_score DESC LIMIT 5"""
     ).collect()
     assert 0 < len(top) <= 5 and top[0].key is not None
+
+
+def test_retrieve_similar_batch_equals_point_calls(spark):
+    """Bulk retrieval ≡ per-item retrieve_similar_items results for
+    each requested id, including bucket pruning."""
+    from propius_spark.serving import (
+        retrieve_similar_batch,
+        retrieve_similar_items,
+    )
+
+    sims = spark.createDataFrame(
+        [(a, b, float(a * 10 + b) / 100, (a % 4))
+         for a in range(6) for b in range(6) if a != b],
+        "item_a_id long, item_b_id long, scaled_score double, bucket int",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"name{i}", None) for i in range(6)],
+        "id long, key string, human_label string",
+    )
+    batch = retrieve_similar_batch(sims, dim, [1, 3], k=3, n_buckets=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.item_a_id, []).append(
+            (r.rn, r.item_b_id, r.item_name, r.scaled_score)
+        )
+    for item in (1, 3):
+        want = [
+            (j + 1, r.item_b_id, r.item_name, r.scaled_score)
+            for j, r in enumerate(
+                retrieve_similar_items(sims, dim, item, limit=3, n_buckets=4).collect()
+            )
+        ]
+        assert sorted(got[item]) == want, item
