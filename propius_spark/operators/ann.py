@@ -450,7 +450,6 @@ def ivf_knn_join(
 def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 8,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
@@ -498,8 +497,8 @@ def assign_centroids(
     (n_centroids smallest ids) or a caller-supplied
     (centroid_id, cvec, cnorm) table (e.g. kmeans_centroids);
     assignment = (vec_id, centroid_id) by max cosine (ties → smaller
-    centroid id). One broadcast join of the tiny centroid set against
-    the corpus — map-side at any scale."""
+    centroid id) — multi_probe_assignments with n_probe=1, one shared
+    plan."""
     base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
     if centroids is not None:
         cents = centroids.select("centroid_id", "cvec", "cnorm")
@@ -509,16 +508,8 @@ def assign_centroids(
             F.col("vec").alias("cvec"),
             F.col("norm").alias("cnorm"),
         )
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "centroid_id",
-        (_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    assignment = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    assignment = multi_probe_assignments(
+        emb, n_centroids, 1, id_col, vec_col, centroids=cents
     )
     return cents, assignment
 
@@ -529,6 +520,7 @@ def multi_probe_assignments(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, centroid_id) with each vector in its ``n_probe``
     nearest centroid lists (ties → smaller centroid id) — the recall
@@ -536,14 +528,19 @@ def multi_probe_assignments(
     straddles a centroid boundary still co-bucket if either's probe
     set reaches the other's list. Feed to
     ``embedding_dup_pairs(candidates=...)``; its dedup collapses the
-    duplicate hits. Same broadcast-centroids plan as assign_centroids
-    (map-side at any scale), emitting n_probe rows per vector."""
+    duplicate hits. ``centroids`` accepts any (centroid_id, cvec,
+    cnorm) table (seed default, or kmeans_centroids for the trained
+    path). One broadcast of the KB-sized centroid set — map-side at
+    any scale; ``assign_centroids`` is exactly n_probe=1."""
     base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
-    cents = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
-    )
+    if centroids is not None:
+        cents = centroids.select("centroid_id", "cvec", "cnorm")
+    else:
+        cents = base.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",

@@ -55,7 +55,9 @@ def funnel(
         F.col(user_col).alias("user_id"),
         _ts_micros(events, ts_col).alias("t"),
         F.col(type_col).alias("et"),
-    )
+        # non-step events can never qualify: drop them BEFORE the
+        # shuffle so the per-user arrays hold only funnel traffic
+    ).filter(F.col("et").isin(list(steps)))
     cur = e.groupBy("user_id").agg(
         F.collect_list(F.struct("t", "et")).alias("__evs")
     )

@@ -87,11 +87,12 @@ def export_jdbc(spark: SparkSession, paths: dict[str, str], url: str, **options)
     JDBC store (the reference's SQLite role). Batched inserts replace
     the reference's executemany generators (propius/data.py:199-212).
 
-    Accepts publish_model's return value directly: only the table
-    entries are exported (the dict also carries metadata like
-    n_buckets, which is not a path)."""
+    Accepts publish_model's return value directly: non-path metadata
+    entries (n_buckets and any future ints/flags) are skipped; every
+    string-valued entry is treated as a parquet path and exported under
+    its key as the table name."""
     for table, path in paths.items():
-        if table not in ("similar_items", "correlated_items"):
+        if not isinstance(path, str):
             continue
         (
             spark.read.parquet(path)

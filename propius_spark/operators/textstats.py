@@ -311,7 +311,9 @@ def token_distribution(
     require_columns(docs, [group_col, text_col], "token_distribution")
     nt = token_count(F.col(text_col))
     aggs = [
-        F.percentile("__nt", F.lit(q)).alias(f"p{int(q * 100)}")
+        # round, not int(): float artifacts (0.29*100 = 28.999...)
+        # must not truncate into a misnamed column
+        F.percentile("__nt", F.lit(q)).alias(f"p{round(q * 100)}")
         for q in quantiles
     ]
     return (

@@ -58,6 +58,11 @@ def materialize(df: DataFrame) -> DataFrame:
     lineage truncation. Call
     ``propius_spark.session.clear_materialized(spark)`` after consuming
     the pipeline so the blocks don't linger into later queries.
+    Checkpoint FILES are reclaimed by the ContextCleaner once their
+    RDDs are GC'd — that needs
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set by
+    propius_spark.session.get_spark; set it yourself on a vanilla
+    session, or repeated pipelines accumulate checkpoint data).
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

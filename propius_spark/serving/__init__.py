@@ -126,14 +126,22 @@ def retrieve_similar_batch(
     w = Window.partitionBy("item_a_id").orderBy(
         F.desc("scaled_score"), F.asc("item_b_id")
     )
-    return (
+    # rank BEFORE the dim join: top-k is a property of the fact table;
+    # a neighbor missing from the dim must produce a gap, not silently
+    # promote lower neighbors into the top-k
+    topk = (
         src.filter(F.col("item_a_id").isin(list(item_ids)))
-        .join(
-            F.broadcast(correlated_items),
-            F.col("item_b_id") == F.col("id"),
-            "inner",
-        )
-        .select("item_a_id", "item_b_id", F.col("key").alias("item_name"), "scaled_score")
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
+    )
+    return topk.join(
+        F.broadcast(correlated_items),
+        F.col("item_b_id") == F.col("id"),
+        "inner",
+    ).select(
+        "item_a_id",
+        "item_b_id",
+        F.col("key").alias("item_name"),
+        "scaled_score",
+        "rn",
     )

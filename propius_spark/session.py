@@ -43,6 +43,11 @@ def get_spark(app_name: str = "propius_spark", cpus: int | None = None) -> Spark
         # nanos timestamp type — read as long (we never consume ts)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # when a checkpoint dir is configured (plans.materialize's
+        # durable mode), let the ContextCleaner delete checkpoint files
+        # once their RDDs are GC'd — otherwise repeated pipelines
+        # accumulate unbounded checkpoint data on durable storage
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("PROPIUS_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -91,8 +91,15 @@ def sessionize_stream(
             else:
                 merged.append((s, last, n))
         wm_us = state.getCurrentWatermarkMs() * 1000
-        closed = [i for i in merged if i[1] + gap_us <= wm_us]
-        live = [i for i in merged if i[1] + gap_us > wm_us]
+        # Close rule, STRICT <: an island is final once every event the
+        # engine can still deliver is out of merge range. Spark 4.x
+        # drops late rows with ts <= watermark for this operator
+        # (verified empirically), making <= equally safe — but strict <
+        # costs only one extra no-data batch and stays correct even
+        # under a `ts < watermark`-keeps convention, so it is the
+        # defensive choice.
+        closed = [i for i in merged if i[1] + gap_us < wm_us]
+        live = [i for i in merged if i[1] + gap_us >= wm_us]
         if live:
             state.update(
                 ([i[0] for i in live], [i[1] for i in live], [i[2] for i in live])

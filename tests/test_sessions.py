@@ -252,3 +252,50 @@ def test_event_encodings_equal_under_default_session_confs(spark, tmp_path):
          (1, _us(120), _us(120), 1), (2, _us(5), _us(5), 1),
          (2, _us(50), _us(50), 1)]
     )
+
+
+def test_sessionize_stream_boundary_island_closes_exactly_once(spark, tmp_path):
+    """Watermark-boundary semantics, pinned empirically: Spark drops
+    late events with ts <= watermark for applyInPandasWithState, so an
+    island whose end+gap equals the watermark can never be extended —
+    and must be emitted exactly once (at the flush), never split.
+    gap=30m, watermark=10m: after batch 1 (u1@100', u9@140') the
+    watermark is exactly 130' = 100'+30'; batch 2 data at 135' makes
+    u1's close_sessions run AT the boundary; batch 3's 130' event
+    (== watermark) is dropped by the engine; batch 4 flushes."""
+    from propius_spark.streaming import sessionize_stream, start_sessions_query
+
+    land = str(tmp_path / "events")
+
+    def _write(rows):
+        spark.createDataFrame(
+            [(u, _min(m)) for u, m in rows], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(land)
+
+    _write([(1, 100), (9, 140)])
+    _write([(1, 135)])
+    _write([(1, 130)])  # == watermark: dropped before the operator
+    _write([(9, 300)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = start_sessions_query(
+        sessionize_stream(stream, gap_minutes=30, watermark="10 minutes"),
+        str(tmp_path / "ck"),
+        query_name="t_sessions_boundary",
+    )
+    q.awaitTermination()
+    emitted = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table("t_sessions_boundary").collect()
+        if r.user_id == 1
+    )
+    # [100'] and [135'] are separate sessions (135-100 > gap; the 130'
+    # bridge was watermark-dropped), each emitted exactly once
+    assert emitted == [
+        (1, _us(100), _us(100), 1),
+        (1, _us(135), _us(135), 1),
+    ]
