@@ -38,6 +38,8 @@ from propius_spark.operators import (
     chunk_documents,
     corpus_summary,
     pack_documents,
+    posting_lists,
+    tf_idf,
     decontaminate,
     doc_stats,
     props_rollup,
@@ -596,6 +598,18 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(read_events(spark, sf_dir))
 
 
+def q_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights over the documents corpus (min_df=2) — sparse
+    lexical retrieval weights next to the dense ANN family."""
+    return tf_idf(_docs(spark, sf_dir), min_df=2)
+
+
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with df bounds [2, 400]: sorted doc-id posting
+    arrays per surviving token."""
+    return posting_lists(_docs(spark, sf_dir), min_df=2, max_df=400)
+
+
 def q_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact p50/p90/p99 +
     mean/min/max) — the drift-tracking report; exact percentiles are
@@ -677,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "token_distribution": q_token_distribution,
         "rolling_user_counts": q_rolling_user_counts,
+        "tfidf_docs": q_tfidf_docs,
+        "posting_lists": q_posting_lists,
     }
 
 
@@ -1316,6 +1332,39 @@ def oracle_sql() -> dict[str, str]:
                      j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
                      )::BIGINT AS pixel_sum
             FROM documents
+        """,
+        "tfidf_docs": r"""
+            WITH toks AS (SELECT doc_id,
+                                 CASE WHEN trim(lower(text)) = ''
+                                      THEN []::VARCHAR[]
+                                      ELSE string_split_regex(
+                                             trim(lower(text)), '\s+') END
+                                   AS t
+                          FROM documents),
+            tfs AS (SELECT doc_id, tok AS token, COUNT(*) AS tf
+                    FROM toks, LATERAL unnest(t) AS u(tok)
+                    GROUP BY 1, 2),
+            dfs AS (SELECT token, COUNT(*) AS df FROM tfs
+                    GROUP BY 1 HAVING COUNT(*) >= 2),
+            n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents)
+            SELECT doc_id, token, tf, df,
+                   ROUND(tf * ln(n.nd / df), 6) AS tfidf
+            FROM tfs JOIN dfs USING (token), n
+        """,
+        "posting_lists": r"""
+            WITH toks AS (SELECT doc_id,
+                                 CASE WHEN trim(lower(text)) = ''
+                                      THEN []::VARCHAR[]
+                                      ELSE string_split_regex(
+                                             trim(lower(text)), '\s+') END
+                                   AS t
+                          FROM documents),
+            dt AS (SELECT DISTINCT doc_id, tok AS token
+                   FROM toks, LATERAL unnest(t) AS u(tok))
+            SELECT token, COUNT(*) AS df,
+                   list_sort(list(doc_id)) AS postings
+            FROM dt GROUP BY 1
+            HAVING COUNT(*) >= 2 AND COUNT(*) <= 400
         """,
         "token_distribution": r"""
             WITH nt AS (SELECT lang,

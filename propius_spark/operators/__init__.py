@@ -34,6 +34,7 @@ from .dedup import (
 from .publish import correlated_items, export_jdbc, publish_model
 from .chunking import chunk_documents, pack_documents
 from .events import cohort_retention, funnel, rolling_user_counts
+from .ir import posting_lists, tf_idf
 from .sampling import cap_per_group, deterministic_sample, stratified_sample
 from .semistructured import json_field, props_rollup
 from .sessions import sessionize, windowed_counts
@@ -80,6 +81,8 @@ __all__ = [
     "cohort_retention",
     "funnel",
     "pack_documents",
+    "posting_lists",
+    "tf_idf",
     "deterministic_sample",
     "json_field",
     "props_rollup",
