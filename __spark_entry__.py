@@ -38,6 +38,7 @@ from propius_spark.operators import (
     chunk_documents,
     corpus_summary,
     pack_documents,
+    bm25_search,
     posting_lists,
     tf_idf,
     decontaminate,
@@ -598,6 +599,13 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(read_events(spark, sf_dir))
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 for a free-text query — the sparse twin of
+    ann_cosine_topk; query tokens filter the doc-token aggregate
+    before the shuffle."""
+    return bm25_search(_docs(spark, sf_dir), "spark table merge", k=10)
+
+
 def q_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weights over the documents corpus (min_df=2) — sparse
     lexical retrieval weights next to the dense ANN family."""
@@ -693,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_counts": q_rolling_user_counts,
         "tfidf_docs": q_tfidf_docs,
         "posting_lists": q_posting_lists,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1332,6 +1341,34 @@ def oracle_sql() -> dict[str, str]:
                      j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
                      )::BIGINT AS pixel_sum
             FROM documents
+        """,
+        "bm25_search": r"""
+            WITH toks AS (SELECT doc_id,
+                                 CASE WHEN trim(lower(text)) = ''
+                                      THEN []::VARCHAR[]
+                                      ELSE string_split_regex(
+                                             trim(lower(text)), '\s+') END
+                                   AS t
+                          FROM documents),
+            dls AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+            st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl
+                   FROM dls),
+            tfs AS (SELECT doc_id, tok AS token, COUNT(*)::DOUBLE AS tf
+                    FROM toks, LATERAL unnest(t) AS u(tok)
+                    WHERE tok IN ('merge', 'spark', 'table')
+                    GROUP BY 1, 2),
+            dfs AS (SELECT token, COUNT(*)::DOUBLE AS df FROM tfs
+                    GROUP BY 1),
+            c AS (SELECT tfs.doc_id,
+                         ln(1.0 + (st.n - dfs.df + 0.5)/(dfs.df + 0.5))
+                           * tfs.tf * 2.2
+                           / (tfs.tf + 1.2*(0.25 + 0.75*dls.dl/st.avgdl))
+                           AS c
+                  FROM tfs JOIN dfs USING (token)
+                  JOIN dls USING (doc_id), st)
+            SELECT doc_id, ROUND(SUM(c), 6) AS score
+            FROM c GROUP BY 1
+            ORDER BY ROUND(SUM(c), 6) DESC, doc_id ASC LIMIT 10
         """,
         "tfidf_docs": r"""
             WITH toks AS (SELECT doc_id,

@@ -90,3 +90,75 @@ def posting_lists(
     if max_df is not None:
         out = out.filter(F.col("df") <= max_df)
     return out
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical top-k search: rank documents against a free-text query
+    with BM25 (Robertson idf with the +1 floor, so common terms never
+    score negative): (doc_id, score), score desc, doc_id asc ties.
+
+    score(d) = Σ_{t ∈ q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+                · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+    Plan: the query's token set is a literal IN-list filter pushed into
+    the doc-token aggregate (only matching postings survive the
+    shuffle); df, N, and avgdl are token- and 1-row-cardinality
+    broadcasts; the final top-k is a TakeOrderedAndProject. Scores are
+    rounded to 6 dp (cross-engine ln ulp drift).
+    """
+    require_columns(docs, [id_col, text_col], "bm25_search")
+    qtokens = sorted(
+        {t for t in query.strip().lower().split() if t}
+    )
+    spark = docs.sparkSession
+    if not qtokens:
+        return spark.createDataFrame([], "doc_id long, score double")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    )
+    dls = base.select("doc_id", F.size("__t").cast("double").alias("dl"))
+    stats = dls.select(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tfs = (
+        base.select("doc_id", F.explode("__t").alias("token"))
+        .filter(F.col("token").isin(qtokens))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfs = tfs.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        tfs.join(F.broadcast(dfs), "token")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -45,3 +45,30 @@ def test_posting_lists_sorted_and_bounded(spark):
         r.token for r in posting_lists(docs, min_df=2, max_df=2).collect()
     }
     assert bounded == {"y"}
+
+
+def test_bm25_hand_computed(spark):
+    """Two-doc corpus, query 'a b': BM25 with k1=1.2, b=0.75 computed
+    by hand; doc containing both terms outranks the single-term doc;
+    empty query yields an empty frame."""
+    import math
+
+    from propius_spark.operators import bm25_search
+
+    docs = _docs(spark, [(1, "a b b"), (2, "a x y")])
+    got = [(r.doc_id, r.score) for r in bm25_search(docs, "a b", k=10).collect()]
+
+    n, avgdl, k1, b = 2.0, 3.0, 1.2, 0.75
+
+    def idf(df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def w(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    s1 = round(idf(2) * w(1, 3) + idf(1) * w(2, 3), 6)
+    s2 = round(idf(2) * w(1, 3), 6)
+    assert got == [(1, s1), (2, s2)] and s1 > s2
+
+    assert bm25_search(docs, "   ").count() == 0
+    assert bm25_search(docs, "zzz").count() == 0
