@@ -63,6 +63,7 @@ from propius_spark.operators import (
     sessionize,
     simhash_pairs,
     stratified_sample,
+    weighted_sample,
     windowed_counts,
     similar_items_candidates,
     similar_items_exact,
@@ -599,6 +600,18 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(read_events(spark, sf_dir))
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted importance sampling (longer docs kept more
+    often, capped at certainty): pure key arithmetic, zero shuffles,
+    replayable by the oracle."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "w", F.col("n_chars") / F.lit(200.0)
+    )
+    return weighted_sample(docs, rate=0.5, weight_col="w", key_col="doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical top-10 for a free-text query — the sparse twin of
     ann_cosine_topk; query tokens filter the doc-token aggregate
@@ -702,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": q_tfidf_docs,
         "posting_lists": q_posting_lists,
         "bm25_search": q_bm25_search,
+        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
@@ -1341,6 +1355,16 @@ def oracle_sql() -> dict[str, str]:
                      j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
                      )::BIGINT AS pixel_sum
             FROM documents
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id, source, n_chars
+            FROM (SELECT doc_id, source, n_chars,
+                         ((2654435761 * doc_id + 1013904223) % 2147483647)
+                           % 1000000 AS b,
+                         LEAST(1.0, GREATEST(0.0,
+                           0.5 * (n_chars / 200.0))) AS p
+                  FROM documents)
+            WHERE b < CAST(p * 1000000 AS BIGINT)
         """,
         "bm25_search": r"""
             WITH toks AS (SELECT doc_id,

@@ -105,3 +105,23 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame, rate: float, weight_col: str, key_col: str
+) -> DataFrame:
+    """Importance sampling: keep each row with probability
+    clamp(rate · weight, 0, 1), decided by the same key arithmetic as
+    `deterministic_sample` — the "sample more from high-quality /
+    under-represented strata" control, still a pure function of the
+    key (replayable, partition-invariant, oracle-replayable), still
+    map-side with zero shuffles. Weights are per-row columns (quality
+    scores, inverse-frequency weights, ...); weight ≥ 1/rate keeps the
+    row always."""
+    require_columns(df, [weight_col, key_col], "weighted_sample")
+    p = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), F.lit(rate) * F.col(weight_col))
+    )
+    return df.filter(
+        sample_bucket(F.col(key_col)) < (p * SAMPLE_RES).cast("long")
+    )

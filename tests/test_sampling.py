@@ -74,3 +74,26 @@ def test_cap_per_group_hand_computed(spark):
         ).collect()
     )
     assert asc == [("a", 1), ("b", 5)]
+
+
+def test_weighted_sample_clamps_and_is_partition_invariant(spark):
+    from propius_spark.operators import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in [(1, 0.0), (2, 10.0), (3, 0.5), (4, -1.0),
+                             (5, 10.0), (6, 0.5), (7, 2.0), (8, 0.1)]],
+        "k long, w double",
+    )
+    kept = sorted(
+        r.k for r in weighted_sample(df, rate=1.0, weight_col="w",
+                                     key_col="k").collect()
+    )
+    # weight 0 / negative never kept; weight >= 1 always kept
+    assert 1 not in kept and 4 not in kept
+    assert {2, 5, 7} <= set(kept)
+    # pure key arithmetic: identical set under repartitioning
+    kept2 = sorted(
+        r.k for r in weighted_sample(df.repartition(5), rate=1.0,
+                                     weight_col="w", key_col="k").collect()
+    )
+    assert kept == kept2
