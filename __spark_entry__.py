@@ -1364,7 +1364,7 @@ def oracle_sql() -> dict[str, str]:
                          LEAST(1.0, GREATEST(0.0,
                            0.5 * (n_chars / 200.0))) AS p
                   FROM documents)
-            WHERE b < CAST(p * 1000000 AS BIGINT)
+            WHERE b < CAST(FLOOR(p * 1000000) AS BIGINT)
         """,
         "bm25_search": r"""
             WITH toks AS (SELECT doc_id,

@@ -122,6 +122,9 @@ def weighted_sample(
     p = F.least(
         F.lit(1.0), F.greatest(F.lit(0.0), F.lit(rate) * F.col(weight_col))
     )
+    # explicit floor: Spark's cast truncates but ANSI engines ROUND on
+    # double→int casts — pin the cut to floor in both engines so a
+    # fractional p·RES can never split the sample across engines
     return df.filter(
-        sample_bucket(F.col(key_col)) < (p * SAMPLE_RES).cast("long")
+        sample_bucket(F.col(key_col)) < F.floor(p * SAMPLE_RES).cast("long")
     )
