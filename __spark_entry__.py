@@ -367,6 +367,19 @@ def q_ann_dup_pairs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stack composed over EMBEDDING pairs: connected
+    components (large-star/small-star) of the cosine≥0.4 near-dup
+    graph with keeper selection — transitive embedding dups collapse
+    to one cluster exactly as text dups do."""
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_dup_pairs(emb, threshold=0.4).select("vec_a", "vec_b")
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    return resolve_duplicates(ids, pairs, src="vec_a", dst="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_keeper"
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned approximate top-10 (8 seed centroids, probe 2)."""
     return _r6(
@@ -683,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_dup_pairs": q_ann_dup_pairs,
         "ann_dup_pairs_pruned": q_ann_dup_pairs_pruned,
+        "ann_dup_clusters": q_ann_dup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_knn_join": q_ann_knn_join,
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
@@ -1262,6 +1276,27 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM nb a JOIN nb b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
+        """,
+        "ann_dup_clusters": f"""
+            WITH RECURSIVE {_EMB_BASE},
+            pairs AS (SELECT a.vec_id AS pu, b.vec_id AS pv
+                      FROM nb a JOIN nb b ON a.vec_id < b.vec_id
+                      WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm)
+                              >= 0.4),
+            edges AS (SELECT pu AS u, pv AS v FROM pairs
+                      UNION SELECT pv, pu FROM pairs),
+            reach(u, v) AS (SELECT u, v FROM edges
+                            UNION
+                            SELECT r.u, e.v
+                            FROM reach r JOIN edges e ON r.v = e.u
+                            WHERE e.v <> r.u),
+            labels AS (SELECT u AS vec_id, MIN(v) AS mn
+                       FROM reach GROUP BY u)
+            SELECT e.vec_id,
+                   COALESCE(LEAST(l.mn, e.vec_id), e.vec_id) AS cluster_id,
+                   (COALESCE(LEAST(l.mn, e.vec_id), e.vec_id) = e.vec_id)
+                     AS is_keeper
+            FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.vec_id
         """,
         "ann_dup_pairs_pruned": f"""
             WITH {_EMB_BASE},
