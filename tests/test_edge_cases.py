@@ -79,3 +79,49 @@ def test_event_time_empty(spark):
 def test_top_k_per_item_empty(spark):
     pairs = _empty(spark, "item_a long, item_b long, corr double")
     assert top_k_per_item(pairs, k=3).count() == 0
+
+
+def test_round2_text_ops_empty_and_degenerate(spark):
+    """Round-2 ops on empty/degenerate corpora: empty in, empty out
+    (or all-zero containment), never an error or a NaN."""
+    from propius_spark.operators import (
+        bm25_search,
+        chunk_documents,
+        decontaminate,
+        funnel,
+        pack_documents,
+        repetition_stats,
+        tf_idf,
+        token_distribution,
+        vocabulary,
+    )
+
+    docs = _empty(spark, "doc_id long, text string")
+    some = spark.createDataFrame(
+        [(1, "a b c d"), (2, "")], "doc_id long, text string"
+    )
+    assert chunk_documents(docs, 4).count() == 0
+    assert pack_documents(docs).count() == 0
+    assert vocabulary(docs).count() == 0
+    assert tf_idf(docs).count() == 0
+    assert bm25_search(docs, "a b").count() == 0
+    assert repetition_stats(docs).count() == 0
+
+    # empty benchmark → zero containment everywhere, no division error
+    got = {r.doc_id: r.n_contaminated for r in decontaminate(some, docs).collect()}
+    assert got == {1: 0}
+
+    # distribution over a lang group containing an empty doc
+    d2 = spark.createDataFrame(
+        [("en", ""), ("en", "x y")], "lang string, text string"
+    )
+    row = token_distribution(d2).collect()[0]
+    assert row.n_docs == 2 and row.min_tokens == 0 and row.max_tokens == 2
+
+    # funnel: users whose first step never fires yield null chains, not
+    # errors; all-counts still emitted per step
+    ev = _empty(spark, "user_id long, ts timestamp, event_type string")
+    steps = [
+        (r.step_idx, r.n_users) for r in funnel(ev, ["a", "b"]).collect()
+    ]
+    assert sorted(steps) == [(0, 0), (1, 0)]
