@@ -640,8 +640,16 @@ def q_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index with df bounds [2, 400]: sorted doc-id posting
-    arrays per surviving token."""
-    return posting_lists(_docs(spark, sf_dir), min_df=2, max_df=400)
+    lists per surviving token. Postings are space-joined to a string
+    (driver contract: the gate's pandas canonicalizer cannot hash
+    array cells — round-2 verdict item 1)."""
+    return posting_lists(_docs(spark, sf_dir), min_df=2, max_df=400).select(
+        "token",
+        "df",
+        F.array_join(F.col("postings").cast("array<string>"), " ").alias(
+            "postings"
+        ),
+    )
 
 
 def q_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,7 +685,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering rule (round-2 lesson): new/fragile queries FIRST, so a
+    # driver-side canonicalization error on one row cannot shadow the
+    # rows that come after it.
     return {
+        "posting_lists": q_posting_lists,
+        "bm25_search": q_bm25_search,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "corr_pairs_parts": q_corr_pairs_parts,
         "similar_one_part": q_similar_one_part,
         "similar_exact_parts": q_similar_exact_parts,
@@ -727,9 +741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_distribution": q_token_distribution,
         "rolling_user_counts": q_rolling_user_counts,
         "tfidf_docs": q_tfidf_docs,
-        "posting_lists": q_posting_lists,
-        "bm25_search": q_bm25_search,
-        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
@@ -1458,7 +1469,7 @@ def oracle_sql() -> dict[str, str]:
             dt AS (SELECT DISTINCT doc_id, tok AS token
                    FROM toks, LATERAL unnest(t) AS u(tok))
             SELECT token, COUNT(*) AS df,
-                   list_sort(list(doc_id)) AS postings
+                   array_to_string(list_sort(list(doc_id)), ' ') AS postings
             FROM dt GROUP BY 1
             HAVING COUNT(*) >= 2 AND COUNT(*) <= 400
         """,

@@ -28,6 +28,21 @@ TABLES = [
 ]
 
 
+def _pandas_canon(cols, rows):
+    """Replicate the driver's row canonicalization (pandas sort_values
+    over every column → factorize) so shapes the driver cannot hash —
+    array/map cells, round-2's posting_lists failure — error HERE, not
+    in the per-round gate. Raises the same TypeError the driver would.
+    """
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=list(cols))
+    df = df[sorted(df.columns)]
+    if len(df):
+        df.sort_values(by=list(df.columns), kind="mergesort")
+    return df
+
+
 def _norm(rows, ncols):
     out = []
     for row in rows:
@@ -82,6 +97,8 @@ def main() -> int:
             ores = con.execute(sql)
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
+            _pandas_canon(scols, srows)
+            _pandas_canon(ocols, orows)
             order = [ocols.index(next(o for o in ocols if o.lower() == c.lower()))
                      for c in sorted(scols, key=str.lower)]
             sorder = [scols.index(c) for c in sorted(scols, key=str.lower)]
