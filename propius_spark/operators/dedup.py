@@ -58,14 +58,39 @@ MINHASH_B = [
 SIMHASH_BITS = 32
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash",
+) -> DataFrame:
     """Exact-duplicate groups: one row per distinct text with the
-    keeper (min id) and the group size. One hash-shuffle on the text;
-    at scale, group by xxhash64(text) first and verify within groups
-    to shrink shuffle keys — semantics identical for non-colliding
-    hashes."""
+    keeper (min id) and the group size.
+
+    ``key="hash"`` (default, the scale path): the output carries no
+    text, so nothing forces the corpus through the shuffle — group on
+    a 128-bit content key instead, two INDEPENDENT xxhash64 lanes
+    (plain + domain-salted). Shuffle keys are 16 bytes regardless of
+    document size; a wrong merge needs a simultaneous collision in
+    both 64-bit lanes (~2⁻¹²⁸ per pair, < 10⁻¹⁸ even at 10¹⁰ docs —
+    the same standard content-addressed stores accept). In-group
+    verification would be strictly worse: it is exactly the
+    ship-the-duplicate-texts shuffle this mode exists to avoid.
+
+    ``key="text"``: raw-text groupBy — the oracle twin (bit-exact by
+    construction, no hash assumption); test-scale only.
+    """
+    if key == "text":
+        grp = [F.col(text_col)]
+    elif key == "hash":
+        grp = [
+            F.xxhash64(F.col(text_col)),
+            F.xxhash64(F.lit("propius.exact_dedup.lane2"), F.col(text_col)),
+        ]
+    else:
+        raise ValueError(f"exact_dedup: unknown key mode {key!r}")
     return (
-        docs.groupBy(F.col(text_col))
+        docs.groupBy(*grp)
         .agg(
             F.min(F.col(id_col)).alias("keeper_id"),
             F.count(F.lit(1)).alias("dup_count"),

@@ -30,6 +30,21 @@ def test_exact_dedup_groups(spark):
     assert got == {1: 3, 3: 1, 5: 1}
 
 
+def test_exact_dedup_hash_mode_equals_text_mode(spark, sf_dir):
+    # The 128-bit-key scale path must agree with the raw-text oracle
+    # mode on the fixture corpus (round-2 verdict item 3).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = sorted(
+        (r["keeper_id"], r["dup_count"])
+        for r in exact_dedup(docs, key="hash").collect()
+    )
+    t = sorted(
+        (r["keeper_id"], r["dup_count"])
+        for r in exact_dedup(docs, key="text").collect()
+    )
+    assert h == t and len(h) > 0
+
+
 def test_shingles_k3(spark):
     df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "  A  b   c ")])
     got = sorted(
