@@ -37,17 +37,23 @@ def funnel(
     (step_idx, step, n_users) — the per-step survivor counts product
     analytics calls a conversion funnel.
 
-    ONE shuffle total: the event stream groups once per user
-    (collect_list of (t, type) structs — per-user event counts bound
-    the array, the same assumption every per-entity operator makes;
-    pathological users want an upstream cap), then every step's
-    earliest qualifying timestamp is a chained array expression
-    (filter + transform + array_min, step i's lambda referencing step
-    i−1's column as an outer reference) — no k-way join chain
-    re-shuffling the stream per step. Equal timestamps count as
-    progression (enter and convert in the same instant), matching the
-    windowless SQL funnel convention.
+    ONE shuffle total: the event stream hash-partitions once on
+    user_id, then every step's earliest qualifying timestamp is a
+    chained conditional window min over that partitioning —
+    `min(t) FILTER (step i AND t ≥ t_{i-1} [AND t ≤ t0+W]) OVER
+    (PARTITION BY user)` — step i's predicate referencing step i−1's
+    column, so no k-way join chain re-shuffles the stream per step.
+    The per-user state is the window operator's row buffer, which
+    SPILLS to disk — a pathological user (bot with millions of
+    events) degrades to disk I/O instead of OOMing an agg buffer, the
+    round-2 verdict's unbounded-`collect_list` hazard. The later
+    groupBy(user) reuses the window's hashpartitioning (no second
+    exchange). Equal timestamps count as progression (enter and
+    convert in the same instant), matching the windowless SQL funnel
+    convention.
     """
+    from pyspark.sql.window import Window
+
     require_columns(events, [user_col, ts_col, type_col], "funnel")
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -56,30 +62,24 @@ def funnel(
         _ts_micros(events, ts_col).alias("t"),
         F.col(type_col).alias("et"),
         # non-step events can never qualify: drop them BEFORE the
-        # shuffle so the per-user arrays hold only funnel traffic
+        # shuffle so only funnel traffic transits the exchange
     ).filter(F.col("et").isin(list(steps)))
-    cur = e.groupBy("user_id").agg(
-        F.collect_list(F.struct("t", "et")).alias("__evs")
-    )
-
-    def step_min(i: int):
-        def cond(x):
-            c = x["et"] == steps[i]
-            if i > 0:
-                c = c & (x["t"] >= F.col(f"t{i - 1}"))
-                if within_minutes is not None:
-                    c = c & (
-                        x["t"] <= F.col("t0") + F.lit(int(within_minutes * 60_000_000))
-                    )
-            return c
-
-        return F.array_min(
-            F.transform(F.filter("__evs", cond), lambda x: x["t"])
-        )
-
+    w = Window.partitionBy("user_id")
+    cur = e
     for i in range(len(steps)):
-        cur = cur.withColumn(f"t{i}", step_min(i))
-    counts = cur.select(
+        c = F.col("et") == steps[i]
+        if i > 0:
+            c = c & (F.col("t") >= F.col(f"t{i - 1}"))
+            if within_minutes is not None:
+                c = c & (
+                    F.col("t")
+                    <= F.col("t0") + F.lit(int(within_minutes * 60_000_000))
+                )
+        cur = cur.withColumn(f"t{i}", F.min(F.when(c, F.col("t"))).over(w))
+    per_user = cur.groupBy("user_id").agg(
+        *[F.first(f"t{i}").alias(f"t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.select(
         *[
             F.count(F.col(f"t{i}")).alias(f"n{i}")
             for i in range(len(steps))

@@ -51,6 +51,55 @@ def test_funnel_equal_ts_counts_and_empty_steps_raise(spark):
         funnel(ev, [])
 
 
+def test_funnel_hot_user_matches_reference(spark):
+    # Round-2 verdict item 4: one pathological user (bot) with a large
+    # event stream must neither OOM (window buffers spill; no
+    # collect_list agg) nor change the counts. Reference = a Python
+    # fold of the same chained-min formula.
+    import random
+
+    rng = random.Random(7)
+    steps = ["click", "view", "purchase"]
+    rows = []
+    # hot user 0: 50k events, random types/timestamps
+    for _ in range(50_000):
+        rows.append((0, T0 + timedelta(seconds=rng.randrange(10_000_000)),
+                     rng.choice(steps + ["noise"])))
+    # 50 normal users
+    for u in range(1, 51):
+        for _ in range(rng.randrange(0, 6)):
+            rows.append((u, T0 + timedelta(seconds=rng.randrange(10_000_000)),
+                         rng.choice(steps + ["noise"])))
+    window_min = 30.0
+
+    def ref_counts():
+        by_user = {}
+        for u, ts, et in rows:
+            by_user.setdefault(u, []).append((ts, et))
+        n = [0] * len(steps)
+        for evs in by_user.values():
+            t = [None] * len(steps)
+            for i, s in enumerate(steps):
+                cand = [
+                    ts for ts, et in evs
+                    if et == s
+                    and (i == 0 or (t[i - 1] is not None and ts >= t[i - 1]
+                                    and ts <= t[0] + timedelta(minutes=window_min)))
+                ]
+                t[i] = min(cand) if cand else None
+            for i in range(len(steps)):
+                if t[i] is not None:
+                    n[i] += 1
+        return n
+
+    ev = _ev(spark, rows)
+    got = {r.step_idx: r.n_users
+           for r in funnel(ev, steps, within_minutes=window_min).collect()}
+    want = ref_counts()
+    assert got == {i: want[i] for i in range(len(steps))}
+    assert got[0] > 0 and got[0] >= got[1] >= got[2]
+
+
 def test_cohort_retention_weekly_offsets(spark):
     wk = timedelta(days=7)
     ev = _ev(spark, [
