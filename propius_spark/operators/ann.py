@@ -486,6 +486,17 @@ def kmeans_centroids(
     )
 
 
+def _reject_ignored_n_centroids(fn: str, n_centroids: int) -> None:
+    # An explicit centroids table fully determines the centroid set; a
+    # caller ALSO passing a non-default n_centroids likely believes it
+    # took effect — fail loudly instead of silently ignoring the knob.
+    if n_centroids != 8:
+        raise ValueError(
+            f"{fn}: n_centroids={n_centroids} is ignored when a centroids"
+            " DataFrame is supplied — pass one or the other"
+        )
+
+
 def assign_centroids(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -498,9 +509,12 @@ def assign_centroids(
     (centroid_id, cvec, cnorm) table (e.g. kmeans_centroids);
     assignment = (vec_id, centroid_id) by max cosine (ties → smaller
     centroid id) — multi_probe_assignments with n_probe=1, one shared
-    plan."""
+    plan. When ``centroids`` is supplied it takes full precedence:
+    ``n_centroids`` is ignored (raises if both are explicitly set to
+    avoid a silently-ignored knob)."""
     base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
     if centroids is not None:
+        _reject_ignored_n_centroids("assign_centroids", n_centroids)
         cents = centroids.select("centroid_id", "cvec", "cnorm")
     else:
         cents = base.filter(F.col("vec_id") < n_centroids).select(
@@ -509,7 +523,7 @@ def assign_centroids(
             F.col("norm").alias("cnorm"),
         )
     assignment = multi_probe_assignments(
-        emb, n_centroids, 1, id_col, vec_col, centroids=cents
+        emb, n_probe=1, id_col=id_col, vec_col=vec_col, centroids=cents
     )
     return cents, assignment
 
@@ -530,10 +544,13 @@ def multi_probe_assignments(
     ``embedding_dup_pairs(candidates=...)``; its dedup collapses the
     duplicate hits. ``centroids`` accepts any (centroid_id, cvec,
     cnorm) table (seed default, or kmeans_centroids for the trained
-    path). One broadcast of the KB-sized centroid set — map-side at
-    any scale; ``assign_centroids`` is exactly n_probe=1."""
+    path) and takes full precedence — ``n_centroids`` is then ignored
+    (raises if both are explicitly set). One broadcast of the
+    KB-sized centroid set — map-side at any scale;
+    ``assign_centroids`` is exactly n_probe=1."""
     base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
     if centroids is not None:
+        _reject_ignored_n_centroids("multi_probe_assignments", n_centroids)
         cents = centroids.select("centroid_id", "cvec", "cnorm")
     else:
         cents = base.filter(F.col("vec_id") < n_centroids).select(

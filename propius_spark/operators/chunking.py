@@ -95,11 +95,20 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    return base.select(
-        "shard",
-        ((cum - F.col("n_tokens")).cast("long") / F.lit(target_tokens))
-        .cast("long")
-        .alias("bin_id"),
-        "doc_id",
-        "n_tokens",
+    return (
+        base.select(
+            "shard",
+            "doc_id",
+            "n_tokens",
+            (cum - F.col("n_tokens")).cast("long").alias("__before"),
+        )
+        .select(
+            "shard",
+            # integer div, not `/`: double division loses exactness
+            # past 2^53 cumulative tokens and can round across a bin
+            # boundary; the oracle uses integer // (repo convention)
+            F.expr(f"__before div {int(target_tokens)}").alias("bin_id"),
+            "doc_id",
+            "n_tokens",
+        )
     )

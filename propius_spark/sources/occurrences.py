@@ -80,15 +80,25 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Event timestamps arrive in two parquet encodings depending on the
     writer: INT64 TIMESTAMP(NANOS), which a default SparkSession
     refuses to read (PARQUET_TYPE_ILLEGAL) unless
-    `spark.sql.legacy.parquet.nanosAsLong` is set (runtime-settable,
-    so it is set here rather than only at session build — a vanilla
-    session then reads `ts` as long nanos), and TIMESTAMP(MICROS,
-    isAdjustedToUTC=false), which reads natively as TIMESTAMP_NTZ.
-    Downstream event-time operators normalize either through
+    `spark.sql.legacy.parquet.nanosAsLong` is set, and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false), which reads natively as
+    TIMESTAMP_NTZ. The plain read is attempted FIRST; only when the
+    legacy-nanos encoding is actually present does this fall back to
+    setting `nanosAsLong` — and that setting is SESSION-WIDE (the
+    option has no per-read form): every later parquet read in the
+    session will then decode TIMESTAMP(NANOS) columns as long nanos.
+    Downstream event-time operators normalize either shape through
     `_ts_micros` (operators/sessions.py).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # PARQUET_TYPE_ILLEGAL surfaces at schema resolution; retry
+        # in legacy-nanos mode (see docstring for the session-wide
+        # effect, deliberately applied only on this fallback path)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
 
 
 def occurrences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,13 +79,31 @@ def start_cells_query(
     ``sink_path=None`` → in-memory sink: the test/serving-cache
     surface ONLY (the full aggregate lands on the driver; never the
     production sink). With ``sink_path`` set → durable sink: each
-    trigger overwrites the cell parquet via foreachBatch — a
-    distributed write of the nnz-cardinality state, nothing on the
-    driver, restart-safe from the checkpoint."""
+    trigger writes the full cell parquet to a TEMP path, then swaps
+    it in with filesystem metadata ops (delete + rename) — a crash
+    mid-write leaves the previous table intact, and the
+    reader-visible gap shrinks from the whole write duration to the
+    rename window. That window is not zero: a reader listing the
+    directory in the instant between delete and rename sees no
+    table (on rename-less stores like S3 it is the copy duration) —
+    the fully-transactional production layout is versioned
+    directories behind an atomically-renamed pointer file, or a
+    table format with commit semantics."""
     if sink_path is not None:
 
         def _dump(batch_cells: DataFrame, batch_id: int) -> None:
-            batch_cells.write.mode("overwrite").parquet(sink_path)
+            spark = batch_cells.sparkSession
+            tmp = f"{sink_path}__tmp"
+            batch_cells.write.mode("overwrite").parquet(tmp)
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path
+            fs = hpath(sink_path).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            dst = hpath(sink_path)
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            fs.rename(hpath(tmp), dst)
 
         writer = (
             cells.writeStream.outputMode("complete")
