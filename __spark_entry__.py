@@ -55,6 +55,8 @@ from propius_spark.operators import (
     get_similar_items,
     ivf_knn_join,
     ivf_topk,
+    kmeans_centroids,
+    multi_probe_assignments,
     jaccard_pairs,
     knn_join,
     minhash_lsh_pairs,
@@ -364,6 +366,28 @@ def q_ann_dup_pairs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, assignment = assign_centroids(emb, n_centroids=8)
     return _r6(
         embedding_dup_pairs(emb, threshold=0.4, candidates=assignment), "cosine"
+    )
+
+
+def q_ann_dup_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED candidate-pruned near-duplicates: MLlib k-means
+    centroids (the production replacement for seed centroids) feed
+    multi_probe_assignments → embedding_dup_pairs(candidates=...) —
+    the full trained IVF dedup path end to end.
+
+    Gate configuration: k=4 centroids with n_probe=3 probes. By
+    pigeonhole (3+3 > 4) every vector pair shares ≥ 2 probed lists,
+    so candidate RECALL IS 1.0 BY CONSTRUCTION — the emitted set
+    equals the exact all-pairs set whatever the k-means fit produced,
+    which is what lets a SQL oracle (that cannot replay MLlib Lloyd
+    iterations) hash-match the verify stage exactly. Production uses
+    many centroids and few probes (see ann_dup_pairs_pruned /
+    tests/test_ann.py recall bound for the realistic k=8 config)."""
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, n_centroids=4)
+    asg = multi_probe_assignments(emb, n_probe=3, centroids=cents)
+    return _r6(
+        embedding_dup_pairs(emb, threshold=0.4, candidates=asg), "cosine"
     )
 
 
@@ -692,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_lists": q_posting_lists,
         "bm25_search": q_bm25_search,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
         "corr_pairs_parts": q_corr_pairs_parts,
         "similar_one_part": q_similar_one_part,
         "similar_exact_parts": q_similar_exact_parts,
@@ -1281,6 +1306,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 10
         """,
         "ann_dup_pairs": f"""
+            WITH {_EMB_BASE}
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)
+                     AS cosine
+            FROM nb a JOIN nb b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
+        """,
+        "ann_dup_pairs_trained": f"""
             WITH {_EMB_BASE}
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)

@@ -282,3 +282,56 @@ def test_kmeans_centroids_feed_candidate_dedup(spark):
         (a, b) for (a, b) in exact if (a < 25) == (b < 25)
     }
     assert in_cluster <= set(got)
+
+
+def test_trained_pigeonhole_probes_guarantee_full_recall(spark, sf_dir):
+    """The ann_dup_pairs_trained gate configuration (k=4 centroids,
+    n_probe=3): 3+3 > 4 forces every vector pair to share >= 2 probed
+    lists, so the candidate-pruned result must equal the exact
+    all-pairs set REGARDLESS of what the k-means fit produced. The
+    realistic config (k=8, n_probe=3) has no such guarantee - pin a
+    recall floor instead."""
+    from propius_spark.operators import (
+        embedding_dup_pairs,
+        kmeans_centroids,
+        multi_probe_assignments,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.vec_a, r.vec_b) for r in
+             embedding_dup_pairs(emb, threshold=0.4).collect()}
+    assert exact
+
+    cents4 = kmeans_centroids(emb, n_centroids=4)
+    asg4 = multi_probe_assignments(emb, n_probe=3, centroids=cents4)
+    got4 = {(r.vec_a, r.vec_b) for r in
+            embedding_dup_pairs(emb, threshold=0.4, candidates=asg4).collect()}
+    assert got4 == exact
+
+    cents8 = kmeans_centroids(emb, n_centroids=8)
+    asg8 = multi_probe_assignments(emb, n_probe=3, centroids=cents8)
+    got8 = {(r.vec_a, r.vec_b) for r in
+            embedding_dup_pairs(emb, threshold=0.4, candidates=asg8).collect()}
+    assert got8 <= exact
+    # measured 58/59 at sf0.01, 66/66 at sf0.001; floor leaves slack
+    assert len(got8) >= 0.8 * len(exact)
+
+
+def test_explicit_centroids_reject_conflicting_n_centroids(spark):
+    import pytest
+
+    from propius_spark.operators import (
+        assign_centroids,
+        multi_probe_assignments,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1.0)], "centroid_id long, cvec array<double>, cnorm double"
+    )
+    with pytest.raises(ValueError, match="n_centroids"):
+        assign_centroids(emb, n_centroids=16, centroids=cents)
+    with pytest.raises(ValueError, match="n_centroids"):
+        multi_probe_assignments(emb, n_centroids=16, centroids=cents)
