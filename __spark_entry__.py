@@ -85,7 +85,12 @@ from propius_spark.sources import (
     read_events,
     save_pairs,
 )
-from propius_spark.streaming import start_cells_query, streaming_cells
+from propius_spark.streaming import (
+    sessionize_stream,
+    start_cells_query,
+    start_sessions_query,
+    streaming_cells,
+)
 
 FLAGSHIP_ITEM = 1  # p_partkey of the demo part (exists at every sf)
 
@@ -589,6 +594,45 @@ def q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (applyInPandasWithState — the custom
+    stateful operator surface): readStream over the events file with a
+    1-hour watermark, append-mode closed sessions into a memory sink,
+    availableNow trigger. A session is emitted exactly when the
+    watermark passes session_end + gap, so the final sink equals the
+    BATCH sessionize answer restricted to sessions with
+    end + gap < max(ts) − 1h (floor-ms watermark arithmetic) — which
+    is the oracle."""
+    import tempfile
+    import uuid
+
+    # batch read first: resolves the ts encoding (and sets the
+    # legacy-nanos conf if that encoding is present) so the streaming
+    # schema matches what the stream will decode
+    schema = read_events(spark, sf_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "ts")
+    )
+    name = "sessions_stream_" + uuid.uuid4().hex[:8]
+    # state-store sizing: same rationale as q_streaming_cells — size
+    # stores to state volume (active users), not scan parallelism
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_sessions_query(
+            sessionize_stream(ev, gap_minutes=30, watermark="1 hour"),
+            tempfile.mkdtemp(prefix="propius_ckpt_"),
+            query_name=name,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents as opaque media
     payloads (binary) with per-item byte stats — size and sha256 are
@@ -717,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "weighted_sample_docs": q_weighted_sample_docs,
         "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
+        "streaming_sessions": q_streaming_sessions,
         "corr_pairs_parts": q_corr_pairs_parts,
         "similar_one_part": q_similar_one_part,
         "similar_exact_parts": q_similar_exact_parts,
@@ -1581,6 +1626,31 @@ def oracle_sql() -> dict[str, str]:
         # gaps-and-islands over epoch-micros event times; ties (equal
         # t) can't open a session (gap 0), so the running-sum ids are
         # order-deterministic in both engines
+        # batch gaps-and-islands restricted to watermark-closed
+        # sessions: Spark tracks event-time max in FLOOR-ms, so the
+        # final watermark is (max_t // 1000 − 3600000) ms and a
+        # session is closed iff end + gap < that watermark (strict <,
+        # the operator's defensive close rule)
+        "streaming_sessions": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            wm AS (SELECT ((MAX(t) // 1000) - 3600000) * 1000 AS wm_us
+                   FROM e),
+            m AS (SELECT user_id, t,
+                    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                               ORDER BY t) > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            s AS (SELECT user_id, t,
+                    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m),
+            sess AS (SELECT user_id, MIN(t) AS session_start_us,
+                            MAX(t) AS session_end_us, COUNT(*) AS n_events
+                     FROM s GROUP BY user_id, sid)
+            SELECT user_id, session_start_us, session_end_us, n_events
+            FROM sess, wm
+            WHERE session_end_us + 1800000000 < wm_us
+        """,
         "sessionize_events": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
             m AS (SELECT user_id, t,

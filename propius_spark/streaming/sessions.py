@@ -53,12 +53,19 @@ def sessionize_stream(
     require_columns(events, [user_col, ts_col], "sessionize_stream")
     gap_us = int(gap_minutes * 60_000_000)
     gap_ms = gap_us // 1000
-    # long-nanos input (parquet TIMESTAMP(NANOS) under nanosAsLong)
-    # → micros timestamp; watermarks need a timestamp column
-    if dict(events.dtypes)[ts_col] in ("bigint", "long"):
-        events = events.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
-        )
+    # Normalize ONCE, JVM-side, for all three event-time encodings
+    # (long nanos / TIMESTAMP_NTZ / TIMESTAMP — watermarks reject NTZ
+    # outright): `__t_us` is epoch micros (what the operator computes
+    # on, immune to session-timezone pandas conversion), `__ts` is the
+    # TIMESTAMP twin the watermark tracks.
+    from ..operators.sessions import _ts_micros
+
+    tmic = _ts_micros(events, ts_col)
+    events = events.select(
+        F.col(user_col).alias("user_id"),
+        tmic.alias("__t_us"),
+        F.timestamp_micros(tmic).alias("__ts"),
+    )
 
     def close_sessions(
         key: tuple, pdfs: Iterable[pd.DataFrame], state
@@ -72,13 +79,7 @@ def sessionize_stream(
         if not state.hasTimedOut:
             ts: list[int] = []
             for pdf in pdfs:
-                # unit-safe: datetime64[ns] or [us] both land on micros
-                ts.extend(
-                    pdf[ts_col]
-                    .values.astype("datetime64[us]")
-                    .astype("int64")
-                    .tolist()
-                )
+                ts.extend(int(t) for t in pdf["__t_us"].tolist())
             islands.extend((t, t, 1) for t in ts)
         # merge: islands sorted by start coalesce while the gap between
         # one's end and the next's start is within `gap`
@@ -116,8 +117,8 @@ def sessionize_stream(
         )
 
     return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(F.col(user_col).alias("user_id"))
+        events.withWatermark("__ts", watermark)
+        .groupBy("user_id")
         .applyInPandasWithState(
             close_sessions,
             SESSION_OUT,
