@@ -38,6 +38,7 @@ from propius_spark.operators import (
     chunk_documents,
     corpus_summary,
     pack_documents,
+    publish_model,
     bm25_search,
     posting_lists,
     tf_idf,
@@ -190,6 +191,35 @@ def q_retrieve_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("corr").alias("scaled_score"),
     )
     out = retrieve_similar_batch(fact, _part_dim(spark, sf_dir), items, k=5)
+    return _r6(out, "scaled_score")
+
+
+def q_publish_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 op-7 through a driver row: the full publish → serve
+    round trip. publish_model writes the exact similar_items fact
+    (bucketed by item_a_id % 4 — the B-tree-index analogue) and the
+    deterministic correlated_items dim to a temp store;
+    retrieve_similar_items then reads the PUBLISHED parquet back with
+    the bucket partition filter pruning 3/4 of the files. Oracle = the
+    same model pipeline in SQL with min-id-per-name dim dedup."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="propius_pub_")
+    dictionary = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("title")
+    )
+    paths = publish_model(
+        occurrences_from_lineitem(spark, sf_dir),
+        dictionary,
+        out_dir,
+        k_sigma=2.0,
+        n_buckets=4,
+    )
+    sims = spark.read.parquet(paths["similar_items"])
+    dim = spark.read.parquet(paths["correlated_items"])
+    out = retrieve_similar_items(
+        sims, dim, FLAGSHIP_ITEM, limit=10, n_buckets=4
+    )
     return _r6(out, "scaled_score")
 
 
@@ -762,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
         "streaming_sessions": q_streaming_sessions,
+        "publish_retrieve": q_publish_retrieve,
         "corr_pairs_parts": q_corr_pairs_parts,
         "similar_one_part": q_similar_one_part,
         "similar_exact_parts": q_similar_exact_parts,
@@ -999,6 +1030,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN mx = mn THEN 0.0
                               ELSE (corr - mn)/(mx - mn) END, 6) AS scaled_score
             FROM w WHERE corr >= mean_ + 2.0*std_
+        """,
+        # publish → serve round trip: the similar_exact pipeline
+        # pre-filtered to the flagship item's partition (the window
+        # stats are per-item_a, so the filter commutes), joined to the
+        # min-id-per-name dim (correlated_items' deterministic dedup)
+        "publish_retrieve": f"""
+            {_MODEL},
+            pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+                     (n.n*COALESCE(g.dot, 0) - a.s*b.s)/(a.den*b.den) AS corr
+                      FROM vs a JOIN vs b ON a.item <> b.item
+                      LEFT JOIN gram g
+                        ON g.item_a = a.item AND g.item_b = b.item, nn n
+                      WHERE a.item = {FLAGSHIP_ITEM}),
+            w AS (SELECT item_a, item_b, corr,
+                         AVG(corr) OVER pw AS mean_,
+                         STDDEV_SAMP(corr) OVER pw AS std_,
+                         MIN(corr) OVER pw AS mn,
+                         MAX(corr) OVER pw AS mx
+                  FROM pairs WINDOW pw AS (PARTITION BY item_a)),
+            fact AS (SELECT item_a, item_b, corr,
+                            CASE WHEN mx = mn THEN 0.0
+                                 ELSE (corr - mn)/(mx - mn) END AS sc
+                     FROM w WHERE corr >= mean_ + 2.0*std_),
+            dim AS (SELECT p_partkey AS id, p_name AS key FROM part
+                    QUALIFY ROW_NUMBER() OVER (PARTITION BY p_name
+                                               ORDER BY p_partkey) = 1)
+            SELECT f.item_b AS item_b_id, d.key AS item_name,
+                   ROUND(f.sc, 6) AS scaled_score
+            FROM fact f JOIN dim d ON f.item_b = d.id
+            ORDER BY f.sc DESC, f.item_b ASC LIMIT 10
         """,
         "similar_candidates_events": _EVENTS_CANDIDATES_SQL,
         # rank on the ROUNDED score (+ id tie-break), matching the

@@ -20,13 +20,25 @@ from .similarity import similar_items_exact
 def correlated_items(dictionary: DataFrame) -> DataFrame:
     """Dim table (id, key, human_label). The reference inserts the
     dictionary's positional index as id and the title as key, leaving
-    human_label NULL (propius/data.py:102-110)."""
+    human_label NULL (propius/data.py:102-110). The reference's UNIQUE
+    index on key admits one row per title in insert order; here the
+    SMALLEST id per key survives — a deterministic rule (plain
+    dropDuplicates keeps an arbitrary row per key, so two publishes of
+    the same dictionary could serve different ids)."""
+    from pyspark.sql.window import Window
+
     require_columns(dictionary, ["id", "title"], "correlated_items")
-    return dictionary.select(
-        F.col("id").cast("long").alias("id"),
-        F.col("title").alias("key"),
-        F.lit(None).cast("string").alias("human_label"),
-    ).dropDuplicates(["key"])
+    w = Window.partitionBy("key").orderBy(F.asc("id"))
+    return (
+        dictionary.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("title").alias("key"),
+            F.lit(None).cast("string").alias("human_label"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def publish_model(
