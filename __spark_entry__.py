@@ -81,10 +81,12 @@ from propius_spark.serving import (
 )
 from propius_spark.sources import (
     load_pairs,
+    load_reference_matrix,
     occurrences_from_events,
     occurrences_from_lineitem,
     read_events,
     save_pairs,
+    save_reference_matrix,
 )
 from propius_spark.streaming import (
     sessionize_stream,
@@ -581,6 +583,26 @@ def q_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(load_pairs(spark, path, fmt="csv"), "corr")
 
 
+def q_model_roundtrip_npy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 op 5 (matrix sink/source, npy side — reference
+    propius/similarity.py:170-207 save/load_correlation_matrix with
+    format="numpy"): densify the pairs model to the reference's
+    dense-matrix .npy artifact, then invert it back to long form. The
+    values must survive the round trip exactly (np.save/load is
+    bit-exact float64), so the oracle is the candidates pipeline
+    itself. The dense interchange is driver-sized BY CONTRACT
+    (save_reference_matrix's max_items guard); the event-type item
+    space here is tiny at every sf."""
+    sims = similar_items_candidates(
+        build_cells(occurrences_from_events(spark, sf_dir)),
+        threshold_method="absolute",
+        threshold_value=-1.0,
+    )
+    path = "/tmp/propius_model_roundtrip.npy"
+    save_reference_matrix(sims.select("item_a", "item_b", "corr"), path)
+    return _r6(load_reference_matrix(spark, path), "corr")
+
+
 def q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming maintenance of the cell table (beyond-
     reference; SURVEY §2.9): readStream over the lineitem file,
@@ -833,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_purchase": q_asof_click_purchase,
         "corr_pairs_cross_set": q_corr_pairs_cross_set,
         "model_roundtrip": q_model_roundtrip,
+        "model_roundtrip_npy": q_model_roundtrip_npy,
         "streaming_cells": q_streaming_cells,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -1523,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         # identical values must survive the CSV round trip, so the
         # oracle is exactly the candidates query the model was built by
         "model_roundtrip": _EVENTS_CANDIDATES_SQL,
+        "model_roundtrip_npy": _EVENTS_CANDIDATES_SQL,
         "streaming_cells": """
             SELECT l_partkey AS item_id, l_orderkey AS ctx_id,
                    COUNT(*) AS cnt

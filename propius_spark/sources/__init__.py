@@ -4,7 +4,7 @@ from .occurrences import (
     occurrences_from_events,
     read_events,
 )
-from .model_io import save_pairs, load_pairs, load_reference_matrix
+from .model_io import save_pairs, load_pairs, load_reference_matrix, save_reference_matrix
 
 __all__ = [
     "load_occurrences",
@@ -14,4 +14,5 @@ __all__ = [
     "save_pairs",
     "load_pairs",
     "load_reference_matrix",
+    "save_reference_matrix",
 ]

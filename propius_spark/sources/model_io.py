@@ -34,6 +34,59 @@ def load_pairs(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
         raise ValueError(f"Unsupported format: {fmt}")
 
 
+def save_reference_matrix(
+    pairs: DataFrame,
+    path: str,
+    fmt: str = "numpy",
+    n_items: int | None = None,
+    fill: float = float("nan"),
+    max_items: int = 32768,
+) -> None:
+    """Write the long-form pairs model as the REFERENCE engine's dense
+    matrix format (propius/similarity.py:170-187 save_correlation_matrix):
+    ``.npy`` via ``np.save`` (``fmt="numpy"``) or pandas CSV with 0-based
+    positional columns (``fmt="csv"``). The inverse of
+    :func:`load_reference_matrix` — an install of the reference can
+    ``np.load`` / ``pd.read_csv`` the output directly.
+
+    Densification is driver-side BY CONTRACT: the output format is a
+    dense I x I matrix the reference holds in one process's memory, so
+    any model that fits the format fits the driver. ``max_items`` guards
+    the O(I^2) materialization (default 32768 items = 8 GiB float64);
+    beyond that the dense interchange format itself is the wrong tool —
+    use :func:`save_pairs` (parquet/CSV long form) instead.
+
+    The diagonal is written as 1.0; pairs absent from the model (items
+    that never co-occur, or zero-variance items the pipeline excluded)
+    are written as ``fill`` (default NaN, matching the reference's
+    np.corrcoef output for zero-variance rows).
+    """
+    import numpy as np
+
+    if fmt not in ("numpy", "csv"):
+        raise ValueError(f"Unsupported format: {fmt}")
+    rows = pairs.select("item_a", "item_b", "corr").collect()
+    n = n_items
+    if n is None:
+        n = 1 + max((max(r.item_a, r.item_b) for r in rows), default=-1)
+    if n > max_items:
+        raise ValueError(
+            f"dense interchange refused for {n} items "
+            f"(> max_items={max_items}); the O(I^2) matrix would not be "
+            "driver-sized — use save_pairs (long-form parquet) instead"
+        )
+    m = np.full((n, n), fill, dtype="float64")
+    np.fill_diagonal(m, 1.0)
+    for r in rows:
+        m[r.item_a, r.item_b] = r.corr
+    if fmt == "numpy":
+        np.save(path, m)
+    else:
+        import pandas as pd
+
+        pd.DataFrame(m).to_csv(path, index=False)
+
+
 def load_reference_matrix(
     spark: SparkSession, path: str, fmt: str = "numpy"
 ) -> DataFrame:

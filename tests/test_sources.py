@@ -93,3 +93,57 @@ def test_load_reference_matrix_npy_and_csv(spark, tmp_path):
 
     with pytest.raises(ValueError):
         load_reference_matrix(spark, npy, fmt="pickle")
+
+
+def test_save_reference_matrix_roundtrip(spark, tmp_path):
+    """Write side of the reference interchange (propius/similarity.py
+    :170-187 save_correlation_matrix): the long-form pairs model
+    densifies to the exact np.save / pandas-CSV artifact the reference
+    produces — np.load reads it back bit-for-bit, and
+    load_reference_matrix inverts it to the original pairs."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from propius_spark.sources import (
+        load_reference_matrix,
+        save_reference_matrix,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 0, 0.5), (0, 3, -0.25), (3, 0, -0.25),
+         (1, 3, 0.75), (3, 1, 0.75)],
+        "item_a long, item_b long, corr double",
+    )
+
+    npy = str(tmp_path / "model.npy")
+    save_reference_matrix(pairs, npy, fmt="numpy")
+    m = np.load(npy)
+    # Reference-shape checks: square float64, unit diagonal, NaN where
+    # the model has no pair (item 2 = the zero-variance row).
+    assert m.shape == (4, 4) and m.dtype == np.float64
+    assert np.allclose(np.diag(m), 1.0)
+    assert np.isnan(m[2, 0]) and np.isnan(m[0, 2])
+    assert m[0, 1] == 0.5 and m[1, 3] == 0.75 and m[3, 0] == -0.25
+    # Inverse of load_reference_matrix: same pairs come back (NaN rows
+    # drop, diagonal implicit).
+    got = sorted(
+        (r.item_a, r.item_b, r.corr)
+        for r in load_reference_matrix(spark, npy).collect()
+    )
+    want = sorted((r.item_a, r.item_b, r.corr) for r in pairs.collect())
+    # diagonal entries are emitted by load (finite 1.0s) — drop them
+    got = [t for t in got if t[0] != t[1]]
+    assert got == want
+
+    csv = str(tmp_path / "model.csv")
+    save_reference_matrix(pairs, csv, fmt="csv")
+    m_csv = pd.read_csv(csv).to_numpy()
+    assert m_csv.shape == (4, 4)
+    assert np.array_equal(np.isnan(m_csv), np.isnan(m))
+    assert np.allclose(np.nan_to_num(m_csv), np.nan_to_num(m))
+
+    with pytest.raises(ValueError):
+        save_reference_matrix(pairs, npy, fmt="pickle")
+    with pytest.raises(ValueError):
+        save_reference_matrix(pairs, npy, max_items=2)
