@@ -37,12 +37,41 @@ def main() -> None:
     spark = get_spark("propius_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM (codegen compiler, parquet footer caches, shuffle
-    # service) on an untimed scan+shuffle: the first action in a fresh
-    # JVM otherwise pays ~5 s that belongs to no query
+    # warm the JVM on untimed work covering the runtime surfaces the
+    # suite uses — codegen compiler, parquet footer caches, shuffle
+    # service, Arrow + Python worker pool (applyInPandas), and MLlib
+    # class loading. The first action of each kind in a fresh JVM
+    # otherwise pays 3-9 s of warmup that belongs to no query (r3
+    # measured: posting_lists 13.5 s first-in-suite vs 0.86 s warm).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
         "l_returnflag"
     ).count().write.mode("overwrite").format("noop").save()
+    from pyspark.sql import functions as F  # noqa: N812
+
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(256)
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    warm_pdf = spark.range(64).withColumn("g", F.pmod("id", F.lit(4)))
+    warm_pdf.groupBy("g").applyInPandas(
+        lambda pdf: pdf, "id long, g bigint"
+    ).write.mode("overwrite").format("noop").save()
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = spark.range(64).select(
+            array_to_vector(F.array(F.rand(1), F.rand(2))).alias("features")
+        )
+        KMeans(k=2, seed=1, maxIter=2).fit(feat.coalesce(1))
+    except Exception:
+        pass
 
     def run_suite(d: str) -> dict[str, float]:
         timings: dict[str, float] = {}

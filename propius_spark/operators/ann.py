@@ -88,6 +88,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_blocks: int = 8,
     candidates: DataFrame | None = None,
+    max_bucket_vectors: int = 1024,
 ) -> DataFrame:
     """Embedding near-duplicates: (vec_a, vec_b, cosine) with
     vec_a < vec_b and cosine ≥ threshold.
@@ -123,12 +124,15 @@ def embedding_dup_pairs(
     in exact mode is ``n_blocks``: each group holds ~2N/n_blocks
     vectors (bound it to executor memory); data replication is
     ~(n_blocks+1)/2 ×. Groups are independent → embarrassingly
-    parallel across executors. In candidate mode the analogous hazard
-    is a hot bucket (⇒ sub-split it upstream or cap like
-    minhash's max_bucket_size).
+    parallel across executors. In candidate mode hot buckets are
+    sub-split automatically (``max_bucket_vectors``, see
+    `_bucketed_dup_pairs`): kernel memory stays bounded and a skewed
+    candidate list parallelizes instead of pinning one task.
     """
     if candidates is not None:
-        return _bucketed_dup_pairs(emb, threshold, id_col, vec_col, candidates)
+        return _bucketed_dup_pairs(
+            emb, threshold, id_col, vec_col, candidates, max_bucket_vectors
+        )
     spark = emb.sparkSession
     base = emb.select(
         F.col(id_col).cast("long").alias("vid"),
@@ -197,43 +201,106 @@ def _bucketed_dup_pairs(
     id_col: str,
     vec_col: str,
     candidates: DataFrame,
+    max_bucket_vectors: int = 1024,
 ) -> DataFrame:
     """Candidate-pruned near-dup pairs: score only pairs co-located in
     a candidate bucket. One shuffle of the (pruned) corpus on the
     bucket id; the same strict-upper-triangle BLAS kernel as the exact
-    path runs per bucket."""
+    path runs per bucket.
+
+    Hot buckets are SUB-SPLIT, not trusted: a bucket with B >
+    ``max_bucket_vectors`` members becomes ceil(B/max)² sub-block
+    pairs (the exact path's block nested-loop, scoped to the bucket),
+    so one skewed candidate list can neither OOM a task (kernel
+    allocation is bounded by max² doubles ≈ 8 MB at the default) nor
+    serialize the stage into one giant matmul — at 100 TB the hottest
+    IVF list parallelizes across the cluster instead of pinning one
+    executor. Total multiply-adds are unchanged; replication per row
+    is the per-bucket sub-block count (1 for any bucket under the
+    cap, so the common case pays nothing)."""
     idc, bkc = candidates.columns[:2]
     cand = candidates.select(
         F.col(idc).cast("long").alias("vid"), F.col(bkc).cast("long").alias("bkt")
     ).dropDuplicates(["vid", "bkt"])
+    sizes = cand.groupBy("bkt").agg(
+        F.ceil(F.count(F.lit(1)) / max_bucket_vectors).cast("int").alias("nb")
+    )
     rows = (
         emb.select(
             F.col(id_col).cast("long").alias("vid"),
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
         .join(cand, "vid")
+        .join(sizes, "bkt")
+        .withColumn("sub", F.pmod(F.xxhash64("vid"), F.col("nb")).cast("int"))
     )
+    # A row in sub-block s meets every sub-block j exactly once: as
+    # side 0 of group (s, j) when j ≥ s (j = s is the diagonal group,
+    # which carries ONE copy of the sub-block — the kernel self-joins
+    # it), else as side 1 of group (j, s). One sequence(0, nb-1) per
+    # row generates all nb memberships.
+    expanded = rows.select(
+        "bkt",
+        "vid",
+        "vec",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("nb") - 1),
+                lambda j: F.struct(
+                    F.least(j, F.col("sub")).alias("pa"),
+                    F.greatest(j, F.col("sub")).alias("pb"),
+                    (j < F.col("sub")).cast("int").alias("side"),
+                ),
+            )
+        ).alias("x"),
+    ).select("bkt", F.col("x.pa").alias("pa"), F.col("x.pb").alias("pb"),
+             F.col("x.side").alias("side"), "vid", "vec")
 
     def bucket_cosines(pdf):
         import numpy as np
         import pandas as pd
 
-        ids = pdf["vid"].to_numpy()
-        m = np.stack(pdf["vec"].to_numpy())
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+        diagonal = pdf["pa"].iloc[0] == pdf["pb"].iloc[0]
+        a = pdf if diagonal else pdf[pdf["side"] == 0]
+        b = pdf if diagonal else pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return empty
+        ids_a = a["vid"].to_numpy()
+        ids_b = b["vid"].to_numpy()
+        ma = np.stack(a["vec"].to_numpy())
+        mb = ma if diagonal else np.stack(b["vec"].to_numpy())
         with np.errstate(divide="ignore", invalid="ignore"):
-            n = np.linalg.norm(m, axis=1)
-            sims = (m @ m.T) / np.outer(n, n)
+            na = np.linalg.norm(ma, axis=1)
+            nb_ = na if diagonal else np.linalg.norm(mb, axis=1)
+            sims = (ma @ mb.T) / np.outer(na, nb_)
         # NaN ≥ τ is TRUE under Spark/DuckDB ordering — keep engine
         # semantics (same rule as the exact kernel)
         keep = (sims >= threshold) | np.isnan(sims)
-        keep &= ids[:, None] < ids[None, :]
+        if diagonal:
+            # same vector set on both sides: strict upper triangle
+            # drops self-pairs and mirrored duplicates
+            keep &= ids_a[:, None] < ids_b[None, :]
+        else:
+            # distinct sub-blocks of one bucket: every pair occurs
+            # exactly once but the smaller id can sit on either side —
+            # order ids on output. (Self-pairs are impossible here —
+            # sub assignment is a function of vid — the != is a guard.)
+            keep &= ids_a[:, None] != ids_b[None, :]
         ia, ib = np.nonzero(keep)
+        va, vb = ids_a[ia], ids_b[ib]
         return pd.DataFrame(
-            {"vec_a": ids[ia], "vec_b": ids[ib], "cosine": sims[ia, ib]}
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cosine": sims[ia, ib],
+            }
         )
 
     return (
-        rows.groupBy("bkt")
+        expanded.groupBy("bkt", "pa", "pb")
         .applyInPandas(bucket_cosines, "vec_a long, vec_b long, cosine double")
         # multi-bucket membership (LSH) can surface a pair twice with
         # the identical cosine — keep one
@@ -476,7 +543,22 @@ def kmeans_centroids(
             ).alias("features")
         )
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    # Lloyd re-evaluates the input once per iteration: cache the
+    # normalized features so the scan+normalize subtree runs once, not
+    # maxIter times, and right-size the partition count to the data —
+    # each iteration is one job over these partitions, so a small
+    # training set spread over the session's full scan parallelism
+    # pays (partitions × maxIter) near-empty tasks of pure overhead
+    # (measured 9.4 s → ~2 s for 2k vectors / 32 partitions / 20
+    # iterations at sf0.1). At scale the row estimate keeps ~100k
+    # vectors per training partition.
+    n_rows = feat.count()
+    target = max(1, min(feat.rdd.getNumPartitions(), int(n_rows // 100_000) + 1))
+    feat = feat.coalesce(target).persist()
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    finally:
+        feat.unpersist()
     rows = [
         (i, [float(x) for x in c], float(sum(x * x for x in c)) ** 0.5)
         for i, c in enumerate(model.clusterCenters())

@@ -335,3 +335,50 @@ def test_explicit_centroids_reject_conflicting_n_centroids(spark):
         assign_centroids(emb, n_centroids=16, centroids=cents)
     with pytest.raises(ValueError, match="n_centroids"):
         multi_probe_assignments(emb, n_centroids=16, centroids=cents)
+
+
+def test_hot_bucket_subsplit_equivalence(spark):
+    """Sub-splitting a hot candidate bucket (max_bucket_vectors below
+    the bucket size) must not change the answer: same pairs, same
+    cosines as the unsplit kernel, across several split factors —
+    including max=1 (every sub-block holds ≤1 vector, so ALL pairs
+    cross sub-blocks) and a multi-bucket (LSH-style) membership."""
+    import numpy as np
+
+    from propius_spark.operators import assign_centroids, embedding_dup_pairs
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(60, 4)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    _, assignment = assign_centroids(emb, n_centroids=3)
+    want = sorted(
+        (r.vec_a, r.vec_b, round(r.cosine, 9))
+        for r in embedding_dup_pairs(
+            emb, threshold=0.2, candidates=assignment,
+            max_bucket_vectors=10**6,
+        ).collect()
+    )
+    assert len(want) > 0
+    for max_vecs in (1, 7, 16):
+        got = sorted(
+            (r.vec_a, r.vec_b, round(r.cosine, 9))
+            for r in embedding_dup_pairs(
+                emb, threshold=0.2, candidates=assignment,
+                max_bucket_vectors=max_vecs,
+            ).collect()
+        )
+        assert got == want, f"max_bucket_vectors={max_vecs}"
+
+    # duplicate membership across buckets + sub-splitting compose
+    two = assignment.unionByName(
+        assignment.withColumn("centroid_id", F.col("centroid_id") + 100)
+    )
+    got2 = sorted(
+        (r.vec_a, r.vec_b, round(r.cosine, 9))
+        for r in embedding_dup_pairs(
+            emb, threshold=0.2, candidates=two, max_bucket_vectors=7
+        ).collect()
+    )
+    assert got2 == want
