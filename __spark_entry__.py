@@ -89,9 +89,11 @@ from propius_spark.sources import (
     save_reference_matrix,
 )
 from propius_spark.streaming import (
+    dedup_stream,
     sessionize_stream,
     start_cells_query,
     start_sessions_query,
+    start_dedup_query,
     streaming_cells,
 )
 
@@ -685,6 +687,48 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time dedup (dropDuplicatesWithinWatermark):
+    the events stream's `props` payload stands in for document text —
+    100 distinct payloads across the whole table, so the stream drops
+    ~99.9% of arrivals at ingest. WHICH arrival survives per payload is
+    a race across partitions inside a micro-batch, so the query
+    projects only the deduped payload itself — the emitted SET is the
+    distinct payloads whatever order the batch processed, which is
+    what makes an oracle possible (SELECT DISTINCT props). Event time
+    is normalized JVM-side exactly as sessionize_stream does (NTZ
+    inputs fail watermarking raw)."""
+    import tempfile
+    import uuid
+
+    from propius_spark.operators.sessions import _ts_micros
+
+    schema = read_events(spark, sf_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    docs = ev.select(
+        F.timestamp_micros(_ts_micros(ev, "ts")).alias("ts"),
+        F.col("props").alias("text"),
+    )
+    name = "dedup_stream_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # state = 100 content hashes — size stores to state volume
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_dedup_query(
+            dedup_stream(docs, watermark="1 hour"),
+            tempfile.mkdtemp(prefix="propius_ckpt_"),
+            query_name=name,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select("text")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents as opaque media
     payloads (binary) with per-item byte stats — size and sha256 are
@@ -814,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_dedup": q_streaming_dedup,
         "publish_retrieve": q_publish_retrieve,
         "corr_pairs_parts": q_corr_pairs_parts,
         "similar_one_part": q_similar_one_part,
@@ -1716,6 +1761,13 @@ def oracle_sql() -> dict[str, str]:
         # final watermark is (max_t // 1000 − 3600000) ms and a
         # session is closed iff end + gap < that watermark (strict <,
         # the operator's defensive close rule)
+        # the deduped SET is order-invariant (the query projects only
+        # the payload), so plain DISTINCT is the oracle; watermark
+        # eviction cannot re-admit a key inside one availableNow run
+        # over a single file (one micro-batch)
+        "streaming_dedup": """
+            SELECT DISTINCT props AS text FROM events
+        """,
         "streaming_sessions": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
             wm AS (SELECT ((MAX(t) // 1000) - 3600000) * 1000 AS wm_us

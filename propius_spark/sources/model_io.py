@@ -78,6 +78,13 @@ def save_reference_matrix(
     m = np.full((n, n), fill, dtype="float64")
     np.fill_diagonal(m, 1.0)
     for r in rows:
+        if not (0 <= r.item_a < n and 0 <= r.item_b < n):
+            raise ValueError(
+                f"pair ({r.item_a}, {r.item_b}) outside the dense id "
+                f"space [0, {n}) — ids must be 0-based matrix positions "
+                "(the reference's positional-index convention); pass "
+                "n_items only if it covers every id"
+            )
         m[r.item_a, r.item_b] = r.corr
     if fmt == "numpy":
         np.save(path, m)

@@ -43,3 +43,29 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def start_dedup_query(
+    deduped: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "propius_dedup",
+    available_now: bool = True,
+    sink_path: str | None = None,
+):
+    """Run the ingest-dedup stream (append mode — every surviving
+    first-arrival is final). ``sink_path=None`` → memory sink (test
+    surface); with ``sink_path`` → the durable landing zone: append-mode
+    parquet file sink, exactly-once per surviving document via the
+    checkpoint + file-sink commit log."""
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if sink_path is not None:
+        writer = writer.format("parquet").option("path", sink_path)
+    else:
+        writer = writer.format("memory")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -464,3 +464,47 @@ def test_repetition_stats_matches_python_reference(spark, docs):
         if c:
             want[i] = (sum(c.values()), len(c), max(c.values()))
     assert got == want
+
+
+pair_sets = st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda ab: ab[0] != ab[1]
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pairs=pair_sets, corrs=st.data())
+@settings(**SETTINGS)
+def test_reference_matrix_roundtrip_property(spark, pairs, corrs):
+    """save_reference_matrix ∘ load_reference_matrix is the identity on
+    ANY long-form pair set over a 0-based id space: every (a, b, corr)
+    survives the dense .npy hop bit-for-bit, no extra entries appear
+    (NaN fill and the implicit diagonal drop on load), and the matrix
+    np.load sees is exactly the reference's shape."""
+    import tempfile
+
+    import numpy as np
+
+    from propius_spark.sources import (
+        load_reference_matrix,
+        save_reference_matrix,
+    )
+
+    rows = [
+        (a, b, corrs.draw(st.floats(-1, 1, allow_nan=False).map(lambda x: round(x, 6))))
+        for a, b in sorted(pairs)
+    ]
+    df = spark.createDataFrame(rows, "item_a long, item_b long, corr double")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/m.npy"
+        save_reference_matrix(df, path)
+        m = np.load(path)
+        n = 1 + max(max(a, b) for a, b, _ in rows)
+        assert m.shape == (n, n)
+        got = sorted(
+            (r.item_a, r.item_b, r.corr)
+            for r in load_reference_matrix(spark, path).collect()
+        )
+    assert got == rows
