@@ -191,7 +191,10 @@ def _rank_gap_extremes(stats: DataFrame, gram_df: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     v_df = stats.agg(F.count(F.lit(1)).alias("v_items"))
-    ranked = (
+    # materialized: three consumers (rb under taken, the self-rank
+    # union, tmap) would otherwise each re-sort the item dimension —
+    # item-cardinality, so it stores safely at any scale
+    ranked = _persist(
         stats.select(
             "item_id",
             "t",

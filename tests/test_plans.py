@@ -226,3 +226,60 @@ def test_new_text_ops_plan_shape(spark, sf_dir):
     pr = _plan(props_rollup(read_events(spark, sf_dir), field="k"))
     assert _n_shuffles(pr) == 2
     assert not [n for n in PY_EVAL_NODES if n in pr]
+
+
+def test_rank_gap_window_exchange_reuse(spark, sf_dir):
+    """_rank_gap_extremes (round 3): the first-free-rank aggregation
+    must reuse the taken-ranks window's (item_a, side) exchange — a
+    Window node with HashAggregates DIRECTLY above it, no Exchange
+    between — and the ranked item dimension must be materialized once
+    (exactly ONE Window node in the whole plan; the rb/self/tmap
+    consumers read the persisted table instead of re-sorting items)."""
+    import re
+
+    from propius_spark.operators.correlation import (
+        _persist,
+        _rank_gap_extremes,
+        gram,
+        valid_item_stats,
+    )
+
+    cells = _persist(build_cells(occurrences_from_lineitem(spark, sf_dir)))
+    stats = _persist(valid_item_stats(cells))
+    g = _persist(gram(cells, stats, None))
+    plan = _plan(_rank_gap_extremes(stats, g))
+
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+    tree = plan.split("\n\n")[0].splitlines()
+    widx = [i for i, ln in enumerate(tree) if re.search(r"Window \(\d+\)", ln)]
+    assert len(widx) == 1
+    above = "".join(tree[max(0, widx[0] - 2): widx[0]])
+    assert "HashAggregate" in above and "Exchange" not in above
+
+
+def test_bucketed_dup_pairs_plan_shape(spark, sf_dir):
+    """Candidate-fed embedding near-dup (round-3 sub-split form): ONE
+    Arrow kernel (FlatMapGroupsInPandas), the sub-block expansion is a
+    map-side Generate below the group shuffle (replication costs no
+    extra shuffle), and the plan carries a bounded shuffle set — the
+    vid join pair, candidate dedup + bucket sizes, the kernel's group
+    shuffle, and the result dedup. A change that reintroduces
+    per-bucket single-task matmuls or a second kernel fails here."""
+    import re
+
+    from propius_spark.operators import assign_centroids, embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, asg = assign_centroids(emb, n_centroids=4)
+    plan = _plan(embedding_dup_pairs(emb, threshold=0.4, candidates=asg))
+
+    assert len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas$", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Generate$", plan, re.M)) == 1
+    tree = plan.split("\n\n")[0]
+    fm = tree.index("FlatMapGroupsInPandas")
+    gen = tree.index("Generate")
+    assert gen > fm  # Generate sits BELOW the kernel in the tree
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+    assert n_shuffles <= 5, plan
