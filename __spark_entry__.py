@@ -172,15 +172,17 @@ def q_retrieve_topk_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = get_similar_items(
         _lineitem_cells(spark, sf_dir), FLAGSHIP_ITEM, "absolute", -2.0
     )
+    # rank on the 6-dp-rounded score (id tie-break is inside
+    # retrieve_similar_items): both engines must rank identically at
+    # the top-10 boundary — raw doubles differ in the last ulp
     fact = row.select(
         F.lit(FLAGSHIP_ITEM).cast("long").alias("item_a_id"),
         F.col("item_b").cast("long").alias("item_b_id"),
-        F.col("corr").alias("scaled_score"),
+        F.round(F.col("corr"), 6).alias("scaled_score"),
     )
-    out = retrieve_similar_items(
+    return retrieve_similar_items(
         fact, _part_dim(spark, sf_dir), FLAGSHIP_ITEM, limit=10
     )
-    return _r6(out, "scaled_score")
 
 
 def q_retrieve_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,13 +191,13 @@ def q_retrieve_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table N times."""
     items = [FLAGSHIP_ITEM, FLAGSHIP_ITEM + 1, FLAGSHIP_ITEM + 2]
     pairs = corr_pairs(_lineitem_cells(spark, sf_dir))
+    # rounded rank key — see q_retrieve_topk_part
     fact = pairs.select(
         F.col("item_a").cast("long").alias("item_a_id"),
         F.col("item_b").cast("long").alias("item_b_id"),
-        F.col("corr").alias("scaled_score"),
+        F.round(F.col("corr"), 6).alias("scaled_score"),
     )
-    out = retrieve_similar_batch(fact, _part_dim(spark, sf_dir), items, k=5)
-    return _r6(out, "scaled_score")
+    return retrieve_similar_batch(fact, _part_dim(spark, sf_dir), items, k=5)
 
 
 def q_publish_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,12 +221,15 @@ def q_publish_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_sigma=2.0,
         n_buckets=4,
     )
-    sims = spark.read.parquet(paths["similar_items"])
+    # serve-side rounded rank key (store keeps raw doubles) — see
+    # q_retrieve_topk_part; the bucket partition filter still prunes
+    sims = spark.read.parquet(paths["similar_items"]).withColumn(
+        "scaled_score", F.round(F.col("scaled_score"), 6)
+    )
     dim = spark.read.parquet(paths["correlated_items"])
-    out = retrieve_similar_items(
+    return retrieve_similar_items(
         sims, dim, FLAGSHIP_ITEM, limit=10, n_buckets=4
     )
-    return _r6(out, "scaled_score")
 
 
 def q_item_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1127,7 +1132,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.item_b AS item_b_id, d.key AS item_name,
                    ROUND(f.sc, 6) AS scaled_score
             FROM fact f JOIN dim d ON f.item_b = d.id
-            ORDER BY f.sc DESC, f.item_b ASC LIMIT 10
+            ORDER BY ROUND(f.sc, 6) DESC, f.item_b ASC LIMIT 10
         """,
         "similar_candidates_events": _EVENTS_CANDIDATES_SQL,
         # rank on the ROUNDED score (+ id tie-break), matching the
@@ -1145,7 +1150,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.item_b AS item_b_id, p.p_name AS item_name,
                    ROUND(r.corr, 6) AS scaled_score
             FROM row_ r JOIN part p ON r.item_b = p.p_partkey
-            ORDER BY r.corr DESC, r.item_b ASC LIMIT 10
+            ORDER BY ROUND(r.corr, 6) DESC, r.item_b ASC LIMIT 10
         """,
         "retrieve_topk_batch": f"""
             {_MODEL},
@@ -1159,7 +1164,7 @@ def oracle_sql() -> dict[str, str]:
                    p.p_name AS item_name, ROUND(corr, 6) AS scaled_score,
                    rn
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
-                            ORDER BY corr DESC, item_b ASC) AS rn
+                            ORDER BY ROUND(corr, 6) DESC, item_b ASC) AS rn
                   FROM pr) r
             JOIN part p ON r.item_b = p.p_partkey
             WHERE rn <= 5

@@ -143,43 +143,72 @@ def embedding_dup_pairs(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "pa: int, pb: int",
     )
+    # diagonal groups (pa == pb) carry ONE copy of the block as side 0
+    # — the shared kernel self-joins it, so the exact path's diagonal
+    # replication is halved vs emitting both sides
     side_a = base.join(F.broadcast(block_pairs), F.col("blk") == F.col("pa")).select(
         "pa", "pb", F.lit(0).alias("side"), "vid", "vec"
     )
-    side_b = base.join(F.broadcast(block_pairs), F.col("blk") == F.col("pb")).select(
-        "pa", "pb", F.lit(1).alias("side"), "vid", "vec"
+    side_b = base.join(
+        F.broadcast(block_pairs.filter(F.col("pa") != F.col("pb"))),
+        F.col("blk") == F.col("pb"),
+    ).select("pa", "pb", F.lit(1).alias("side"), "vid", "vec")
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("pa", "pb")
+        .applyInPandas(
+            _block_cosines_kernel(threshold),
+            "vec_a long, vec_b long, cosine double",
+        )
     )
 
-    def block_cosines(pdf):
+
+def _block_cosines_kernel(threshold: float):
+    """The ONE BLAS pair-scoring kernel both near-dup paths share
+    (exact block nested-loop AND candidate-bucket sub-blocks) — the
+    engine-semantics subtleties live in exactly one place:
+
+    - NaN ≥ τ is TRUE under Spark/DuckDB ordering (NaN sorts above all
+      doubles) but False in NumPy — kept explicitly;
+    - a diagonal group (pa == pb) holds ONE copy of its vector set
+      (side 0) and self-joins it with a strict upper triangle (drops
+      self-pairs and mirrored duplicates);
+    - an off-diagonal group crosses two disjoint sub-sets; every pair
+      occurs exactly once but the smaller id can sit on either side —
+      ids are min/max-ordered on output (the != guard is
+      defense-in-depth; sub assignment is a function of the id).
+
+    Group columns beyond (pa, pb, side, vid, vec) — e.g. the bucket id
+    — ride along unused."""
+
+    def kernel(pdf):
         import numpy as np
         import pandas as pd
 
-        a = pdf[pdf["side"] == 0]
-        b = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+        diagonal = pdf["pa"].iloc[0] == pdf["pb"].iloc[0]
+        a = pdf if diagonal else pdf[pdf["side"] == 0]
+        b = pdf if diagonal else pdf[pdf["side"] == 1]
         if a.empty or b.empty:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
-            )
+            return empty
         ids_a = a["vid"].to_numpy()
         ids_b = b["vid"].to_numpy()
         ma = np.stack(a["vec"].to_numpy())
-        mb = np.stack(b["vec"].to_numpy())
+        mb = ma if diagonal else np.stack(b["vec"].to_numpy())
         with np.errstate(divide="ignore", invalid="ignore"):
-            sims = (ma @ mb.T) / np.outer(
-                np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)
-            )
-        # NaN ≥ τ is TRUE under Spark/DuckDB ordering (NaN sorts above
-        # all doubles) but False in NumPy — keep engine semantics
+            na = np.linalg.norm(ma, axis=1)
+            nb_ = na if diagonal else np.linalg.norm(mb, axis=1)
+            sims = (ma @ mb.T) / np.outer(na, nb_)
         keep = (sims >= threshold) | np.isnan(sims)
-        if pdf["pa"].iloc[0] == pdf["pb"].iloc[0]:
-            # diagonal block pair: both sides are the same vector set —
-            # keep the strict upper triangle (drops self-pairs and the
-            # mirrored duplicate of each pair)
+        if diagonal:
             keep &= ids_a[:, None] < ids_b[None, :]
+        else:
+            keep &= ids_a[:, None] != ids_b[None, :]
         ia, ib = np.nonzero(keep)
         va, vb = ids_a[ia], ids_b[ib]
-        # off-diagonal pairs occur exactly once but the smaller id can
-        # sit on either side — order ids in the output
         return pd.DataFrame(
             {
                 "vec_a": np.minimum(va, vb),
@@ -188,11 +217,7 @@ def embedding_dup_pairs(
             }
         )
 
-    return (
-        side_a.unionByName(side_b)
-        .groupBy("pa", "pb")
-        .applyInPandas(block_cosines, "vec_a long, vec_b long, cosine double")
-    )
+    return kernel
 
 
 def _bucketed_dup_pairs(
@@ -218,6 +243,13 @@ def _bucketed_dup_pairs(
     executor. Total multiply-adds are unchanged; replication per row
     is the per-bucket sub-block count (1 for any bucket under the
     cap, so the common case pays nothing)."""
+    if max_bucket_vectors < 1:
+        # ceil(count/0) is NULL under non-ANSI division and would
+        # silently explode() every row away — a "dedup" that finds
+        # nothing. There is no disable value; pass a huge cap instead.
+        raise ValueError(
+            f"max_bucket_vectors must be >= 1, got {max_bucket_vectors}"
+        )
     idc, bkc = candidates.columns[:2]
     cand = candidates.select(
         F.col(idc).cast("long").alias("vid"), F.col(bkc).cast("long").alias("bkt")
@@ -256,52 +288,12 @@ def _bucketed_dup_pairs(
     ).select("bkt", F.col("x.pa").alias("pa"), F.col("x.pb").alias("pb"),
              F.col("x.side").alias("side"), "vid", "vec")
 
-    def bucket_cosines(pdf):
-        import numpy as np
-        import pandas as pd
-
-        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
-        )
-        diagonal = pdf["pa"].iloc[0] == pdf["pb"].iloc[0]
-        a = pdf if diagonal else pdf[pdf["side"] == 0]
-        b = pdf if diagonal else pdf[pdf["side"] == 1]
-        if a.empty or b.empty:
-            return empty
-        ids_a = a["vid"].to_numpy()
-        ids_b = b["vid"].to_numpy()
-        ma = np.stack(a["vec"].to_numpy())
-        mb = ma if diagonal else np.stack(b["vec"].to_numpy())
-        with np.errstate(divide="ignore", invalid="ignore"):
-            na = np.linalg.norm(ma, axis=1)
-            nb_ = na if diagonal else np.linalg.norm(mb, axis=1)
-            sims = (ma @ mb.T) / np.outer(na, nb_)
-        # NaN ≥ τ is TRUE under Spark/DuckDB ordering — keep engine
-        # semantics (same rule as the exact kernel)
-        keep = (sims >= threshold) | np.isnan(sims)
-        if diagonal:
-            # same vector set on both sides: strict upper triangle
-            # drops self-pairs and mirrored duplicates
-            keep &= ids_a[:, None] < ids_b[None, :]
-        else:
-            # distinct sub-blocks of one bucket: every pair occurs
-            # exactly once but the smaller id can sit on either side —
-            # order ids on output. (Self-pairs are impossible here —
-            # sub assignment is a function of vid — the != is a guard.)
-            keep &= ids_a[:, None] != ids_b[None, :]
-        ia, ib = np.nonzero(keep)
-        va, vb = ids_a[ia], ids_b[ib]
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(va, vb),
-                "vec_b": np.maximum(va, vb),
-                "cosine": sims[ia, ib],
-            }
-        )
-
     return (
         expanded.groupBy("bkt", "pa", "pb")
-        .applyInPandas(bucket_cosines, "vec_a long, vec_b long, cosine double")
+        .applyInPandas(
+            _block_cosines_kernel(threshold),
+            "vec_a long, vec_b long, cosine double",
+        )
         # multi-bucket membership (LSH) can surface a pair twice with
         # the identical cosine — keep one
         .dropDuplicates(["vec_a", "vec_b"])
@@ -552,11 +544,18 @@ def kmeans_centroids(
     # (measured 9.4 s → ~2 s for 2k vectors / 32 partitions / 20
     # iterations at sf0.1). At scale the row estimate keeps ~100k
     # vectors per training partition.
-    n_rows = feat.count()
-    target = max(1, min(feat.rdd.getNumPartitions(), int(n_rows // 100_000) + 1))
-    feat = feat.coalesce(target).persist()
+    feat = feat.persist()
     try:
-        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+        # persist FIRST, then count: the count materializes the cache,
+        # so the scan+normalize subtree runs exactly once — counting an
+        # unpersisted frame would pay one full extra pass over the
+        # embedding table before the fit re-read it
+        n_rows = feat.count()
+        target = max(
+            1, min(feat.rdd.getNumPartitions(), int(n_rows // 100_000) + 1)
+        )
+        small = feat.coalesce(target)
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(small)
     finally:
         feat.unpersist()
     rows = [
@@ -568,20 +567,30 @@ def kmeans_centroids(
     )
 
 
-def _reject_ignored_n_centroids(fn: str, n_centroids: int) -> None:
-    # An explicit centroids table fully determines the centroid set; a
-    # caller ALSO passing a non-default n_centroids likely believes it
-    # took effect — fail loudly instead of silently ignoring the knob.
-    if n_centroids != 8:
-        raise ValueError(
-            f"{fn}: n_centroids={n_centroids} is ignored when a centroids"
-            " DataFrame is supplied — pass one or the other"
-        )
+DEFAULT_N_CENTROIDS = 8
+
+
+def _resolve_n_centroids(
+    fn: str, n_centroids: int | None, centroids: DataFrame | None
+) -> int | None:
+    """None-sentinel resolution of the two centroid knobs: an explicit
+    centroids table fully determines the centroid set, so a caller
+    ALSO passing n_centroids (ANY value — a sentinel, unlike the old
+    magic-8 comparison, detects an explicit 8 too) gets a loud error
+    instead of a silently-ignored knob."""
+    if centroids is not None:
+        if n_centroids is not None:
+            raise ValueError(
+                f"{fn}: n_centroids={n_centroids} is ignored when a"
+                " centroids DataFrame is supplied — pass one or the other"
+            )
+        return None
+    return DEFAULT_N_CENTROIDS if n_centroids is None else n_centroids
 
 
 def assign_centroids(
     emb: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
@@ -595,11 +604,11 @@ def assign_centroids(
     ``n_centroids`` is ignored (raises if both are explicitly set to
     avoid a silently-ignored knob)."""
     base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
+    n = _resolve_n_centroids("assign_centroids", n_centroids, centroids)
     if centroids is not None:
-        _reject_ignored_n_centroids("assign_centroids", n_centroids)
         cents = centroids.select("centroid_id", "cvec", "cnorm")
     else:
-        cents = base.filter(F.col("vec_id") < n_centroids).select(
+        cents = base.filter(F.col("vec_id") < n).select(
             F.col("vec_id").alias("centroid_id"),
             F.col("vec").alias("cvec"),
             F.col("norm").alias("cnorm"),
@@ -612,7 +621,7 @@ def assign_centroids(
 
 def multi_probe_assignments(
     emb: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -631,11 +640,11 @@ def multi_probe_assignments(
     KB-sized centroid set — map-side at any scale;
     ``assign_centroids`` is exactly n_probe=1."""
     base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
+    n = _resolve_n_centroids("multi_probe_assignments", n_centroids, centroids)
     if centroids is not None:
-        _reject_ignored_n_centroids("multi_probe_assignments", n_centroids)
         cents = centroids.select("centroid_id", "cvec", "cnorm")
     else:
-        cents = base.filter(F.col("vec_id") < n_centroids).select(
+        cents = base.filter(F.col("vec_id") < n).select(
             F.col("vec_id").alias("centroid_id"),
             F.col("vec").alias("cvec"),
             F.col("norm").alias("cnorm"),

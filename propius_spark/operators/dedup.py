@@ -69,13 +69,17 @@ def exact_dedup(
 
     ``key="hash"`` (default, the scale path): the output carries no
     text, so nothing forces the corpus through the shuffle — group on
-    a 128-bit content key instead, two INDEPENDENT xxhash64 lanes
-    (plain + domain-salted). Shuffle keys are 16 bytes regardless of
-    document size; a wrong merge needs a simultaneous collision in
-    both 64-bit lanes (~2⁻¹²⁸ per pair, < 10⁻¹⁸ even at 10¹⁰ docs —
-    the same standard content-addressed stores accept). In-group
-    verification would be strictly worse: it is exactly the
-    ship-the-duplicate-texts shuffle this mode exists to avoid.
+    the SHA-256 content address instead (map-side, one pass over the
+    text). Shuffle keys are 32 bytes regardless of document size, and
+    the no-collision assumption is the cryptographic one
+    content-addressed stores (git, OCI registries) stand on — it
+    holds even for ADVERSARIAL corpora, which web-scale training data
+    is. (Two salted xxhash64 lanes were rejected: xxhash64 is
+    non-cryptographic and admits seed-independent collisions, so the
+    "2⁻¹²⁸ independent lanes" arithmetic doesn't hold against crafted
+    documents.) In-group verification would be strictly worse: it is
+    exactly the ship-the-duplicate-texts shuffle this mode exists to
+    avoid.
 
     ``key="text"``: raw-text groupBy — the oracle twin (bit-exact by
     construction, no hash assumption); test-scale only.
@@ -83,10 +87,7 @@ def exact_dedup(
     if key == "text":
         grp = [F.col(text_col)]
     elif key == "hash":
-        grp = [
-            F.xxhash64(F.col(text_col)),
-            F.xxhash64(F.lit("propius.exact_dedup.lane2"), F.col(text_col)),
-        ]
+        grp = [F.sha2(F.col(text_col).cast("binary"), 256)]
     else:
         raise ValueError(f"exact_dedup: unknown key mode {key!r}")
     return (

@@ -93,10 +93,14 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     try:
         return spark.read.parquet(path)
-    except Exception:
-        # PARQUET_TYPE_ILLEGAL surfaces at schema resolution; retry
-        # in legacy-nanos mode (see docstring for the session-wide
-        # effect, deliberately applied only on this fallback path)
+    except Exception as e:
+        # Only the nanos-encoding failure justifies flipping the
+        # session-wide legacy conf — a missing path or any unrelated
+        # error must NOT change how every later parquet read in the
+        # session decodes TIMESTAMP(NANOS) columns
+        msg = str(e)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "NANOS" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

@@ -103,7 +103,16 @@ def start_cells_query(
             dst = hpath(sink_path)
             if fs.exists(dst):
                 fs.delete(dst, True)
-            fs.rename(hpath(tmp), dst)
+            # Hadoop FileSystem.rename reports most failures by
+            # returning false, not raising — an unchecked false here
+            # would commit the batch with the live table GONE
+            if not fs.rename(hpath(tmp), dst):
+                raise IOError(
+                    f"sink swap failed: rename({tmp} -> {sink_path}) "
+                    "returned false; previous table was already "
+                    "deleted — investigate before the checkpoint "
+                    "advances"
+                )
 
         writer = (
             cells.writeStream.outputMode("complete")
@@ -191,12 +200,15 @@ def windowed_event_counts(
     their window finalized (state evicted — bounded state at scale).
     """
     require_columns(events, ["ts", "event_type"], "windowed_event_counts")
-    # parquet timestamp[ns] surfaces as BIGINT nanos in Spark (no ns
-    # timestamp type) — normalize to a micros-precision timestamp
-    if dict(events.dtypes)["ts"] in ("bigint", "long"):
-        events = events.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    # normalize ALL three event-time encodings (long nanos /
+    # TIMESTAMP_NTZ / TIMESTAMP) exactly as sessionize_stream does —
+    # watermarks reject NTZ outright, and the driver testdata has
+    # shipped every one of these encodings across rounds
+    from ..operators.sessions import _ts_micros
+
+    events = events.withColumn(
+        "ts", F.timestamp_micros(_ts_micros(events, "ts"))
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(

@@ -52,20 +52,12 @@ def start_dedup_query(
     available_now: bool = True,
     sink_path: str | None = None,
 ):
-    """Run the ingest-dedup stream (append mode — every surviving
-    first-arrival is final). ``sink_path=None`` → memory sink (test
-    surface); with ``sink_path`` → the durable landing zone: append-mode
-    parquet file sink, exactly-once per surviving document via the
-    checkpoint + file-sink commit log."""
-    writer = (
-        deduped.writeStream.outputMode("append")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    """Run the ingest-dedup stream: every surviving first-arrival is
+    final, so this is the shared append-mode runner (see
+    streaming/writers.py) with the dedup query name; ``sink_path``
+    set = the durable landing zone."""
+    from .writers import start_append_query
+
+    return start_append_query(
+        deduped, checkpoint_dir, query_name, available_now, sink_path
     )
-    if sink_path is not None:
-        writer = writer.format("parquet").option("path", sink_path)
-    else:
-        writer = writer.format("memory")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

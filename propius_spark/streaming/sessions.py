@@ -136,20 +136,12 @@ def start_sessions_query(
     available_now: bool = True,
     sink_path: str | None = None,
 ) -> StreamingQuery:
-    """Run the closed-session stream (append mode — each closed
-    session is final). ``sink_path=None`` → memory sink (test
-    surface); with ``sink_path`` → a durable parquet session log:
-    append-mode file sink, exactly-once per closed session via the
-    checkpoint + file-sink commit log."""
-    writer = (
-        sessions.writeStream.outputMode("append")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    """Run the closed-session stream: each closed session is final, so
+    this is the shared append-mode runner (see streaming/writers.py)
+    with the sessions query name; ``sink_path`` set = a durable
+    parquet session log."""
+    from .writers import start_append_query
+
+    return start_append_query(
+        sessions, checkpoint_dir, query_name, available_now, sink_path
     )
-    if sink_path is not None:
-        writer = writer.format("parquet").option("path", sink_path)
-    else:
-        writer = writer.format("memory")
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

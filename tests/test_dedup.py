@@ -31,7 +31,7 @@ def test_exact_dedup_groups(spark):
 
 
 def test_exact_dedup_hash_mode_equals_text_mode(spark, sf_dir):
-    # The 128-bit-key scale path must agree with the raw-text oracle
+    # The content-address scale path must agree with the raw-text oracle
     # mode on the fixture corpus (round-2 verdict item 3).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     h = sorted(
