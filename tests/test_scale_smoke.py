@@ -1,0 +1,115 @@
+"""Scale-smoke tests — empirical checks of the bounded-memory /
+bounded-skew claims SCALE.md makes, at 10-50× the driver-gate data
+sizes. Gated behind PROPIUS_SCALE_SMOKE=1 so the default suite stays
+fast; run explicitly when touching the kernels or skew controls:
+
+    PROPIUS_SCALE_SMOKE=1 python -m pytest tests/test_scale_smoke.py -q
+
+Each test asserts CORRECTNESS at the larger size (a result invariant
+that fails if the mechanism breaks), not wall-clock — timing claims
+live in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SCALE = os.environ.get("PROPIUS_SCALE_SMOKE") == "1"
+pytestmark = pytest.mark.skipif(
+    not SCALE, reason="set PROPIUS_SCALE_SMOKE=1 to run scale smokes"
+)
+
+
+def test_one_hot_bucket_subsplits_and_matches_exact(spark):
+    """SCALE.md 'hot candidate buckets sub-split themselves': ALL 50k
+    vectors land in ONE candidate bucket — the degenerate worst case a
+    skewed IVF list produces. With max_bucket_vectors=1024 the kernel
+    must stay bounded (a single 50k×50k float64 matmul would need
+    20 GB in one task) and the pair set must equal what the same
+    threshold finds — verified against a down-filtered exact run on a
+    deterministic duplicated-vector construction."""
+    import numpy as np
+
+    from propius_spark.operators import embedding_dup_pairs
+
+    n, dim, n_dup = 50_000, 16, 40
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(n, dim))
+    # plant exact duplicates: vectors 0..n_dup-1 duplicated at
+    # n..n+n_dup-1 — cosine 1.0 pairs the run must find
+    planted = np.concatenate([vecs, vecs[:n_dup]])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(planted)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one_bucket = emb.select("vec_id", F.lit(0).alias("bkt"))
+
+    got = (
+        embedding_dup_pairs(
+            emb, threshold=0.999999, candidates=one_bucket,
+            max_bucket_vectors=1024,
+        )
+        .select("vec_a", "vec_b")
+        .collect()
+    )
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    want = {(i, n + i) for i in range(n_dup)}
+    # every planted duplicate found; random 16-dim gaussians at
+    # threshold 0.999999 contribute nothing else
+    assert want <= pairs
+    extras = pairs - want
+    assert len(extras) == 0, sorted(extras)[:5]
+
+
+def test_exact_dedup_content_key_at_1m_docs(spark):
+    """SCALE.md 'exact dedup never shuffles the corpus': 1M synthetic
+    docs (100k distinct texts × 10 copies) through the sha-256 content
+    key — group count and per-group sizes must be exact, and the min-id
+    keeper rule must hold on a deterministic id layout."""
+    from propius_spark.operators import exact_dedup
+
+    n_distinct, copies = 100_000, 10
+    docs = spark.range(n_distinct * copies).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document body "), (F.col("id") % n_distinct).cast("string")
+        ).alias("text"),
+    )
+    out = exact_dedup(docs).collect()
+    assert len(out) == n_distinct
+    assert all(r.dup_count == copies for r in out)
+    # min-id keeper: ids 0..n_distinct-1 are each text's first copy
+    keepers = sorted(r.keeper_id for r in out)
+    assert keepers == list(range(n_distinct))
+
+
+def test_minhash_lsh_recalls_planted_dups_at_50k_docs(spark):
+    """The banded-bucket join at 50k docs: 25 planted near-duplicate
+    pairs (one token changed in ~40-token docs) must all surface from
+    LSH candidates + exact verify, with no exact-duplicate pair
+    missed, and bucket-size capping must not blow up on the shared
+    vocabulary."""
+    import numpy as np
+
+    from propius_spark.operators import minhash_lsh_pairs
+
+    rng = np.random.default_rng(13)
+    vocab = [f"tok{i}" for i in range(5_000)]
+    base = [
+        " ".join(rng.choice(vocab, size=40))
+        for _ in range(50_000)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # planted near-dups: docs 50000+j is doc j with one token changed
+    for j in range(25):
+        toks = base[j].split()
+        toks[0] = "tokX"
+        rows.append((50_000 + j, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_lsh_pairs(docs, threshold=0.7).select("doc_a", "doc_b").collect()
+    pairs = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for r in got}
+    want = {(j, 50_000 + j) for j in range(25)}
+    missed = want - pairs
+    assert not missed, sorted(missed)
