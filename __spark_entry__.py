@@ -921,12 +921,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------- oracles
 
 # Shared CTE fragments for the documents-table oracles. Tokenization is
-# split-on-whitespace over trim(lower(text)) in BOTH engines; shingle
+# split-on-whitespace over lower(text) with empty tokens FILTERED in BOTH
+# engines (robust to leading/trailing tabs/newlines); shingle
 # ids / token ids are dictionary-coded (dense_rank over the distinct
 # strings) so every hash is bit-equal modular arithmetic (dedup.py
 # docstring: "oracle-parity design").
 _SHINGLES = r"""
-toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+toks AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
          FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS shingle
        FROM toks, LATERAL unnest(range(1, len(t)-1)) AS i(i)
@@ -1027,8 +1029,8 @@ _TEXT_STATS_SQL = rf"""
                                trim(text) AS tt
                         FROM documents),
             tk AS (SELECT doc_id, tt,
-                          CASE WHEN lt = '' THEN []::VARCHAR[]
-                               ELSE string_split_regex(lt, '\s+') END AS toks,
+                          list_filter(string_split_regex(lt, '\s+'),
+                                      t -> t <> '') AS toks,
                           list_transform(
                             string_split(regexp_replace(lt, '\s+', ' ', 'g'),
                                          ''),
@@ -1218,10 +1220,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "vocabulary": r"""
-            WITH toks AS (SELECT CASE WHEN trim(lower(text)) = ''
-                                      THEN []::VARCHAR[]
-                                      ELSE string_split_regex(
-                                             trim(lower(text)), '\s+') END
+            WITH toks AS (SELECT list_filter(string_split_regex(
+                                        lower(text), '\s+'), x -> x <> '')
                                    AS t
                           FROM documents),
             c AS (SELECT tok AS token, COUNT(*) AS count
@@ -1236,10 +1236,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_docs": r"""
             WITH toks AS (SELECT doc_id,
-                                 CASE WHEN trim(lower(text)) = ''
-                                      THEN []::VARCHAR[]
-                                      ELSE string_split_regex(
-                                             trim(lower(text)), '\s+') END
+                                 list_filter(string_split_regex(
+                                        lower(text), '\s+'), x -> x <> '')
                                    AS t
                           FROM documents)
             SELECT doc_id, (s.s // 24)::BIGINT AS chunk_id,
@@ -1250,10 +1248,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_docs": r"""
             WITH toks AS (SELECT doc_id,
-                                 CASE WHEN trim(lower(text)) = ''
-                                      THEN []::VARCHAR[]
-                                      ELSE string_split_regex(
-                                             trim(lower(text)), '\s+') END
+                                 list_filter(string_split_regex(
+                                        lower(text), '\s+'), x -> x <> '')
                                    AS t
                           FROM documents),
             nt AS (SELECT doc_id, doc_id % 8 AS shard,
@@ -1270,10 +1266,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_summary": r"""
             WITH tk AS (SELECT doc_id, lang, text,
-                               CASE WHEN trim(lower(text)) = ''
-                                    THEN []::VARCHAR[]
-                                    ELSE string_split_regex(
-                                           trim(lower(text)), '\s+') END
+                               list_filter(string_split_regex(
+                                        lower(text), '\s+'), x -> x <> '')
                                  AS toks
                         FROM documents),
             ds AS (SELECT lang, COUNT(*) AS n_docs,
@@ -1316,8 +1310,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_repetition": r"""
             WITH toks AS (SELECT doc_id,
-                                 string_split_regex(trim(lower(text)),
-                                                    '\s+') AS t
+                                 list_filter(string_split_regex(
+                                     lower(text), '\s+'),
+                                     x -> x <> '') AS t
                           FROM documents),
             sha AS (SELECT doc_id, array_to_string(t[i.i:i.i+2], ' ')
                       AS shingle
@@ -1395,18 +1390,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": rf"""
             WITH tk AS (SELECT doc_id,
-                               unnest(string_split_regex(trim(lower(text)),
-                                                         '\s+')) AS tok
+                               unnest(list_filter(string_split_regex(
+                                   lower(text), '\s+'),
+                                   x -> x <> '')) AS tok
                         FROM documents),
             tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
             td AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
                    FROM (SELECT DISTINCT tok FROM tc)),
             coded AS (SELECT doc_id, cnt,
                              ({MINHASH_A[0]}*tid + {MINHASH_B[0]})
-                               % {MINHASH_PRIME} AS hv
+                               % {MINHASH_PRIME} AS hv1,
+                             ({MINHASH_A[1]}*tid + {MINHASH_B[1]})
+                               % {MINHASH_PRIME} AS hv2
                       FROM tc JOIN td USING (tok)),
+            -- two hash lanes, 16 live bits each (one mod-2^31-1 value
+            -- has a structurally-zero bit 31) — mirrors the engine
             lanes AS (SELECT doc_id, b.b AS b,
-                             SUM((((hv >> b.b) & 1) * 2 - 1) * cnt) AS lane
+                             SUM((((CASE WHEN b.b < 16 THEN hv1 >> b.b
+                                         ELSE hv2 >> (b.b - 16) END) & 1)
+                                  * 2 - 1) * cnt) AS lane
                       FROM coded, LATERAL unnest(range(0, 32)) AS b(b)
                       GROUP BY 1, 2),
             sig AS (SELECT doc_id,
@@ -1627,10 +1629,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_search": r"""
             WITH toks AS (SELECT doc_id,
-                                 CASE WHEN trim(lower(text)) = ''
-                                      THEN []::VARCHAR[]
-                                      ELSE string_split_regex(
-                                             trim(lower(text)), '\s+') END
+                                 list_filter(string_split_regex(
+                                        lower(text), '\s+'), x -> x <> '')
                                    AS t
                           FROM documents),
             dls AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
@@ -1655,10 +1655,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tfidf_docs": r"""
             WITH toks AS (SELECT doc_id,
-                                 CASE WHEN trim(lower(text)) = ''
-                                      THEN []::VARCHAR[]
-                                      ELSE string_split_regex(
-                                             trim(lower(text)), '\s+') END
+                                 list_filter(string_split_regex(
+                                        lower(text), '\s+'), x -> x <> '')
                                    AS t
                           FROM documents),
             tfs AS (SELECT doc_id, tok AS token, COUNT(*) AS tf
@@ -1673,10 +1671,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "posting_lists": r"""
             WITH toks AS (SELECT doc_id,
-                                 CASE WHEN trim(lower(text)) = ''
-                                      THEN []::VARCHAR[]
-                                      ELSE string_split_regex(
-                                             trim(lower(text)), '\s+') END
+                                 list_filter(string_split_regex(
+                                        lower(text), '\s+'), x -> x <> '')
                                    AS t
                           FROM documents),
             dt AS (SELECT DISTINCT doc_id, tok AS token
@@ -1688,10 +1684,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_distribution": r"""
             WITH nt AS (SELECT lang,
-                               CASE WHEN trim(lower(text)) = '' THEN 0
-                                    ELSE len(string_split_regex(
-                                           trim(lower(text)), '\s+')) END
-                                 AS n
+                               len(list_filter(string_split_regex(
+                                     lower(text), '\s+'),
+                                     x -> x <> '')) AS n
                         FROM documents)
             SELECT lang, COUNT(*) AS n_docs,
                    ROUND(AVG(n), 6) AS mean_tokens,

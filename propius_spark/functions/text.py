@@ -34,11 +34,19 @@ LANGS = list(LANG_STOPWORDS)
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of trimmed lowercased text; empty string →
-    empty array (split('') would yield [''])."""
-    t = F.trim(F.lower(text))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+    """Whitespace tokens of lowercased text, empty tokens dropped.
+
+    The filter (not a trim) is what makes EVERY boundary case safe:
+    `trim` strips ASCII spaces only, so text with leading/trailing
+    tabs/newlines used to yield boundary "" tokens (polluting
+    shingles, vocabulary, token counts), and whitespace-ONLY text
+    ("\\n") yielded ["", ""] — n=2 tokens, 0 chars, and a 0/0 NaN
+    quality score that passed every quality filter (NaN sorts above
+    all doubles in Spark). Filtering empties collapses all of those
+    to the correct answer. Null text stays null (size() = -1 — the
+    callers' guards treat it as no tokens)."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: x != ""
     )
 
 

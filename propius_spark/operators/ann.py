@@ -608,7 +608,12 @@ def assign_centroids(
     if centroids is not None:
         cents = centroids.select("centroid_id", "cvec", "cnorm")
     else:
-        cents = base.filter(F.col("vec_id") < n).select(
+        # the n SMALLEST ids, literally (TakeOrdered over the id
+        # column) — the former `vec_id < n` filter assumed a dense
+        # 0-based id space and silently yielded fewer (or zero)
+        # centroids on offset ids; identical on dense 0-based ids,
+        # which is what keeps the SQL oracles' `vec_id < n` twin valid
+        cents = base.orderBy("vec_id").limit(n).select(
             F.col("vec_id").alias("centroid_id"),
             F.col("vec").alias("cvec"),
             F.col("norm").alias("cnorm"),
@@ -644,7 +649,8 @@ def multi_probe_assignments(
     if centroids is not None:
         cents = centroids.select("centroid_id", "cvec", "cnorm")
     else:
-        cents = base.filter(F.col("vec_id") < n).select(
+        # n smallest ids, literally — see assign_centroids
+        cents = base.orderBy("vec_id").limit(n).select(
             F.col("vec_id").alias("centroid_id"),
             F.col("vec").alias("cvec"),
             F.col("norm").alias("cnorm"),

@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import tokens
 from ..plans import fan_out as _fan_out
-from ..plans import materialize
+from ..plans import materialize, persist_big
 
 # h_i(x) = (A[i]·x + B[i]) mod P — fixed public parameters so engine
 # and oracle agree. P = 2³¹ − 1 (Mersenne prime); products stay < 2⁶³.
@@ -166,10 +166,12 @@ def jaccard_pairs(
     # join on a 64-bit hash of the shingle, not the string: same pairs
     # and counts absent xxhash64 collisions (~2⁻⁶⁴ per shingle pair —
     # the standard engineering trade), with far smaller shuffle keys.
-    # Materialized once (plans.materialize): consumed by both the
-    # self-join and the per-doc sizes, and a flat scan keeps AQE from
-    # replanning the shingling subtree per stage.
-    sh = materialize(
+    # persist_big, NOT materialize: the shingle table is corpus-token
+    # cardinality — eager MEMORY_AND_DISK checkpointing would pin
+    # ~corpus×k bytes of storage memory, which materialize's own
+    # contract forbids. Disk-backed lazy cache serves the two
+    # consumers (self-join + per-doc sizes) at shuffle-file I/O cost.
+    sh = persist_big(
         shingles(docs, k, id_col, text_col).select(
             "doc_id", F.xxhash64("shingle").alias("sid")
         )
@@ -196,10 +198,9 @@ def jaccard_pairs(
     )
 
 
-def _perm_params(num_perm: int) -> DataFrame | None:
+def _check_num_perm(num_perm: int) -> None:
     if num_perm > len(MINHASH_A):
         raise ValueError(f"num_perm ≤ {len(MINHASH_A)} supported")
-    return None
 
 
 def minhash_signatures_wide(sids: DataFrame, num_perm: int = 16) -> DataFrame:
@@ -211,7 +212,7 @@ def minhash_signatures_wide(sids: DataFrame, num_perm: int = 16) -> DataFrame:
     per (doc × partition), not num_perm× exploded rows. (The earlier
     explode-then-group form shuffled 16× the corpus; map-side combine
     makes this shape the scale path.)"""
-    _perm_params(num_perm)
+    _check_num_perm(num_perm)
     return sids.groupBy("doc_id").agg(
         *[
             F.min(
@@ -259,11 +260,11 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     sh = shingles(docs, k, id_col, text_col)
-    # materialized: consumed by the signature build, the per-doc sizes,
-    # and the exact-verify intersection join (three branches — without
-    # lineage truncation each re-runs shingling, and AQE replans the
-    # deep subtree per stage)
-    sids = materialize(shingle_ids(sh, id_mode))
+    # persist_big, not materialize (corpus-token cardinality — see
+    # jaccard_pairs): consumed by the signature build, the per-doc
+    # sizes, and the exact-verify intersection join (three branches —
+    # uncached, each would re-run shingling)
+    sids = persist_big(shingle_ids(sh, id_mode))
     wide = minhash_signatures_wide(sids, num_perm)
     # band signature = the band's h values joined positionally — built
     # from the wide columns with zero extra shuffle (the old long-form
@@ -455,14 +456,31 @@ def simhash(
             "tok", F.dense_rank().over(Window.orderBy("tok")).cast("long").alias("tid")
         )
         coded = toks.join(d, "tok").select("doc_id", "cnt", "tid")
-    hv = (F.lit(MINHASH_A[0]) * F.col("tid") + F.lit(MINHASH_B[0])) % MINHASH_PRIME
+    # TWO hash lanes, 16 live bits each: a single (a·tid+b) mod 2³¹−1
+    # value is always < 2³¹, so its bit 31 is structurally 0 and a
+    # 32-lane extraction from one value would leave the top lane dead
+    # (every signature bit 31 = 0 ⇒ the pigeonhole block covering it
+    # collides ~2× more than designed). Low 16 bits of each value are
+    # used; both are plain modular arithmetic the oracle replicates.
+    hv1 = (F.lit(MINHASH_A[0]) * F.col("tid") + F.lit(MINHASH_B[0])) % MINHASH_PRIME
+    hv2 = (F.lit(MINHASH_A[1]) * F.col("tid") + F.lit(MINHASH_B[1])) % MINHASH_PRIME
     # all 32 lanes in ONE wide aggregation (map-side combine; the
     # explode-per-bit form shuffled 32× the token rows), then fold the
     # lane signs back into the signature with literal shifts
-    lanes = coded.select("doc_id", "cnt", hv.alias("hv")).groupBy("doc_id").agg(
+    half = SIMHASH_BITS // 2
+    lanes = coded.select(
+        "doc_id", "cnt", hv1.alias("hv1"), hv2.alias("hv2")
+    ).groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+                (
+                    F.shiftright(
+                        F.col("hv1" if b < half else "hv2"),
+                        b if b < half else b - half,
+                    ).bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                )
                 * F.col("cnt")
             ).alias(f"lane{b}")
             for b in range(SIMHASH_BITS)

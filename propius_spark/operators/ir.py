@@ -108,12 +108,19 @@ def bm25_search(
     score(d) = Σ_{t ∈ q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
                 · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
 
-    Plan: the query's token set is a literal IN-list filter pushed into
-    the doc-token aggregate (only matching postings survive the
-    shuffle); df, N, and avgdl are token- and 1-row-cardinality
-    broadcasts; the final top-k is a TakeOrderedAndProject. Scores are
-    rounded to 6 dp (cross-engine ln ulp drift).
+    Plan (round 3 — ONE corpus scan, ZERO corpus shuffles): a single
+    pass computes per-doc (dl, tf of each query token) with map-side
+    array expressions — the query's token set is tiny, so per-token
+    occurrence counts are m cheap array scans per row, not an
+    explode + (doc, token) shuffle. That doc-cardinality table (no
+    text) is materialized once and feeds N/avgdl, per-token df, and
+    the scoring join; the final top-k is a TakeOrderedAndProject.
+    Scores are rounded to 6 dp (cross-engine ln ulp drift). The
+    earlier form re-tokenized the corpus three times (tf, dl, stats
+    branches) despite this module's one-scan contract.
     """
+    from ..plans import materialize
+
     require_columns(docs, [id_col, text_col], "bm25_search")
     qtokens = sorted(
         {t for t in query.strip().lower().split() if t}
@@ -124,16 +131,39 @@ def bm25_search(
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
     )
-    dls = base.select("doc_id", F.size("__t").cast("double").alias("dl"))
-    stats = dls.select(
+    def _eq(tok):
+        # single-arg lambda REQUIRED: a second parameter (even a bound
+        # default) makes F.filter pass the array index into it
+        return lambda x: x == F.lit(tok)
+
+    per_doc = materialize(
+        base.select(
+            "doc_id",
+            F.size("__t").cast("double").alias("dl"),
+            *[
+                F.size(F.filter("__t", _eq(t)))
+                .cast("double")
+                .alias(f"__tf{i}")
+                for i, t in enumerate(qtokens)
+            ],
+        )
+    )
+    stats = per_doc.select(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
     )
+    tf_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("token"), F.col(f"__tf{i}").alias("tf")
+            )
+            for i, t in enumerate(qtokens)
+        ]
+    )
     tfs = (
-        base.select("doc_id", F.explode("__t").alias("token"))
-        .filter(F.col("token").isin(qtokens))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        per_doc.select("doc_id", "dl", F.explode(tf_structs).alias("x"))
+        .select("doc_id", "dl", F.col("x.token").alias("token"), F.col("x.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     dfs = tfs.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(
@@ -141,7 +171,6 @@ def bm25_search(
     )
     contrib = (
         tfs.join(F.broadcast(dfs), "token")
-        .join(dls, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

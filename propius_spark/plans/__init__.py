@@ -68,3 +68,21 @@ def materialize(df: DataFrame) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def persist_big(df: DataFrame) -> DataFrame:
+    """Disk-backed lazy cache for CORPUS-SCALE intermediates — the
+    shingle/token tables `materialize` must never touch (its contract
+    is item/pair/sketch-cardinality only: eager MEMORY_AND_DISK
+    checkpointing would pin ~corpus×k bytes of executor storage
+    memory). DISK_ONLY keeps the storage-memory pool free for the
+    joins' execution memory; each partition computes once on first
+    use and is read back from local disk by later consumers — the
+    same I/O class as the shuffle files those consumers write anyway.
+    Lazy deliberately: no extra action, and the two-node lineage
+    (scan → map) doesn't trigger the AQE deep-replan pathology that
+    motivated materialize's eagerness. Released by
+    ``session.clear_materialized`` (catalog cache clear)."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.DISK_ONLY)

@@ -58,7 +58,8 @@ def retrieve_similar_items(
         .select("item_b_id", F.col("key").alias("item_name"), "scaled_score")
         .orderBy(F.desc("scaled_score"), F.asc("item_b_id"))
     )
-    return out.limit(limit) if limit else out
+    # `is not None`, not truthiness: limit=0 must return 0 rows
+    return out.limit(limit) if limit is not None else out
 
 
 def get_item_info(correlated_items: DataFrame, item_id: int) -> DataFrame:

@@ -25,6 +25,9 @@ def clear_materialized(spark: SparkSession) -> int:
     rdds = list(jmap.values())
     for rdd in rdds:
         rdd.unpersist()
+    # DataFrame-level caches (plans.persist_big) live in the
+    # CacheManager, not getPersistentRDDs — clear those too
+    spark.catalog.clearCache()
     return len(rdds)
 
 

@@ -35,8 +35,15 @@ def dedup_stream(
     """First-seen-wins exact dedup over an unbounded document stream
     `(ts, text, ...)`: emits each content hash's first arrival, drops
     re-arrivals within the watermark horizon. Append-mode compatible
-    (every emitted row is final)."""
+    (every emitted row is final). The event-time column is normalized
+    in place through the same three-encoding path as the other
+    streaming operators (long nanos / TIMESTAMP_NTZ / TIMESTAMP —
+    watermarks reject NTZ outright), so callers can feed any of the
+    encodings the driver testdata has shipped."""
     require_columns(docs, [ts_col, text_col], "dedup_stream")
+    from ..operators.sessions import _ts_micros
+
+    docs = docs.withColumn(ts_col, F.timestamp_micros(_ts_micros(docs, ts_col)))
     return (
         docs.withColumn("__h", F.xxhash64(F.col(text_col)))
         .withWatermark(ts_col, watermark)

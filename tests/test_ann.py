@@ -382,3 +382,26 @@ def test_hot_bucket_subsplit_equivalence(spark):
         ).collect()
     )
     assert got2 == want
+
+
+def test_seed_centroids_offset_id_space(spark):
+    """Seed centroids are the n SMALLEST ids, not `id < n`: an id
+    space starting at 1000 must still yield n centroids and working
+    IVF search (the old filter returned zero centroids → empty
+    results silently)."""
+    import numpy as np
+
+    from propius_spark.operators import assign_centroids, ivf_topk
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (1000 + i, [float(x) for x in rng.normal(size=4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assignment = assign_centroids(emb, n_centroids=4)
+    assert sorted(r.centroid_id for r in cents.collect()) == [
+        1000, 1001, 1002, 1003
+    ]
+    assert assignment.count() == 40
+    got = ivf_topk(emb, query_id=1005, k=5, n_centroids=4, n_probe=4).collect()
+    assert len(got) == 5

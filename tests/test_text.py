@@ -245,3 +245,38 @@ def test_token_distribution_hand_computed(spark):
     }
     assert got["en"] == (3, 3.0, 1, 5, 3.0)
     assert got["de"] == (1, 0.0, 0, 0, 0.0)
+
+
+def test_tokens_whitespace_boundaries(spark):
+    """tokens() must be robust to NON-SPACE boundary whitespace: trim
+    strips ASCII spaces only, so tabs/newlines used to produce empty
+    boundary tokens, and whitespace-only text scored a NaN quality
+    that PASSED quality filters (NaN sorts above all doubles)."""
+    from propius_spark.functions.text import quality_score, token_count, tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world\n"),
+            (2, "\thello  world"),
+            (3, "\n"),
+            (4, "  \t \n "),
+            (5, ""),
+            (6, "ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.toks, r.n, r.q)
+        for r in df.select(
+            "doc_id",
+            tokens(F.col("text")).alias("toks"),
+            token_count(F.col("text")).alias("n"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert out[1][0] == ["hello", "world"] and out[1][1] == 2
+    assert out[2][0] == ["hello", "world"]
+    for d in (3, 4, 5):
+        assert out[d][0] == [] and out[d][1] == 0, d
+        assert out[d][2] == 0.0, d  # NOT NaN, and never passes a filter
+    assert out[6][0] == ["ok"]
