@@ -125,3 +125,19 @@ def test_round2_text_ops_empty_and_degenerate(spark):
         (r.step_idx, r.n_users) for r in funnel(ev, ["a", "b"]).collect()
     ]
     assert sorted(steps) == [(0, 0), (1, 0)]
+
+
+def test_clear_materialized_releases_df_caches(spark):
+    """persist_big uses DataFrame-level caching (CacheManager), which
+    getPersistentRDDs does not list — clear_materialized must release
+    those too or corpus-scale caches linger across pipelines."""
+    from propius_spark.plans import persist_big
+    from propius_spark.session import clear_materialized
+
+    df = persist_big(spark.range(1000).selectExpr("id", "id * 2 AS x"))
+    df.count()  # materialize the cache
+    assert spark.catalog.isCached is not None  # API sanity
+    storage = df.storageLevel
+    assert storage.useDisk and not storage.useMemory  # DISK_ONLY
+    clear_materialized(spark)
+    assert df.storageLevel.useDisk is False  # released
