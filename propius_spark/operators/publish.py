@@ -4,7 +4,9 @@ Replaces `store_similarities_in_database` (propius/data.py:19-41):
 DROP/CREATE + per-item N+1 insert loop becomes two overwrite-mode
 parquet writes (or JDBC, for drop-in serving parity with any RDBMS).
 The reference's unique indexes (propius/data.py:66-70, 81-85) are
-enforced by construction with dropDuplicates before write.
+enforced by construction: the dim dedups keys deterministically
+(min id per key); the fact table is born unique per (item_a_id,
+item_b_id) — see publish_model for the proof sketch.
 """
 
 from __future__ import annotations
@@ -60,15 +62,17 @@ def publish_model(
     of total model size. Size n_buckets so one bucket ≈ one HDFS
     block (~128 MB) at the target scale.
     """
+    # the reference's UNIQUE(item_a_id, item_b_id) index holds here BY
+    # CONSTRUCTION, no dedup shuffle needed: similar_items_exact's
+    # co-occurring branch is keyed by the Gram groupBy (one row per
+    # pair), its non-co-occurring branch anti-joins the Gram pairs
+    # (disjoint) and emits each (cuts-item × stats-item) pair at most
+    # once. Pinned by test_correlation::test_publish_unique_keys.
     cells = build_cells(occurrences)
-    sims = (
-        similar_items_exact(cells, k_sigma=k_sigma)
-        .select(
-            F.col("item_a").cast("long").alias("item_a_id"),
-            F.col("item_b").cast("long").alias("item_b_id"),
-            F.col("scaled_score").cast("double").alias("scaled_score"),
-        )
-        .dropDuplicates(["item_a_id", "item_b_id"])
+    sims = similar_items_exact(cells, k_sigma=k_sigma).select(
+        F.col("item_a").cast("long").alias("item_a_id"),
+        F.col("item_b").cast("long").alias("item_b_id"),
+        F.col("scaled_score").cast("double").alias("scaled_score"),
     )
     dim = correlated_items(dictionary)
     sims_path = f"{out_dir}/similar_items"

@@ -199,3 +199,27 @@ def test_top_k_per_item_caps_and_orders(spark):
     )
     # item 1: 0.9 then the 0.8 tie broken by item_b asc (3 beats 4)
     assert got == [(1, 2, 0.9), (1, 3, 0.8), (2, 1, 0.5)]
+
+
+def test_publish_unique_keys(spark, tmp_path):
+    """publish_model's fact table is unique per (item_a_id, item_b_id)
+    BY CONSTRUCTION — no dedup shuffle before the write (publish.py).
+    k_sigma=-10 drives every cut negative so the non-co-occurring
+    branch fires too; the published table must still hold the
+    reference's UNIQUE(item_a_id, item_b_id) invariant."""
+    from propius_spark.operators import publish_model
+
+    occ = spark.createDataFrame(
+        FIXTURE_ROWS, "reference_id string, item_id long"
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, title string"
+    )
+    paths = publish_model(occ, dim, str(tmp_path / "m"), k_sigma=-10.0)
+    sims = spark.read.parquet(paths["similar_items"])
+    total = sims.count()
+    distinct = sims.select("item_a_id", "item_b_id").distinct().count()
+    assert total == distinct and total > 0
+    # k_sigma=-10 keeps every pair incl. non-co-occurring: 4 items
+    # → 4·3 directed pairs
+    assert total == 12
