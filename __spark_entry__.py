@@ -46,6 +46,8 @@ from propius_spark.operators import (
     doc_stats,
     props_rollup,
     embedding_dup_pairs,
+    hyperplane_lsh_buckets,
+    rademacher_planes,
     redact_pii,
     repetition_stats,
     rolling_user_counts,
@@ -432,6 +434,23 @@ def q_ann_dup_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = multi_probe_assignments(emb, n_probe=3, centroids=cents)
     return _r6(
         embedding_dup_pairs(emb, threshold=0.4, candidates=asg), "cosine"
+    )
+
+
+def q_ann_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-duplicates: random-hyperplane (Rademacher)
+    cosine LSH — 16 sign bits banded 4×4, each vector in 4 buckets —
+    feeds embedding_dup_pairs(candidates=...). The bucketed
+    alternative to the IVF candidate generator: entirely map-side
+    candidate generation (plane literals in the plan; no fit, no
+    centroid broadcast), one bucket-id shuffle, Σ|bucket|² verify
+    work. Deterministic seeded planes make the whole path — candidate
+    generation included — bit-replayable by the SQL oracle; recall vs
+    the exact twin is the banding S-curve (pinned in tests/test_ann)."""
+    emb = _emb(spark, sf_dir)
+    cand = hyperplane_lsh_buckets(emb, n_planes=16, n_bands=4, seed=1, dim=64)
+    return _r6(
+        embedding_dup_pairs(emb, threshold=0.4, candidates=cand), "cosine"
     )
 
 
@@ -858,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-side canonicalization error on one row cannot shadow the
     # rows that come after it.
     return {
+        "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
         "posting_lists": q_posting_lists,
         "bm25_search": q_bm25_search,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -959,6 +979,47 @@ _EMB_BASE = """
 base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base)
 """
+
+def _lsh_oracle_sql(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
+    """Oracle twin of q_ann_dup_pairs_lsh: the SAME seeded Rademacher
+    planes (rademacher_planes is pure driver-side Python, so engine and
+    oracle embed literally identical ±1 literals), the same sign-bit →
+    band → bucket arithmetic, the same exact-cosine verify — the LSH
+    path is deterministic end to end, so the oracle replays candidates
+    bit-exactly."""
+    planes = rademacher_planes(n_planes, dim, seed=1)
+    r = n_planes // n_bands
+    bit_cols = ",\n                   ".join(
+        "(CASE WHEN list_dot_product(v, [{}]) >= 0 THEN 1 ELSE 0 END) AS b{}".format(
+            ",".join(str(w) for w in p), j
+        )
+        for j, p in enumerate(planes)
+    )
+    bucket_exprs = ",\n                   ".join(
+        " + ".join(
+            [f"{b * (1 << r)}"]
+            + [f"b{b * r + i}*{1 << (r - 1 - i)}" for i in range(r)]
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+            WITH {_EMB_BASE},
+            bits AS (SELECT vec_id, v, norm,
+                   {bit_cols}
+                     FROM nb),
+            bk AS (SELECT vec_id, unnest([
+                   {bucket_exprs}]) AS bucket FROM bits),
+            cand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+                     FROM bk x JOIN bk y
+                       ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)
+                     AS cosine
+            FROM cand JOIN nb a ON a.vec_id = cand.ia
+            JOIN nb b ON b.vec_id = cand.ib
+            WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
+        """
+
 
 _STOPWORD_COLS = """
 len(list_intersect(dt, ['the','a','of','and','to','in','is','on','for','with'])) AS s_en,
@@ -1523,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
                      AS is_keeper
             FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.vec_id
         """,
+        "ann_dup_pairs_lsh": _lsh_oracle_sql(),
         "ann_dup_pairs_pruned": f"""
             WITH {_EMB_BASE},
             cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn

@@ -713,3 +713,91 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def rademacher_planes(n_planes: int, dim: int, seed: int = 1) -> list[list[float]]:
+    """Deterministic ±1 ("Rademacher") hyperplane matrix for cosine
+    LSH, generated by the Numerical-Recipes LCG (public constants
+    1664525 / 1013904223, mod 2³²; bit 16 taken — low LCG bits cycle
+    short). Sign-of-dot-product with random ±1 planes is a standard
+    cosine LSH family (collision probability 1 − θ/π, Charikar's
+    SimHash applied to dense vectors); ±1 entries instead of Gaussians
+    keep every weight an exact small double, so the engine's fold and
+    the DuckDB oracle's list_dot_product evaluate identical IEEE sums.
+
+    Driver-side pure Python: n_planes·dim is KB-sized by contract
+    (planes are broadcast into the plan as array literals)."""
+    x = ((seed * 2654435761) ^ 0x9E3779B9) % (1 << 32) or 1
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (1664525 * x + 1013904223) % (1 << 32)
+            row.append(1.0 if (x >> 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine-LSH candidate buckets: (vec_id, bucket) with each vector
+    in ``n_bands`` buckets — the LSH-bucketed alternative to IVF as
+    the embedding near-dup / similarity-search scale path. Feed the
+    result to ``embedding_dup_pairs(candidates=...)`` (which dedups
+    the multi-band pair hits).
+
+    Each vector's ``n_planes`` sign bits (dot with a deterministic
+    Rademacher plane ≥ 0) are split into ``n_bands`` bands of
+    r = n_planes/n_bands bits; a band's bit-string value, offset into
+    its own band-local id space, is one bucket. Two vectors collide
+    iff some band matches on all r bits — P ≈ 1−(1−pʳ)^bands with
+    p = 1−θ/π, the standard banding amplification (same S-curve as
+    MinHash-LSH over shingles, dedup.py).
+
+    Entirely map-side: the plane matrix enters the plan as literals
+    (no join, no fit, no collect of corpus rows), the per-row cost is
+    n_planes·dim multiply-adds, and the only shuffle in the composed
+    near-dup pipeline is the bucket-id exchange in
+    ``_bucketed_dup_pairs`` — at 100 TB the corpus is scanned once and
+    Σ|bucket|² kernel work replaces N². Deterministic by construction
+    (seeded planes, no RNG at execution time), so the full candidate
+    generation is replayable by the SQL oracle — unlike the k-means
+    path, no pigeonhole trick is needed for an exact hash match.
+
+    ``dim`` (vector width) is read from the first row when not given —
+    a 1-row driver action; pass it explicitly in pipelines that must
+    stay fully lazy."""
+    if n_planes % n_bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must divide evenly into n_bands ({n_bands})"
+        )
+    if dim is None:
+        first = emb.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError("hyperplane_lsh_buckets: empty input and no dim given")
+        dim = len(first[0])
+    planes = rademacher_planes(n_planes, dim, seed)
+    r = n_planes // n_bands
+    vec = F.col(vec_col).cast("array<double>")
+    bits = [
+        (_dot(vec, F.array(*[F.lit(w) for w in p])) >= 0).cast("long")
+        for p in planes
+    ]
+    buckets = [
+        sum(
+            [bits[b * r + i] * F.lit(1 << (r - 1 - i)) for i in range(r)],
+            start=F.lit(b * (1 << r)),
+        )
+        for b in range(n_bands)
+    ]
+    return emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.explode(F.array(*buckets)).alias("bucket"),
+    )

@@ -405,3 +405,75 @@ def test_seed_centroids_offset_id_space(spark):
     assert assignment.count() == 40
     got = ivf_topk(emb, query_id=1005, k=5, n_centroids=4, n_probe=4).collect()
     assert len(got) == 5
+
+
+def test_hyperplane_lsh_buckets_shape_and_determinism(spark):
+    """Each vector lands in exactly n_bands buckets, each inside its
+    band's id space; seeded planes make two runs identical; an
+    explicit dim matches the inferred one."""
+    import numpy as np
+
+    from propius_spark.operators import hyperplane_lsh_buckets
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = hyperplane_lsh_buckets(emb, n_planes=8, n_bands=2, seed=3).collect()
+    assert len(got) == 30 * 2
+    r = 8 // 2
+    for row in got:
+        band = row.bucket // (1 << r)
+        assert 0 <= band < 2
+    again = hyperplane_lsh_buckets(
+        emb, n_planes=8, n_bands=2, seed=3, dim=16
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    other_seed = hyperplane_lsh_buckets(emb, n_planes=8, n_bands=2, seed=4).collect()
+    assert sorted(map(tuple, got)) != sorted(map(tuple, other_seed))
+
+
+def test_hyperplane_lsh_validation(spark):
+    import pytest
+
+    from propius_spark.operators import hyperplane_lsh_buckets
+
+    emb = _emb(spark, [(0, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="divide evenly"):
+        hyperplane_lsh_buckets(emb, n_planes=10, n_bands=4)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        hyperplane_lsh_buckets(empty)
+
+
+def test_hyperplane_lsh_near_pairs_recall(spark):
+    """LSH candidates + exact verify: planted near-duplicate pairs
+    (cosine ≈ 1) must collide in some band with overwhelming
+    probability — near-identical vectors agree on every sign bit
+    unless a plane passes between them. All emitted pairs are a
+    subset of the exact twin (verify stage is exact within buckets)."""
+    import numpy as np
+
+    from propius_spark.operators import (
+        embedding_dup_pairs,
+        hyperplane_lsh_buckets,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 12))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.normal(scale=1e-3, size=12)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cand = hyperplane_lsh_buckets(emb, n_planes=16, n_bands=4, seed=1)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dup_pairs(emb, threshold=0.99, candidates=cand).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dup_pairs(emb, threshold=0.99).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert got <= exact
+    assert len(got & planted) >= 18  # ≥90% of planted twins recalled
