@@ -24,7 +24,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from propius_spark.functions import decode_media, media_from_documents
+from propius_spark.functions import (
+    decode_media,
+    media_from_documents,
+    subword_token_count,
+    token_count,
+)
 from propius_spark.operators import (
     asof_join,
     assign_centroids,
@@ -502,6 +507,18 @@ def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(doc_stats(_docs(spark, sf_dir)), "quality")
 
 
+def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both token counters from the brief's checklist side by side:
+    whitespace tokens and the BPE-ish estimate (GPT-2 pre-tokenizer
+    classes, ceil(len/4) per piece — functions/text.py). Map-side
+    only; the cost model for chunking/packing budgets."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        subword_token_count(F.col("text")).alias("n_subword"),
+    )
+
+
 def q_similar_topk_per_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item top-k cap over the candidate neighbor lists (SURVEY §2
     op-34 note): each item keeps its 2 best neighbors. Ranking is on
@@ -878,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows that come after it.
     return {
         "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
+        "token_estimates": q_token_estimates,
         "posting_lists": q_posting_lists,
         "bm25_search": q_bm25_search,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -1887,6 +1905,17 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY 1, 2, 3
         """,
         "text_doc_stats": _TEXT_STATS_SQL,
+        "token_estimates": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '')) AS n_tokens,
+                   COALESCE(list_sum(list_transform(
+                       regexp_extract_all(lower(text),
+                         '[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-zÀ-ɏ0-9]'),
+                       p -> CAST(ceil(len(p)/4.0) AS BIGINT))), 0)
+                     AS n_subword
+            FROM documents
+        """,
         # same stats pipeline, filter pushed on the rounded quality —
         # thresholds in filter_corpus compare 6-dp-rounded values so
         # both engines select the identical doc set

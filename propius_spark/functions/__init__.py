@@ -21,6 +21,8 @@ from .text import (
     lang_scores,
     lang_id,
     quality_score,
+    subword_token_count,
+    subword_tokens,
     token_count,
     tokens,
 )
@@ -40,4 +42,6 @@ __all__ = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "subword_tokens",
+    "subword_token_count",
 ]

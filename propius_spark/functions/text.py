@@ -54,6 +54,38 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+SUBWORD_CHUNK = 4
+# GPT-2-style pre-tokenizer classes, portable Java-regex ∩ RE2 subset:
+# letter runs, digit runs, single non-space punctuation. Kept in sync
+# with the oracle twin (__spark_entry__ token_estimates).
+SUBWORD_RE = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-zÀ-ɏ0-9]"
+
+
+def subword_tokens(text: Column) -> Column:
+    """BPE-ish pre-token pieces of lowercased text: letter runs, digit
+    runs, and single punctuation marks (the GPT-2 pre-tokenizer's
+    classes, minus English contractions, in a regex subset both Java
+    and RE2 parse identically)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(SUBWORD_RE), 0)
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish token-count estimate: each pre-token piece contributes
+    ceil(len/4) — the classic ~4-chars-per-BPE-token budget rule, but
+    computed per piece so punctuation and short words count 1 instead
+    of vanishing into a global chars/4. Deterministic arithmetic (no
+    vocabulary, no merges), map-side, exact SQL twin. Null text → 0."""
+    return F.coalesce(
+        F.aggregate(
+            subword_tokens(text),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.ceil(F.length(p) / F.lit(float(SUBWORD_CHUNK))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language distinct-stopword-hit count."""
     toks = F.array_distinct(tokens(text))

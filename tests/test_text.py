@@ -280,3 +280,49 @@ def test_tokens_whitespace_boundaries(spark):
         assert out[d][0] == [] and out[d][1] == 0, d
         assert out[d][2] == 0.0, d  # NOT NaN, and never passes a filter
     assert out[6][0] == ["ok"]
+
+
+def test_subword_token_count_reference(spark):
+    """BPE-ish counter ≡ the Python reference fold: re.findall of the
+    same classes over lower(text), Σ ceil(len/4) per piece. Covers
+    punctuation, digit runs, accents, long words, empty/null."""
+    import math
+    import re
+
+    from propius_spark.functions import subword_token_count
+    from propius_spark.functions.text import SUBWORD_RE
+
+    pat = re.compile(SUBWORD_RE)
+
+    def ref(text):
+        if text is None:
+            return 0
+        return sum(
+            math.ceil(len(p) / 4) for p in pat.findall(text.lower())
+        )
+
+    samples = [
+        "Hello, world!",
+        "antidisestablishmentarianism",
+        "v2.0.1-beta (build 20260814)",
+        "café déjà-vu ü",
+        "12345 678",
+        "",
+        "\n\t ",
+        None,
+        "a b c d e f",
+        "don't stop — it's 99.9% fine…",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", subword_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == ref(s), (i, s, got[i], ref(s))
+    # sanity: long word costs ceil(28/4)=7, short words cost 1 each
+    assert got[1] == 7 and got[8] == 6
