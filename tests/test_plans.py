@@ -283,3 +283,19 @@ def test_bucketed_dup_pairs_plan_shape(spark, sf_dir):
     assert gen > fm  # Generate sits BELOW the kernel in the tree
     n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
     assert n_shuffles <= 5, plan
+
+
+def test_lsh_buckets_map_side(spark, sf_dir):
+    """hyperplane_lsh_buckets is pure map work: plane literals in the
+    plan, no Exchange, no Python eval nodes, and the embeddings scan
+    reads only (vec_id, embedding). The candidate generator must stay
+    free at 100 TB — the only shuffle in the composed near-dup path
+    belongs to the bucket join downstream."""
+    from propius_spark.operators import hyperplane_lsh_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(hyperplane_lsh_buckets(emb, n_planes=8, n_bands=2, dim=64))
+    assert "Exchange" not in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
