@@ -770,6 +770,52 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("text")
 
 
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Structured-Streaming pattern end to end:
+    watermark + tumbling-window aggregation in APPEND mode
+    (streaming/cooccurrence.py::windowed_event_counts) over the events
+    stream, availableNow trigger, memory sink. A window row is emitted
+    exactly when the watermark passes its end, so the final sink
+    equals the batch tumbling-window counts restricted to
+    window_end <= max(ts) − 10min (floor-ms watermark arithmetic) —
+    which is the oracle. Late-window rows still in state at stream end
+    are NOT emitted; that is the append-mode contract, not data loss
+    (a durable pipeline keeps the checkpoint and emits them on the
+    next run)."""
+    import tempfile
+    import uuid
+
+    from propius_spark.streaming.cooccurrence import windowed_event_counts
+    from propius_spark.streaming.writers import start_append_query
+
+    schema = read_events(spark, sf_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("ts", "event_type")
+    )
+    name = "wincnt_stream_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # state = (windows × event types), tiny — size stores to state
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_append_query(
+            windowed_event_counts(ev, "1 hour", "10 minutes"),
+            tempfile.mkdtemp(prefix="propius_ckpt_"),
+            query_name=name,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type",
+        "n_events",
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: documents as opaque media
     payloads (binary) with per-item byte stats — size and sha256 are
@@ -896,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
         "token_estimates": q_token_estimates,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
         "posting_lists": q_posting_lists,
         "bm25_search": q_bm25_search,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -1847,6 +1894,22 @@ def oracle_sql() -> dict[str, str]:
         # over a single file (one micro-batch)
         "streaming_dedup": """
             SELECT DISTINCT props AS text FROM events
+        """,
+        # watermark arithmetic mirrors streaming_sessions: floor max
+        # event time to ms, subtract the delay; STRICT < matches
+        # Spark's eviction predicate (event <= wm − 1µs)
+        "streaming_windowed_counts": """
+            WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+            wm AS (SELECT ((MAX(t) // 1000) - 600000) * 1000 AS wm_us
+                   FROM e),
+            w AS (SELECT (t // 3600000000) * 3600000000 AS ws, event_type
+                  FROM e)
+            SELECT ws AS window_start_us,
+                   ws + 3600000000 AS window_end_us,
+                   event_type, COUNT(*) AS n_events
+            FROM w, wm
+            GROUP BY ws, event_type, wm_us
+            HAVING ws + 3600000000 < wm_us
         """,
         "streaming_sessions": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
