@@ -327,6 +327,22 @@ def minhash_lsh_pairs(
     )
 
 
+def _edge_fingerprint(e: DataFrame) -> tuple:
+    """Order-invariant set fingerprint of an (u, v) edge table:
+    (count, XOR of xxhash64(u, v)) — XOR, not sum, so the aggregate
+    can never overflow a long under ANSI mode, and the edge sets are
+    distinct by construction so XOR self-cancellation needs a genuine
+    64-bit collision. One map-side aggregate over an already-
+    materialized table — equal sets always produce equal fingerprints,
+    so inequality is PROOF of change (the cheap direction the
+    convergence loop needs every round)."""
+    row = e.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
 def dup_clusters(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -357,6 +373,7 @@ def dup_clusters(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    fp = _edge_fingerprint(e)
     for _ in range(max_iter):
         # large-star: for each u, connect every LARGER neighbor v to
         # m = min(N(u) ∪ {u})
@@ -384,12 +401,20 @@ def dup_clusters(
             .distinct()
         )
         e_new = materialize(small)
-        # one symmetric-difference job over the (materialized, pair-
-        # cardinality) edge sets, not two separate exceptAll actions
-        converged = (
+        # convergence test in two tiers: a map-side fingerprint
+        # (count + order-invariant hash sum over the materialized
+        # edges) each round — equal sets ⇒ equal fingerprint, so a
+        # CHANGED fingerprint proves non-convergence with zero
+        # shuffles; only when fingerprints match (normally once, at
+        # the fixed point) does the full symmetric-difference job
+        # confirm, guarding the 2⁻⁶⁴-ish hash-sum collision. At scale
+        # this removes two corpus-cardinality exceptAll shuffles from
+        # every non-final round.
+        fp_new = _edge_fingerprint(e_new)
+        converged = fp_new == fp and (
             e_new.exceptAll(e).unionAll(e.exceptAll(e_new)).isEmpty()
         )
-        e = e_new
+        e, fp = e_new, fp_new
         if converged:
             break
     else:
