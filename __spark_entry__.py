@@ -63,6 +63,7 @@ from propius_spark.operators import (
     get_similar_items,
     ivf_knn_join,
     ivf_topk,
+    lsh_topk,
     kmeans_centroids,
     multi_probe_assignments,
     jaccard_pairs,
@@ -456,6 +457,20 @@ def q_ann_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = hyperplane_lsh_buckets(emb, n_planes=16, n_bands=4, seed=1, dim=64)
     return _r6(
         embedding_dup_pairs(emb, threshold=0.4, candidates=cand), "cosine"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10: the search-side twin of
+    ann_ivf_topk with hyperplane buckets as the candidate generator —
+    broadcast the query's 4 bucket ids, semi-join the bucket table,
+    exact-score the survivors."""
+    return _r6(
+        lsh_topk(
+            _emb(spark, sf_dir), query_id=0, k=10,
+            n_planes=16, n_bands=4, seed=1, dim=64,
+        ),
+        "cosine",
     )
 
 
@@ -941,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows that come after it.
     return {
         "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "token_estimates": q_token_estimates,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "posting_lists": q_posting_lists,
@@ -1045,13 +1061,14 @@ base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base)
 """
 
-def _lsh_oracle_sql(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
-    """Oracle twin of q_ann_dup_pairs_lsh: the SAME seeded Rademacher
-    planes (rademacher_planes is pure driver-side Python, so engine and
+def _lsh_cte(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
+    """Shared oracle fragment: the SAME seeded Rademacher planes
+    (rademacher_planes is pure driver-side Python, so engine and
     oracle embed literally identical ±1 literals), the same sign-bit →
-    band → bucket arithmetic, the same exact-cosine verify — the LSH
-    path is deterministic end to end, so the oracle replays candidates
-    bit-exactly."""
+    band → bucket arithmetic as hyperplane_lsh_buckets — the LSH
+    candidate generation is deterministic end to end, so oracles
+    replay it bit-exactly. Yields CTEs `bits` and `bk` on top of
+    {_EMB_BASE}'s `nb`."""
     planes = rademacher_planes(n_planes, dim, seed=1)
     r = n_planes // n_bands
     bit_cols = ",\n                   ".join(
@@ -1068,12 +1085,18 @@ def _lsh_oracle_sql(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
         for b in range(n_bands)
     )
     return f"""
-            WITH {_EMB_BASE},
             bits AS (SELECT vec_id, v, norm,
                    {bit_cols}
                      FROM nb),
             bk AS (SELECT vec_id, unnest([
-                   {bucket_exprs}]) AS bucket FROM bits),
+                   {bucket_exprs}]) AS bucket FROM bits)"""
+
+
+def _lsh_oracle_sql() -> str:
+    """Oracle twin of q_ann_dup_pairs_lsh (see _lsh_cte)."""
+    return f"""
+            WITH {_EMB_BASE},
+            {_lsh_cte()},
             cand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
                      FROM bk x JOIN bk y
                        ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
@@ -1083,6 +1106,25 @@ def _lsh_oracle_sql(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
             FROM cand JOIN nb a ON a.vec_id = cand.ia
             JOIN nb b ON b.vec_id = cand.ib
             WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
+        """
+
+
+def _lsh_topk_oracle_sql(query_id: int = 0, k: int = 10) -> str:
+    """Oracle twin of q_ann_lsh_topk (see _lsh_cte): candidates =
+    vectors sharing ≥1 bucket with the query, exact cosines, top-k."""
+    return f"""
+            WITH {_EMB_BASE},
+            {_lsh_cte()},
+            qb AS (SELECT bucket FROM bk WHERE vec_id = {query_id}),
+            cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qb USING (bucket)
+                     WHERE bk.vec_id <> {query_id}),
+            q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = {query_id})
+            SELECT b.vec_id,
+                   ROUND(list_dot_product(b.v, q.qv)/(b.norm*q.qn), 6) AS cosine
+            FROM nb b JOIN cand USING (vec_id), q
+            ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
+                     b.vec_id ASC
+            LIMIT {k}
         """
 
 
@@ -1650,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.vec_id
         """,
         "ann_dup_pairs_lsh": _lsh_oracle_sql(),
+        "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_dup_pairs_pruned": f"""
             WITH {_EMB_BASE},
             cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn

@@ -801,3 +801,54 @@ def hyperplane_lsh_buckets(
         F.col(id_col).cast("long").alias("vec_id"),
         F.explode(F.array(*buckets)).alias("bucket"),
     )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: brute-force only the vectors
+    sharing ≥ 1 hyperplane-LSH bucket with the query — the search-side
+    twin of ``ivf_topk`` with ``hyperplane_lsh_buckets`` as the
+    candidate generator instead of centroid lists. Returns
+    (vec_id, cosine), exact cosines, ties → smaller id.
+
+    Scale shape: the query's ``n_bands`` bucket ids broadcast (a
+    handful of longs); the corpus-side bucket table semi-joins them —
+    with a bucket-partitioned materialized bucket table this is a
+    partition-pruned scan of ~n_bands/2^(n_planes/n_bands) of the
+    data, the same pruning economics as the IVF assignment table.
+    Recall is the banding S-curve; raise bands (or lower bits/band)
+    for more recall, exactly like n_probe in IVF. Deterministic seeded
+    planes ⇒ SQL-oracle replayable end to end."""
+    base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
+    bk = hyperplane_lsh_buckets(emb, n_planes, n_bands, seed, id_col, vec_col, dim)
+    q_buckets = bk.filter(F.col("vec_id") == query_id).select("bucket")
+    cand = (
+        bk.join(F.broadcast(q_buckets), "bucket")
+        .select("vec_id")
+        .filter(F.col("vec_id") != query_id)
+        .distinct()
+    )
+    q = base.filter(F.col("vec_id") == query_id).select(
+        F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    return (
+        base.join(cand, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -477,3 +477,41 @@ def test_hyperplane_lsh_near_pairs_recall(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(20)}
     assert got <= exact
     assert len(got & planted) >= 18  # ≥90% of planted twins recalled
+
+
+def test_lsh_topk_exact_within_candidates(spark):
+    """lsh_topk scores candidates exactly: its results must be the
+    brute-force top-k restricted to vectors sharing a bucket with the
+    query, and every returned cosine must equal the exact cosine."""
+    import numpy as np
+
+    from propius_spark.operators import (
+        cosine_topk,
+        hyperplane_lsh_buckets,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lsh_topk(emb, query_id=0, k=5, n_planes=8, n_bands=4, seed=2)
+    got_rows = got.collect()
+    assert len(got_rows) <= 5
+    exact = {
+        r.vec_id: r.cosine
+        for r in cosine_topk(emb, query_id=0, k=60).collect()
+    }
+    bk = hyperplane_lsh_buckets(emb, n_planes=8, n_bands=4, seed=2)
+    qb = {r.bucket for r in bk.filter(F.col("vec_id") == 0).collect()}
+    cands = {
+        r.vec_id
+        for r in bk.collect()
+        if r.bucket in qb and r.vec_id != 0
+    }
+    want = sorted(
+        ((vid, c) for vid, c in exact.items() if vid in cands),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [(r.vec_id, round(r.cosine, 9)) for r in got_rows] == [
+        (v, round(c, 9)) for v, c in want
+    ]
