@@ -773,7 +773,10 @@ def hyperplane_lsh_buckets(
 
     ``dim`` (vector width) is read from the first row when not given —
     a 1-row driver action; pass it explicitly in pipelines that must
-    stay fully lazy."""
+    stay fully lazy. Rows whose vector is null or shorter than ``dim``
+    produce null sign bits → null buckets, which no bucket join
+    matches: malformed vectors silently generate no candidates (same
+    posture as the kernel paths, which require rectangular input)."""
     if n_planes % n_bands != 0:
         raise ValueError(
             f"n_planes ({n_planes}) must divide evenly into n_bands ({n_bands})"
