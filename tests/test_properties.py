@@ -513,3 +513,30 @@ def test_reference_matrix_roundtrip_property(spark, pairs, corrs):
             for r in load_reference_matrix(spark, path).collect()
         )
     assert got == rows
+
+
+@given(seed=st.integers(0, 100), scale_seed=st.integers(0, 100))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_lsh_buckets_invariant_under_positive_scaling(spark, seed, scale_seed):
+    """Cosine-LSH contract: sign(v·w) is unchanged by scaling v with
+    any positive constant, so every vector's bucket set must be — the
+    property that makes hyperplane buckets a valid COSINE family
+    (norm-insensitive), unlike an L2 quantizer."""
+    from propius_spark.operators import hyperplane_lsh_buckets
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(25, 8))
+    scales = np.random.default_rng(scale_seed).uniform(0.01, 100.0, size=25)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    scaled = spark.createDataFrame(
+        [(i, [float(x * s) for x in v])
+         for (i, v), s in zip(enumerate(vecs), scales)],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(map(tuple, hyperplane_lsh_buckets(base, 8, 2, seed=5).collect()))
+    b = sorted(map(tuple, hyperplane_lsh_buckets(scaled, 8, 2, seed=5).collect()))
+    assert a == b
