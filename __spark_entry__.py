@@ -228,6 +228,9 @@ def q_publish_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir,
         k_sigma=2.0,
         n_buckets=4,
+        # 4 buckets ≪ 32 cores: salt each bucket across 8 write tasks
+        # (files_per_bucket docstring) — pruning unaffected
+        files_per_bucket=8,
     )
     # serve-side rounded rank key (store keeps raw doubles) — see
     # q_retrieve_topk_part; the bucket partition filter still prunes

@@ -49,6 +49,7 @@ def publish_model(
     out_dir: str,
     k_sigma: float = 2.0,
     n_buckets: int = 0,
+    files_per_bucket: int = 1,
 ) -> dict[str, str]:
     """End-to-end: occurrences → exact similar_items + correlated_items
     parquet tables under `out_dir`. One distributed job per table — the
@@ -60,7 +61,13 @@ def publish_model(
     a point lookup that filters on the bucket touches 1/n_buckets of
     the files (partition pruning), so serving latency is independent
     of total model size. Size n_buckets so one bucket ≈ one HDFS
-    block (~128 MB) at the target scale.
+    block (~128 MB) at the target scale — then write parallelism =
+    n_buckets and the default ``files_per_bucket=1`` (one file per
+    bucket, no small-files problem) is right. When n_buckets is SMALL
+    relative to the cluster (a hot store of a few fat buckets), raise
+    ``files_per_bucket``: a hash salt spreads each bucket over that
+    many write tasks, trading file count for encode parallelism —
+    pruning is directory-level, so reads are unaffected.
     """
     # the reference's UNIQUE(item_a_id, item_b_id) index holds here BY
     # CONSTRUCTION, no dedup shuffle needed: similar_items_exact's
@@ -78,13 +85,19 @@ def publish_model(
     sims_path = f"{out_dir}/similar_items"
     dim_path = f"{out_dir}/correlated_items"
     if n_buckets > 0:
-        # repartition by the partition column first: each bucket is
-        # written by one task → one file per bucket, not tasks×buckets
-        # small files.
+        # repartition by the partition column first: files per bucket
+        # = write tasks per bucket (not tasks×buckets small files)
+        fpb = max(1, int(files_per_bucket))
+        bucketed = sims.withColumn(
+            "bucket", F.pmod(F.col("item_a_id"), F.lit(n_buckets))
+        )
+        if fpb > 1:
+            salt = F.pmod(F.xxhash64("item_a_id", "item_b_id"), F.lit(fpb))
+            bucketed = bucketed.repartition(n_buckets * fpb, "bucket", salt)
+        else:
+            bucketed = bucketed.repartition(n_buckets, "bucket")
         (
-            sims.withColumn("bucket", F.pmod(F.col("item_a_id"), F.lit(n_buckets)))
-            .repartition(n_buckets, "bucket")
-            .write.mode("overwrite")
+            bucketed.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(sims_path)
         )
