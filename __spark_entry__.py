@@ -30,6 +30,7 @@ from propius_spark.functions import (
     subword_token_count,
     token_count,
 )
+from propius_spark.functions.text import SUBWORD_RE
 from propius_spark.operators import (
     asof_join,
     assign_centroids,
@@ -529,10 +530,15 @@ def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both token counters from the brief's checklist side by side:
     whitespace tokens and the BPE-ish estimate (GPT-2 pre-tokenizer
     classes, ceil(len/4) per piece — functions/text.py). Map-side
-    only; the cost model for chunking/packing budgets."""
+    only; the cost model for chunking/packing budgets. NULL text
+    counts 0 under BOTH counters in BOTH engines (the engine's raw
+    size() is -1 on null, the oracle's len() is NULL — each is
+    coalesced to the same 0)."""
     return _docs(spark, sf_dir).select(
         "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.greatest(
+            token_count(F.col("text")).cast("long"), F.lit(0).cast("long")
+        ).alias("n_tokens"),
         subword_token_count(F.col("text")).alias("n_subword"),
     )
 
@@ -664,15 +670,34 @@ def q_model_roundtrip_npy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(load_reference_matrix(spark, path), "corr")
 
 
+def _run_stream_to_memory(spark: SparkSession, prefix: str, start) -> DataFrame:
+    """The ONE memory-sink streaming harness all four streaming driver
+    queries share: unique sink name, temp checkpoint, state stores
+    sized to state volume (8 shuffle partitions — the per-(batch ×
+    partition) store-commit overhead dominates otherwise; on a real
+    cluster size this to state volume / executor count), conf restored
+    even when the stream errors. ``start`` is
+    callable(checkpoint_dir, query_name) -> StreamingQuery."""
+    import tempfile
+    import uuid
+
+    name = prefix + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start(tempfile.mkdtemp(prefix="propius_ckpt_"), name)
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming maintenance of the cell table (beyond-
     reference; SURVEY §2.9): readStream over the lineitem file,
     streaming groupBy(item, ctx).count() into a memory sink with an
     availableNow trigger — the final state must equal the batch
     aggregation, which is the oracle."""
-    import tempfile
-    import uuid
-
     src = f"{sf_dir}/lineitem.parquet"
     schema = spark.read.parquet(src).select("l_orderkey", "l_partkey").schema
     occ = (
@@ -686,25 +711,13 @@ def q_streaming_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("item_id"),
         )
     )
-    name = "cells_stream_" + uuid.uuid4().hex[:8]
-    # state-store sizing: the streaming aggregate pays a per-(batch ×
-    # partition) store-commit overhead, and the partition count is
-    # pinned into the checkpoint at first start — size it to the STATE
-    # (nnz cells, ~60k at sf0.1; 8 stores ample), not to the session's
-    # scan parallelism (measured ~0.7-2 s saved per run at sf0.1).
-    # On a real cluster size this to state volume / executor count.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = start_cells_query(
-            streaming_cells(occ),
-            tempfile.mkdtemp(prefix="propius_ckpt_"),
-            query_name=name,
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return _run_stream_to_memory(
+        spark,
+        "cells_stream_",
+        lambda ckpt, nm: start_cells_query(
+            streaming_cells(occ), ckpt, query_name=nm
+        ),
+    )
 
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,9 +729,6 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     BATCH sessionize answer restricted to sessions with
     end + gap < max(ts) − 1h (floor-ms watermark arithmetic) — which
     is the oracle."""
-    import tempfile
-    import uuid
-
     # batch read first: resolves the ts encoding (and sets the
     # legacy-nanos conf if that encoding is present) so the streaming
     # schema matches what the stream will decode
@@ -729,21 +739,15 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .select("user_id", "ts")
     )
-    name = "sessions_stream_" + uuid.uuid4().hex[:8]
-    # state-store sizing: same rationale as q_streaming_cells — size
-    # stores to state volume (active users), not scan parallelism
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = start_sessions_query(
+    return _run_stream_to_memory(
+        spark,
+        "sessions_stream_",
+        lambda ckpt, nm: start_sessions_query(
             sessionize_stream(ev, gap_minutes=30, watermark="1 hour"),
-            tempfile.mkdtemp(prefix="propius_ckpt_"),
-            query_name=name,
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+            ckpt,
+            query_name=nm,
+        ),
+    )
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,9 +761,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes an oracle possible (SELECT DISTINCT props). Event time
     is normalized JVM-side exactly as sessionize_stream does (NTZ
     inputs fail watermarking raw)."""
-    import tempfile
-    import uuid
-
     from propius_spark.operators.sessions import _ts_micros
 
     schema = read_events(spark, sf_dir).schema
@@ -772,20 +773,13 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(_ts_micros(ev, "ts")).alias("ts"),
         F.col("props").alias("text"),
     )
-    name = "dedup_stream_" + uuid.uuid4().hex[:8]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    # state = 100 content hashes — size stores to state volume
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = start_dedup_query(
-            dedup_stream(docs, watermark="1 hour"),
-            tempfile.mkdtemp(prefix="propius_ckpt_"),
-            query_name=name,
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).select("text")
+    return _run_stream_to_memory(
+        spark,
+        "dedup_stream_",
+        lambda ckpt, nm: start_dedup_query(
+            dedup_stream(docs, watermark="1 hour"), ckpt, query_name=nm
+        ),
+    ).select("text")
 
 
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,16 +787,14 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + tumbling-window aggregation in APPEND mode
     (streaming/cooccurrence.py::windowed_event_counts) over the events
     stream, availableNow trigger, memory sink. A window row is emitted
-    exactly when the watermark passes its end, so the final sink
-    equals the batch tumbling-window counts restricted to
-    window_end <= max(ts) − 10min (floor-ms watermark arithmetic) —
+    exactly when the watermark STRICTLY passes its end (Spark's
+    eviction predicate is event ≤ wm − 1µs), so the final sink equals
+    the batch tumbling-window counts restricted to
+    window_end < max(ts) − 10min (floor-ms watermark arithmetic) —
     which is the oracle. Late-window rows still in state at stream end
     are NOT emitted; that is the append-mode contract, not data loss
     (a durable pipeline keeps the checkpoint and emits them on the
     next run)."""
-    import tempfile
-    import uuid
-
     from propius_spark.streaming.cooccurrence import windowed_event_counts
     from propius_spark.streaming.writers import start_append_query
 
@@ -813,20 +805,15 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .select("ts", "event_type")
     )
-    name = "wincnt_stream_" + uuid.uuid4().hex[:8]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    # state = (windows × event types), tiny — size stores to state
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = start_append_query(
+    return _run_stream_to_memory(
+        spark,
+        "wincnt_stream_",
+        lambda ckpt, nm: start_append_query(
             windowed_event_counts(ev, "1 hour", "10 minutes"),
-            tempfile.mkdtemp(prefix="propius_ckpt_"),
-            query_name=name,
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).select(
+            ckpt,
+            query_name=nm,
+        ),
+    ).select(
         F.unix_micros("window_start").alias("window_start_us"),
         F.unix_micros("window_end").alias("window_end_us"),
         "event_type",
@@ -2014,13 +2001,15 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY 1, 2, 3
         """,
         "text_doc_stats": _TEXT_STATS_SQL,
-        "token_estimates": r"""
+        # subword classes interpolate functions/text.py's SUBWORD_RE —
+        # ONE definition for engine and oracle
+        "token_estimates": f"""
             SELECT doc_id,
-                   len(list_filter(string_split_regex(lower(text), '\s+'),
-                       t -> t <> '')) AS n_tokens,
+                   COALESCE(len(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')), 0) AS n_tokens,
                    COALESCE(list_sum(list_transform(
-                       regexp_extract_all(lower(text),
-                         '[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-zÀ-ɏ0-9]'),
+                       regexp_extract_all(lower(text), '{SUBWORD_RE}'),
                        p -> CAST(ceil(len(p)/4.0) AS BIGINT))), 0)
                      AS n_subword
             FROM documents

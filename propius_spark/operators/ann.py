@@ -779,7 +779,7 @@ def hyperplane_lsh_buckets(
     posture as the kernel paths, which require rectangular input)."""
     if n_planes % n_bands != 0:
         raise ValueError(
-            f"n_planes ({n_planes}) must divide evenly into n_bands ({n_bands})"
+            f"n_bands ({n_bands}) must divide evenly n_planes ({n_planes})"
         )
     if dim is None:
         first = emb.select(vec_col).first()
@@ -834,11 +834,12 @@ def lsh_topk(
     base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
     bk = hyperplane_lsh_buckets(emb, n_planes, n_bands, seed, id_col, vec_col, dim)
     q_buckets = bk.filter(F.col("vec_id") == query_id).select("bucket")
+    # no distinct: the left_semi probe below ignores duplicate
+    # build-side ids, so deduping here would only add a shuffle
     cand = (
         bk.join(F.broadcast(q_buckets), "bucket")
         .select("vec_id")
         .filter(F.col("vec_id") != query_id)
-        .distinct()
     )
     q = base.filter(F.col("vec_id") == query_id).select(
         F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")

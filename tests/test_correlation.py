@@ -223,3 +223,33 @@ def test_publish_unique_keys(spark, tmp_path):
     # k_sigma=-10 keeps every pair incl. non-co-occurring: 4 items
     # → 4·3 directed pairs
     assert total == 12
+
+
+def test_publish_salted_write_equivalence(spark, tmp_path):
+    """files_per_bucket > 1 changes only the FILE LAYOUT: same rows,
+    same schema (no salt column leaks into the store), same bucket
+    directories, ≥1 file per bucket, and parallel-write salting never
+    drops or duplicates a row vs the one-file-per-bucket default."""
+    from pathlib import Path
+
+    from propius_spark.operators import publish_model
+
+    occ = spark.createDataFrame(
+        FIXTURE_ROWS, "reference_id string, item_id long"
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, title string"
+    )
+    p1 = publish_model(occ, dim, str(tmp_path / "m1"), k_sigma=-10.0,
+                       n_buckets=2)
+    p2 = publish_model(occ, dim, str(tmp_path / "m2"), k_sigma=-10.0,
+                       n_buckets=2, files_per_bucket=3)
+    a = spark.read.parquet(p1["similar_items"])
+    b = spark.read.parquet(p2["similar_items"])
+    assert sorted(a.columns) == sorted(b.columns)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    for bucket in (0, 1):
+        d = Path(p2["similar_items"]) / f"bucket={bucket}"
+        assert d.is_dir() and list(d.glob("*.parquet"))
