@@ -568,6 +568,28 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline COMPOSED, one driver row: quality
+    gate (corpus_filter config) → exact-dedup keeper selection
+    (content-hash groups; min-id keeper) → token-window chunking
+    (chunk_docs config) — raw corpus in, clean training windows out.
+    Each stage is individually oracle-verified; this row pins the
+    inter-operator contracts (column shapes, semi-join keys, the
+    hash≡text dedup equivalence) end to end. Plan: two corpus scans
+    (stats fused into the first, chunking in the second), one 32-byte
+    content-key shuffle — the document text never shuffles."""
+    docs = _docs(spark, sf_dir)
+    kept = filter_corpus(
+        docs, min_quality=0.72, langs=("en",), min_tokens=20, max_tokens=90
+    )
+    filtered = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    keepers = exact_dedup(filtered).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    clean = filtered.join(keepers, "doc_id", "left_semi")
+    return chunk_documents(clean, chunk_tokens=32, overlap=8)
+
+
 def q_sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling of the event log (50% click,
     25% view, 100% purchase; other types dropped) — selection is pure
@@ -947,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "pipeline_prepare": q_pipeline_prepare,
         "token_estimates": q_token_estimates,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "posting_lists": q_posting_lists,
@@ -2022,6 +2045,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_TEXT_STATS_SQL})
             WHERE quality >= 0.72 AND lang = 'en'
               AND n_tokens BETWEEN 20 AND 90
+        """,
+        # the composed pipeline: filter (corpus_filter twin) →
+        # min-id-per-text keepers (≡ the engine's content-hash
+        # groups) → chunk (chunk_docs twin over the CLEAN corpus)
+        "pipeline_prepare": f"""
+            WITH kept AS (SELECT doc_id
+                          FROM ({_TEXT_STATS_SQL})
+                          WHERE quality >= 0.72 AND lang = 'en'
+                            AND n_tokens BETWEEN 20 AND 90),
+            fd AS (SELECT d.doc_id, d.text
+                   FROM documents d JOIN kept USING (doc_id)),
+            keep2 AS (SELECT MIN(doc_id) AS doc_id FROM fd GROUP BY text),
+            clean AS (SELECT fd.doc_id, fd.text
+                      FROM fd JOIN keep2 USING (doc_id)),
+            toks AS (SELECT doc_id,
+                            list_filter(string_split_regex(
+                                   lower(text), '\\s+'), x -> x <> '')
+                              AS t
+                     FROM clean)
+            SELECT doc_id, (s.s // 24)::BIGINT AS chunk_id,
+                   array_to_string(t[s.s+1 : s.s+32], ' ') AS chunk_text,
+                   len(t[s.s+1 : s.s+32])::BIGINT AS n_tokens
+            FROM toks, LATERAL unnest(range(0, len(t), 24)) AS s(s)
+            WHERE len(t) > 0
         """,
         # selection is pure key arithmetic (operators/sampling.py) —
         # the oracle replays the identical sample
