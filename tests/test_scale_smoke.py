@@ -113,3 +113,41 @@ def test_minhash_lsh_recalls_planted_dups_at_50k_docs(spark):
     want = {(j, 50_000 + j) for j in range(25)}
     missed = want - pairs
     assert not missed, sorted(missed)
+
+
+def test_hyperplane_lsh_end_to_end_at_50k_vectors(spark):
+    """The LSH near-dup scale path at 100× gate size: 50k vectors
+    (plus 40 planted exact duplicates) through hyperplane_lsh_buckets
+    (16 planes, 4 bands) → candidate-fed verify at τ≈1. Exact
+    duplicates share every sign bit, so ALL planted pairs must
+    survive banding (recall 1.0 on duplicates BY CONSTRUCTION — no
+    plane separates identical vectors), and random 16-dim gaussians
+    contribute nothing at the threshold. Also pins candidate-table
+    cardinality = n_bands rows per vector."""
+    import numpy as np
+
+    from propius_spark.operators import (
+        embedding_dup_pairs,
+        hyperplane_lsh_buckets,
+    )
+
+    n, dim, n_dup = 50_000, 16, 40
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(n, dim))
+    planted = np.concatenate([vecs, vecs[:n_dup]])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(planted)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cand = hyperplane_lsh_buckets(emb, n_planes=16, n_bands=4, seed=1, dim=dim)
+    assert cand.count() == (n + n_dup) * 4
+    got = (
+        embedding_dup_pairs(
+            emb, threshold=0.999999, candidates=cand,
+            max_bucket_vectors=1024,
+        )
+        .select("vec_a", "vec_b")
+        .collect()
+    )
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    want = {(i, n + i) for i in range(n_dup)}
+    assert want <= pairs
+    assert len(pairs - want) == 0, sorted(pairs - want)[:5]
