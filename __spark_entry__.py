@@ -578,11 +578,20 @@ def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash≡text dedup equivalence) end to end. Plan: two corpus scans
     (stats fused into the first, chunking in the second), one 32-byte
     content-key shuffle — the document text never shuffles."""
+    from propius_spark.plans import materialize
+
     docs = _docs(spark, sf_dir)
-    kept = filter_corpus(
-        docs, min_quality=0.72, langs=("en",), min_tokens=20, max_tokens=90
+    # materialize the kept-id list (ids only — bounded by doc count,
+    # ≪ corpus bytes): the filter subtree otherwise computes once per
+    # consumer (keeper branch + chunk branch = 4 corpus scans, plan-
+    # verified), and both downstream semi-joins broadcast it
+    kept = materialize(
+        filter_corpus(
+            docs, min_quality=0.72, langs=("en",),
+            min_tokens=20, max_tokens=90,
+        ).select("doc_id")
     )
-    filtered = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    filtered = docs.join(kept, "doc_id", "left_semi")
     keepers = exact_dedup(filtered).select(
         F.col("keeper_id").alias("doc_id")
     )

@@ -299,3 +299,19 @@ def test_lsh_buckets_map_side(spark, sf_dir):
     for node in PY_EVAL_NODES:
         assert node not in plan
     assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_pipeline_prepare_two_scans_no_text_shuffle(spark, sf_dir):
+    """The composed prepare pipeline's plan contract: exactly two
+    corpus scans (stats fused into one, chunking in the other — the
+    kept-id list is materialized, so the filter subtree can't
+    replicate per consumer), and the only exchanges belong to the
+    32-byte content-key dedup (no `text` column in any Exchange
+    block)."""
+    import re
+
+    plan = _plan(entrymod.q_pipeline_prepare(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            assert not re.search(r"\btext#", block), block[:300]
