@@ -250,10 +250,20 @@ def _bucketed_dup_pairs(
         raise ValueError(
             f"max_bucket_vectors must be >= 1, got {max_bucket_vectors}"
         )
+    from ..plans import persist_big
+
     idc, bkc = candidates.columns[:2]
-    cand = candidates.select(
-        F.col(idc).cast("long").alias("vid"), F.col(bkc).cast("long").alias("bkt")
-    ).dropDuplicates(["vid", "bkt"])
+    # persist_big: the candidate table feeds TWO consumers (bucket
+    # sizing + the row join) — without a cache the generator's whole
+    # subtree (IVF assignment scoring, LSH plane dots) replays per
+    # consumer, plan-verified as a doubled corpus scan. Narrow
+    # (vid, bkt) rows on DISK_ONLY — no storage-memory pinning.
+    cand = persist_big(
+        candidates.select(
+            F.col(idc).cast("long").alias("vid"),
+            F.col(bkc).cast("long").alias("bkt"),
+        ).dropDuplicates(["vid", "bkt"])
+    )
     sizes = cand.groupBy("bkt").agg(
         F.ceil(F.count(F.lit(1)) / max_bucket_vectors).cast("int").alias("nb")
     )
