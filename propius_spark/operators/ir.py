@@ -45,7 +45,14 @@ def tf_idf(
     leak into comparisons.
     """
     require_columns(docs, [id_col, text_col], "tf_idf")
-    tfs = _doc_token_counts(docs, id_col, text_col)
+    from ..plans import persist_big
+
+    # persist_big: tfs feeds BOTH the df aggregate and the scoring
+    # join — uncached, the tokenize+count subtree replays per consumer
+    # (plan-audited: 2 corpus tokenization passes), breaking this
+    # module's one-scan contract. Narrow (doc, token, tf) rows on
+    # DISK_ONLY.
+    tfs = persist_big(_doc_token_counts(docs, id_col, text_col))
     dfs = tfs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfs = dfs.filter(F.col("df") >= min_df)
