@@ -87,19 +87,27 @@ def search_items_by_name(correlated_items: DataFrame, term: str, limit: int = 10
 
 def get_database_stats(similar_items: DataFrame, correlated_items: DataFrame) -> DataFrame:
     """1-row stats (propius/data.py:316-359): item count, similarity
-    count, avg similarities per item rounded to 2 dp with 0 for NULL."""
+    count, avg similarities per item rounded to 2 dp with 0 for NULL.
+
+    ONE fact-table scan: total_similarities = Σ of the per-item group
+    counts, so the same groupBy feeds both outputs (the naive
+    two-aggregate form scanned the store twice, plan-audited)."""
     items = correlated_items.agg(F.count(F.lit(1)).alias("total_items"))
-    sims = similar_items.agg(F.count(F.lit(1)).alias("total_similarities"))
-    avg = (
+    fact = (
         similar_items.groupBy("item_a_id")
         .agg(F.count(F.lit(1)).alias("similarity_count"))
         .agg(
+            F.coalesce(F.sum("similarity_count"), F.lit(0)).alias(
+                "total_similarities"
+            ),
             F.coalesce(F.round(F.avg("similarity_count"), 2), F.lit(0.0)).alias(
                 "avg_similarities_per_item"
-            )
+            ),
         )
     )
-    return items.crossJoin(sims).crossJoin(avg)
+    return items.crossJoin(fact).select(
+        "total_items", "total_similarities", "avg_similarities_per_item"
+    )
 
 
 def retrieve_similar_batch(
