@@ -618,20 +618,32 @@ def assign_centroids(
     if centroids is not None:
         cents = centroids.select("centroid_id", "cvec", "cnorm")
     else:
-        # the n SMALLEST ids, literally (TakeOrdered over the id
-        # column) — the former `vec_id < n` filter assumed a dense
-        # 0-based id space and silently yielded fewer (or zero)
-        # centroids on offset ids; identical on dense 0-based ids,
-        # which is what keeps the SQL oracles' `vec_id < n` twin valid
-        cents = base.orderBy("vec_id").limit(n).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("vec").alias("cvec"),
-            F.col("norm").alias("cnorm"),
-        )
+        cents = _seed_centroids(base, n)
     assignment = multi_probe_assignments(
         emb, n_probe=1, id_col=id_col, vec_col=vec_col, centroids=cents
     )
     return cents, assignment
+
+
+def _seed_centroids(base: DataFrame, n: int) -> DataFrame:
+    """The n SMALLEST ids, literally (TakeOrdered over the id column)
+    — the former `vec_id < n` filter assumed a dense 0-based id space
+    and silently yielded fewer (or zero) centroids on offset ids;
+    identical on dense 0-based ids, which is what keeps the SQL
+    oracles' `vec_id < n` twin valid. MATERIALIZED (n KB-sized rows):
+    every consumer (probe scoring, assignment scoring, a second
+    operator in the same query) otherwise replays the corpus-wide
+    TakeOrdered — plan-audited as ivf_topk re-scanning the embedding
+    table per centroid consumer."""
+    from ..plans import materialize
+
+    return materialize(
+        base.orderBy("vec_id").limit(n).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
 
 
 def multi_probe_assignments(
@@ -659,12 +671,7 @@ def multi_probe_assignments(
     if centroids is not None:
         cents = centroids.select("centroid_id", "cvec", "cnorm")
     else:
-        # n smallest ids, literally — see assign_centroids
-        cents = base.orderBy("vec_id").limit(n).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("vec").alias("cvec"),
-            F.col("norm").alias("cnorm"),
-        )
+        cents = _seed_centroids(base, n)
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
