@@ -242,7 +242,12 @@ def _bucketed_dup_pairs(
     IVF list parallelizes across the cluster instead of pinning one
     executor. Total multiply-adds are unchanged; replication per row
     is the per-bucket sub-block count (1 for any bucket under the
-    cap, so the common case pays nothing)."""
+    cap, so the common case pays nothing).
+
+    Caching note: the normalized candidate table is disk-cached
+    (persist_big) for the session so bucket sizing and the row join
+    share one pass over the generator's subtree;
+    ``session.clear_materialized`` releases it."""
     if max_bucket_vectors < 1:
         # ceil(count/0) is NULL under non-ANSI division and would
         # silently explode() every row away — a "dedup" that finds
@@ -630,19 +635,16 @@ def _seed_centroids(base: DataFrame, n: int) -> DataFrame:
     — the former `vec_id < n` filter assumed a dense 0-based id space
     and silently yielded fewer (or zero) centroids on offset ids;
     identical on dense 0-based ids, which is what keeps the SQL
-    oracles' `vec_id < n` twin valid. MATERIALIZED (n KB-sized rows):
-    every consumer (probe scoring, assignment scoring, a second
-    operator in the same query) otherwise replays the corpus-wide
-    TakeOrdered — plan-audited as ivf_topk re-scanning the embedding
-    table per centroid consumer."""
-    from ..plans import materialize
-
-    return materialize(
-        base.orderBy("vec_id").limit(n).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("vec").alias("cvec"),
-            F.col("norm").alias("cnorm"),
-        )
+    oracles' `vec_id < n` twin valid. LAZY deliberately: plan
+    construction must stay job-free (a first eager version ran a
+    corpus TakeOrdered at DataFrame-build time). Multi-consumer
+    callers materialize the result themselves — ivf_topk does, its
+    probe AND assignment branches otherwise each replay the corpus
+    TakeOrdered (plan-audited)."""
+    return base.orderBy("vec_id").limit(n).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
     )
 
 
@@ -698,8 +700,17 @@ def ivf_topk(
     to the query, brute-force inside them. Exact within the probed
     partition — recall depends on n_probe/n_centroids (the standard
     IVF trade). Returns (vec_id, cosine)."""
+    from ..plans import materialize
+
     base = with_norm(emb, vec_col).select(F.col(id_col).alias("vec_id"), "vec", "norm")
-    cents, assignment = assign_centroids(emb, n_centroids, id_col, vec_col)
+    # materialize the KB-sized centroid table HERE (not in the lazy
+    # helper): both the probe-selection branch and the assignment
+    # branch consume it, and uncached each replays the corpus-wide
+    # TakeOrdered (plan-audited: 6 scans → 4)
+    cents, assignment = assign_centroids(
+        emb, id_col=id_col, vec_col=vec_col,
+        centroids=materialize(_seed_centroids(base, n_centroids)),
+    )
     q = base.filter(F.col("vec_id") == query_id).select(
         F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
     )

@@ -43,6 +43,13 @@ def tf_idf(
     Tokens below ``min_df`` are dropped (rare-token noise floor).
     tfidf is rounded to 6 dp so cross-engine ln() ulp drift cannot
     leak into comparisons.
+
+    Caching note: the internal term-frequency table is disk-cached
+    (persist_big) for the session so its two consumers share one
+    tokenization pass; call
+    ``propius_spark.session.clear_materialized(spark)`` between
+    unrelated pipelines to release it (same lifecycle as the dedup
+    shingle tables).
     """
     require_columns(docs, [id_col, text_col], "tf_idf")
     from ..plans import persist_big

@@ -18,16 +18,29 @@ from ..schemas import require_columns
 
 
 def doc_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fan: bool = True,
 ) -> DataFrame:
-    """(doc_id, n_tokens, lang, quality, fingerprint) — one row per doc."""
-    t = F.col(text_col)
-    # fan out by doc: a small corpus is one parquet file = one input
-    # partition, and the fingerprint fold is the most expensive
-    # per-row expression in the engine (per-character lambda evals)
-    from ..plans import fan_out
+    """(doc_id, n_tokens, lang, quality, fingerprint) — one row per doc.
 
-    return fan_out(docs, id_col).select(
+    ``fan=True`` (default): repartition by doc first — a small corpus
+    is one parquet file = one input partition, and the fingerprint
+    fold is the most expensive per-row expression in the engine
+    (per-character lambda evals). ``fan=False`` for consumers that
+    FILTER on the stats immediately (filter_corpus): Catalyst inlines
+    the stat expressions into the pushed-down predicate below any
+    repartition anyway (plan-audited — the exchange ended up carrying
+    ids while the compute ran at scan parallelism), so the honest
+    plan is stats fused into the scan with no exchange at all."""
+    t = F.col(text_col)
+    src = docs
+    if fan:
+        from ..plans import fan_out
+
+        src = fan_out(docs, id_col)
+    return src.select(
         F.col(id_col).alias("doc_id"),
         token_count(t).alias("n_tokens"),
         lang_id(t).alias("lang"),
@@ -53,7 +66,9 @@ def filter_corpus(
     Thresholds compare against the 6-dp-rounded quality score so the
     selected set is identical across engines (raw doubles differ in the
     last ulp between summation orders)."""
-    s = doc_stats(docs, id_col, text_col).select(
+    # fan=False: the filter fuses into the scan; a fan-out exchange
+    # here was plan-audited as defeated (see doc_stats docstring)
+    s = doc_stats(docs, id_col, text_col, fan=False).select(
         "doc_id", "n_tokens", "lang", F.round("quality", 6).alias("quality")
     )
     out = s.filter(
