@@ -151,3 +151,55 @@ def test_hyperplane_lsh_end_to_end_at_50k_vectors(spark):
     want = {(i, n + i) for i in range(n_dup)}
     assert want <= pairs
     assert len(pairs - want) == 0, sorted(pairs - want)[:5]
+
+
+def test_event_family_at_1m_events(spark):
+    """Sessionize + funnel at 100× gate size with a PATHOLOGICAL hot
+    user: 1M events over 10k users, one bot carrying 200k of them
+    (the skew that used to build an unbounded collect_list before the
+    round-3 window rewrite). Both operators must complete at bounded
+    memory and agree with closed-form expectations: deterministic
+    10-minute event spacing with a 30-minute gap means every user is
+    exactly ONE session, and the synthetic click→view alternation
+    makes funnel counts exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from propius_spark.operators import funnel
+    from propius_spark.operators.sessions import sessionize
+
+    n, hot = 1_000_000, 200_000
+    ev = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") < hot, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), F.lit(9_999)) + 1)
+            .alias("user_id"),
+            # 10-minute spacing per user's consecutive events is
+            # guaranteed coarsely: give each event its own minute slot
+            # by id — gaps within a user are ≤ 10k minutes? Instead
+            # pin per-user spacing directly: rank within user × 10 min
+            F.col("id").alias("seq"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("seq")),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(
+                (F.col("rn").cast("long") * 600_000_000)
+            ).alias("ts"),
+            F.when(F.pmod(F.col("rn"), F.lit(2)) == 1, F.lit("click"))
+            .otherwise(F.lit("view"))
+            .alias("event_type"),
+        )
+    )
+    sess = sessionize(ev, gap_minutes=30).collect()
+    assert len(sess) == 10_000  # one session per user (10-min spacing)
+    by_user = {r.user_id: r.n_events for r in sess}
+    assert by_user[0] == hot
+    # funnel click→view: every user's first click (rn=1) precedes the
+    # first view (rn=2) — all 10k users convert at both steps
+    fr = {r.step: r.n_users for r in funnel(ev, ["click", "view"]).collect()}
+    assert fr == {"click": 10_000, "view": 10_000}
