@@ -315,3 +315,30 @@ def test_pipeline_prepare_two_scans_no_text_shuffle(spark, sf_dir):
     for block in plan.split("\n\n"):
         if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
             assert not re.search(r"\btext#", block), block[:300]
+
+
+def test_batch_retrieval_partition_prunes(spark, sf_dir, tmp_path):
+    """retrieve_similar_batch with a bucketed store: the IN-list's
+    bucket SET prunes partitions exactly like the single-item path —
+    3 requested items spanning 2 of 8 buckets must scan only those 2
+    bucket directories."""
+    from propius_spark.serving import retrieve_similar_batch
+
+    occ = occurrences_from_lineitem(spark, sf_dir)
+    dim_src = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("title")
+    )
+    paths = publish_model(occ, dim_src, str(tmp_path / "m"), n_buckets=8)
+    sims = spark.read.parquet(paths["similar_items"])
+    dim = spark.read.parquet(paths["correlated_items"])
+    # items 1, 9, 2 → buckets {1, 2}
+    plan = _plan(
+        retrieve_similar_batch(sims, dim, [1, 9, 2], k=3, n_buckets=8)
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan[:600]
+    assert set(m.group(1).split(",")) == {"1", "2"}
+    # and the item IN-list reaches the scan too
+    assert re.search(r"PushedFilters: \[In\(item_a_id", plan)
