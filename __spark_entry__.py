@@ -60,6 +60,8 @@ from propius_spark.operators import (
     split_corpus,
     token_distribution,
     vocabulary,
+    content_keys,
+    dedup_against,
     exact_dedup,
     get_similar_items,
     ivf_knn_join,
@@ -282,6 +284,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups: hash-groupBy on the full text."""
     return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot ingest dedup: docs with doc_id % 3 == 0
+    stand in for the prior snapshot's content-address store
+    (content_keys); dedup_against returns the docs whose text that
+    store has never seen — including dropping NEW docs whose text
+    duplicates an OLD one. Text never shuffles; the anti-join moves
+    32-byte keys."""
+    docs = _docs(spark, sf_dir)
+    seen = content_keys(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "content_key"
+    )
+    return dedup_against(docs, seen)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "pipeline_prepare": q_pipeline_prepare,
+        "dedup_incremental": q_dedup_incremental,
         "token_estimates": q_token_estimates,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "posting_lists": q_posting_lists,
@@ -1388,6 +1405,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        # DuckDB's sha256() over the text bytes ≡ Spark's
+        # sha2(cast binary, 256) — verified byte-identical hex
+        "dedup_incremental": """
+            WITH seen AS (SELECT DISTINCT sha256(text) AS k
+                          FROM documents WHERE doc_id % 3 = 0)
+            SELECT d.doc_id, sha256(d.text) AS content_key
+            FROM documents d
+            WHERE sha256(d.text) NOT IN (SELECT k FROM seen)
         """,
         "redact_docs": r"""
             SELECT doc_id,

@@ -566,3 +566,48 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def content_keys(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, content_key): the SHA-256 content address of each
+    document's text — the unit of exact identity the incremental and
+    exact dedups share (see exact_dedup's docstring for why a
+    cryptographic key, not xxhash lanes). Map-side; the key is what
+    an ingest pipeline APPENDS to its seen-store after each batch."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("content_key"),
+    )
+
+
+def dedup_against(
+    docs: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (snapshot-over-snapshot) exact dedup: the docs
+    whose content was NOT in ``seen`` — a 1-column DataFrame of
+    content keys from previous batches (build with ``content_keys``;
+    at scale a parquet table appended per ingest batch). Returns
+    (doc_id, content_key) of the fresh docs; join back to the corpus
+    for the full rows, and union the keys into the store.
+
+    Within-batch duplicates are NOT collapsed here (two new docs with
+    identical text both survive) — compose with ``exact_dedup`` for
+    that; this operator answers only "seen before?".
+
+    Scale shape: one map-side hash pass over the new batch, one
+    left_anti join on 32-byte keys — the corpus text never shuffles,
+    and the seen-store side carries keys only. The anti-join shuffles
+    both KEY tables; when the store dwarfs the batch, pre-bucket the
+    store on content_key so only the batch side moves."""
+    seen_col = seen.columns[0]
+    keys = content_keys(docs, id_col, text_col)
+    return keys.join(
+        seen.select(F.col(seen_col).alias("content_key")),
+        "content_key",
+        "left_anti",
+    ).select("doc_id", "content_key")

@@ -225,3 +225,33 @@ def test_id_mode_xxhash_equals_dict_on_fixture_corpus(spark, sf_dir):
 
     sh_xx = pairs_sh(id_mode="xxhash")
     assert pairs_sh() == sh_xx and len(sh_xx) > 0
+
+
+def test_dedup_against_incremental_semantics(spark):
+    """Incremental dedup contract: a new doc duplicating a SEEN text
+    drops; unseen texts survive — including BOTH copies of a
+    within-batch duplicate (that collapse belongs to exact_dedup, the
+    docstring's documented composition)."""
+    from propius_spark.operators import content_keys, dedup_against
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    seen = content_keys(old).select("content_key")
+    new = spark.createDataFrame(
+        [
+            (10, "alpha"),   # seen before → drop
+            (11, "gamma"),   # fresh
+            (12, "delta"),   # fresh (dup within batch…)
+            (13, "delta"),   # …both survive here
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in dedup_against(new, seen).collect())
+    assert got == [11, 12, 13]
+    # appending the fresh keys to the store makes the NEXT batch drop them
+    seen2 = seen.unionByName(
+        dedup_against(new, seen).select("content_key")
+    )
+    again = dedup_against(new, seen2)
+    assert again.count() == 0
