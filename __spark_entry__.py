@@ -356,6 +356,23 @@ def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free splits: duplicate documents must land in the SAME
+    train/val/test split (a near-dup straddling train and test leaks
+    eval data), so the split key is the content group's KEEPER id —
+    split_corpus(key_col="keeper_id") over content_keys groups. Same
+    deterministic arithmetic as split_corpus; within a duplicate
+    group the assignment is identical by construction."""
+    keys = content_keys(_docs(spark, sf_dir))
+    keeper = keys.groupBy("content_key").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    withk = keys.join(keeper, "content_key").select("doc_id", "keeper_id")
+    return split_corpus(
+        withk, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="keeper_id"
+    ).select("doc_id", "keeper_id", "split")
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 by frequency (token asc tiebreak) —
     the tokenizer-training precursor."""
@@ -996,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "pipeline_prepare": q_pipeline_prepare,
         "dedup_incremental": q_dedup_incremental,
+        "split_leakage_free": q_split_leakage_free,
         "token_estimates": q_token_estimates,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "posting_lists": q_posting_lists,
@@ -1434,6 +1452,20 @@ def oracle_sql() -> dict[str, str]:
                          ((2654435761 * doc_id + 1013904223) % 2147483647)
                            % 1000000 AS b
                   FROM documents)
+        """,
+        "split_leakage_free": """
+            WITH k AS (SELECT doc_id,
+                              MIN(doc_id) OVER (PARTITION BY text)
+                                AS keeper_id
+                       FROM documents)
+            SELECT doc_id, keeper_id,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, keeper_id,
+                         ((2654435761 * keeper_id + 1013904223)
+                           % 2147483647) % 1000000 AS b
+                  FROM k)
         """,
         "vocabulary": r"""
             WITH toks AS (SELECT list_filter(string_split_regex(

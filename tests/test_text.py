@@ -326,3 +326,30 @@ def test_subword_token_count_reference(spark):
         assert got[i] == ref(s), (i, s, got[i], ref(s))
     # sanity: long word costs ceil(28/4)=7, short words cost 1 each
     assert got[1] == 7 and got[8] == 6
+
+
+def test_split_leakage_free_groups_stay_together(spark):
+    """Duplicate texts always land in the same split, whatever their
+    doc ids — the leakage guarantee split-by-doc cannot give."""
+    from propius_spark.operators import content_keys, split_corpus
+    from pyspark.sql import functions as FF
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    keys = content_keys(docs)
+    keeper = keys.groupBy("content_key").agg(
+        FF.min("doc_id").alias("keeper_id")
+    )
+    withk = keys.join(keeper, "content_key").select("doc_id", "keeper_id")
+    out = split_corpus(
+        withk, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="keeper_id"
+    )
+    per_group = (
+        out.join(keys, "doc_id")
+        .groupBy("content_key")
+        .agg(FF.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert per_group and all(r.n_splits == 1 for r in per_group)
