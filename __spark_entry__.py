@@ -219,9 +219,14 @@ def q_publish_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieve_similar_items then reads the PUBLISHED parquet back with
     the bucket partition filter pruning 3/4 of the files. Oracle = the
     same model pipeline in SQL with min-id-per-name dim dedup."""
+    import os
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="propius_pub_")
+    # one per-process store, overwritten each call — mkdtemp-per-call
+    # leaked a directory every bench pass / driver round
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"propius_pub_{os.getpid()}"
+    )
     dictionary = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         F.col("p_partkey").alias("id"), F.col("p_name").alias("title")
     )
