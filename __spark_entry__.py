@@ -19,6 +19,7 @@ values (absorbs summation-order nondeterminism, SURVEY.md §5.2).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +59,7 @@ from propius_spark.operators import (
     repetition_stats,
     rolling_user_counts,
     split_corpus,
+    split_leakage_free,
     token_distribution,
     vocabulary,
     content_keys,
@@ -211,6 +213,13 @@ def q_retrieve_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieve_similar_batch(fact, _part_dim(spark, sf_dir), items, k=5)
 
 
+@functools.lru_cache(maxsize=1)
+def _publish_store_dir() -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="propius_pub_")
+
+
 def q_publish_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 op-7 through a driver row: the full publish → serve
     round trip. publish_model writes the exact similar_items fact
@@ -219,14 +228,11 @@ def q_publish_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieve_similar_items then reads the PUBLISHED parquet back with
     the bucket partition filter pruning 3/4 of the files. Oracle = the
     same model pipeline in SQL with min-id-per-name dim dedup."""
-    import os
-    import tempfile
-
     # one per-process store, overwritten each call — mkdtemp-per-call
-    # leaked a directory every bench pass / driver round
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"propius_pub_{os.getpid()}"
-    )
+    # leaked a directory every bench pass / driver round; a PID-named
+    # fixed path would lose mkdtemp's unpredictable-name/0700/fresh
+    # guarantees on a shared /tmp
+    out_dir = _publish_store_dir()
     dictionary = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         F.col("p_partkey").alias("id"), F.col("p_name").alias("title")
     )
@@ -298,11 +304,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store has never seen — including dropping NEW docs whose text
     duplicates an OLD one. Text never shuffles; the anti-join moves
     32-byte keys."""
+    from propius_spark.plans import persist_big
+
     docs = _docs(spark, sf_dir)
-    seen = content_keys(docs.filter(F.col("doc_id") % 3 == 0)).select(
-        "content_key"
-    )
-    return dedup_against(docs, seen)
+    # one hash pass: the simulated store derives from the same corpus
+    # as the batch, so share the persisted key table between the seen
+    # side and the anti-join side (in real ingest the store is a
+    # separate table and the batch keys are reused for the
+    # store-append — same shape, see dedup_against's keys param).
+    # persist_big, not materialize: doc-row-cardinality table
+    keys = persist_big(content_keys(docs))
+    seen = keys.filter(F.col("doc_id") % 3 == 0).select("content_key")
+    return dedup_against(docs, seen, keys=keys)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,14 +381,9 @@ def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_corpus(key_col="keeper_id") over content_keys groups. Same
     deterministic arithmetic as split_corpus; within a duplicate
     group the assignment is identical by construction."""
-    keys = content_keys(_docs(spark, sf_dir))
-    keeper = keys.groupBy("content_key").agg(
-        F.min("doc_id").alias("keeper_id")
+    return split_leakage_free(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
     )
-    withk = keys.join(keeper, "content_key").select("doc_id", "keeper_id")
-    return split_corpus(
-        withk, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="keeper_id"
-    ).select("doc_id", "keeper_id", "split")
 
 
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,11 +1440,11 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB's sha256() over the text bytes ≡ Spark's
         # sha2(cast binary, 256) — verified byte-identical hex
         "dedup_incremental": """
-            WITH seen AS (SELECT DISTINCT sha256(text) AS k
+            WITH seen AS (SELECT DISTINCT sha256(coalesce(text, '')) AS k
                           FROM documents WHERE doc_id % 3 = 0)
-            SELECT d.doc_id, sha256(d.text) AS content_key
+            SELECT d.doc_id, sha256(coalesce(d.text, '')) AS content_key
             FROM documents d
-            WHERE sha256(d.text) NOT IN (SELECT k FROM seen)
+            WHERE sha256(coalesce(d.text, '')) NOT IN (SELECT k FROM seen)
         """,
         "redact_docs": r"""
             SELECT doc_id,
@@ -1460,7 +1468,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "split_leakage_free": """
             WITH k AS (SELECT doc_id,
-                              MIN(doc_id) OVER (PARTITION BY text)
+                              MIN(doc_id) OVER
+                                (PARTITION BY coalesce(text, ''))
                                 AS keeper_id
                        FROM documents)
             SELECT doc_id, keeper_id,

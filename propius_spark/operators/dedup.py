@@ -575,10 +575,17 @@ def content_keys(
     document's text — the unit of exact identity the incremental and
     exact dedups share (see exact_dedup's docstring for why a
     cryptographic key, not xxhash lanes). Map-side; the key is what
-    an ingest pipeline APPENDS to its seen-store after each batch."""
+    an ingest pipeline APPENDS to its seen-store after each batch.
+
+    NULL text normalizes to the empty string before hashing, so the
+    key is never NULL: a NULL key would silently break every consumer
+    (anti-joins never match NULL, so a null-text doc re-emits as
+    "fresh" forever; inner joins on the key drop the doc outright)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.sha2(F.col(text_col).cast("binary"), 256).alias("content_key"),
+        F.sha2(
+            F.coalesce(F.col(text_col), F.lit("")).cast("binary"), 256
+        ).alias("content_key"),
     )
 
 
@@ -587,11 +594,13 @@ def dedup_against(
     seen: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (snapshot-over-snapshot) exact dedup: the docs
-    whose content was NOT in ``seen`` — a 1-column DataFrame of
-    content keys from previous batches (build with ``content_keys``;
-    at scale a parquet table appended per ingest batch). Returns
+    whose content was NOT in ``seen`` — a DataFrame of content keys
+    from previous batches, either 1 column or carrying a
+    ``content_key`` column (``content_keys`` output works as-is; at
+    scale a parquet table appended per ingest batch). Returns
     (doc_id, content_key) of the fresh docs; join back to the corpus
     for the full rows, and union the keys into the store.
 
@@ -599,13 +608,27 @@ def dedup_against(
     identical text both survive) — compose with ``exact_dedup`` for
     that; this operator answers only "seen before?".
 
+    ``keys``: optional precomputed ``content_keys(docs)`` output. The
+    common ingest shape hashes the batch once and uses the keys twice
+    (anti-join here, then append to the store) — pass the shared
+    (persisted) frame so the corpus hash pass isn't replayed.
+
     Scale shape: one map-side hash pass over the new batch, one
     left_anti join on 32-byte keys — the corpus text never shuffles,
     and the seen-store side carries keys only. The anti-join shuffles
     both KEY tables; when the store dwarfs the batch, pre-bucket the
     store on content_key so only the batch side moves."""
-    seen_col = seen.columns[0]
-    keys = content_keys(docs, id_col, text_col)
+    if "content_key" in seen.columns:
+        seen_col = "content_key"
+    elif len(seen.columns) == 1:
+        seen_col = seen.columns[0]
+    else:
+        raise ValueError(
+            "dedup_against: seen must have a content_key column or "
+            f"exactly one column, got {seen.columns}"
+        )
+    if keys is None:
+        keys = content_keys(docs, id_col, text_col)
     return keys.join(
         seen.select(F.col(seen_col).alias("content_key")),
         "content_key",

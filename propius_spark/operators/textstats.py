@@ -278,6 +278,36 @@ def split_corpus(
     return docs.withColumn("split", expr).filter(F.col("split").isNotNull())
 
 
+def split_leakage_free(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Leakage-free train/val/test split: byte-identical documents
+    always land in the SAME split (a duplicate straddling train and
+    test silently leaks eval data), because the split key is the
+    content group's KEEPER id — min doc id per SHA-256 content
+    address — fed through ``split_corpus``'s deterministic key
+    arithmetic. Returns (doc_id, keeper_id, split).
+
+    Scale shape: the keeper groupBy and the join back both key on the
+    32-byte content address, so every exchange carries (key, id)
+    rows, never text; the split assignment itself is pure map-side
+    arithmetic. A pipeline that already ran ``exact_dedup`` /
+    ``content_keys`` reuses those groups for free."""
+    from .dedup import content_keys
+
+    keys = content_keys(docs, id_col=id_col, text_col=text_col)
+    keeper = keys.groupBy("content_key").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    withk = keys.join(keeper, "content_key").select("doc_id", "keeper_id")
+    return split_corpus(withk, weights, key_col="keeper_id").select(
+        "doc_id", "keeper_id", "split"
+    )
+
+
 def vocabulary(
     docs: DataFrame,
     min_count: int = 1,

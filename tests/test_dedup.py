@@ -255,3 +255,34 @@ def test_dedup_against_incremental_semantics(spark):
     )
     again = dedup_against(new, seen2)
     assert again.count() == 0
+
+
+def test_dedup_against_seen_shapes_and_nulls(spark):
+    """Guard rails added after review: (a) content_keys() output
+    passes as `seen` directly — the key column is picked by NAME, not
+    position, so the doc_id-first layout can't silently anti-join ids
+    against hashes; (b) a multi-column seen without content_key
+    raises instead of guessing; (c) null text normalizes to '' so a
+    null-text doc is dedupable (a NULL key never matches an
+    anti-join — it would re-emit as fresh forever)."""
+    import pytest
+
+    from propius_spark.operators import content_keys, dedup_against
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha"), (11, None), (12, ""), (13, "fresh")],
+        "doc_id long, text string",
+    )
+    # (a) two-column content_keys output used as the store directly
+    got = sorted(
+        r.doc_id for r in dedup_against(new, content_keys(old)).collect()
+    )
+    # null(11) and empty(12) both match old doc 2's null→'' key
+    assert got == [13]
+    # (b) ambiguous store shape errs
+    bad = old.select("doc_id", "text")
+    with pytest.raises(ValueError, match="content_key"):
+        dedup_against(new, bad)

@@ -175,10 +175,9 @@ def test_event_family_at_1m_events(spark):
             F.when(F.col("id") < hot, F.lit(0))
             .otherwise(F.pmod(F.col("id"), F.lit(9_999)) + 1)
             .alias("user_id"),
-            # 10-minute spacing per user's consecutive events is
-            # guaranteed coarsely: give each event its own minute slot
-            # by id — gaps within a user are ≤ 10k minutes? Instead
-            # pin per-user spacing directly: rank within user × 10 min
+            # per-user spacing pinned directly: rank within user × 10
+            # minutes, so every consecutive same-user gap is exactly
+            # 10 min and the 30-min sessionize gap never fires
             F.col("id").alias("seq"),
         )
         .withColumn(

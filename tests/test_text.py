@@ -330,26 +330,25 @@ def test_subword_token_count_reference(spark):
 
 def test_split_leakage_free_groups_stay_together(spark):
     """Duplicate texts always land in the same split, whatever their
-    doc ids — the leakage guarantee split-by-doc cannot give."""
-    from propius_spark.operators import content_keys, split_corpus
+    doc ids — the leakage guarantee split-by-doc cannot give. Runs the
+    SHIPPED operator (the sf0.01 driver fixture has all-distinct
+    texts, so this duplicate-heavy corpus is where the invariant is
+    actually exercised). Null text joins the empty-text group rather
+    than vanishing (content_keys' null≡'' posture)."""
+    from propius_spark.operators import split_leakage_free
     from pyspark.sql import functions as FF
 
-    docs = spark.createDataFrame(
-        [(i, f"text {i % 7}") for i in range(100)],
-        "doc_id long, text string",
-    )
-    keys = content_keys(docs)
-    keeper = keys.groupBy("content_key").agg(
-        FF.min("doc_id").alias("keeper_id")
-    )
-    withk = keys.join(keeper, "content_key").select("doc_id", "keeper_id")
-    out = split_corpus(
-        withk, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="keeper_id"
-    )
+    rows = [(i, f"text {i % 7}") for i in range(100)]
+    rows += [(100, None), (101, ""), (102, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_leakage_free(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.count() == 103  # no doc dropped (null text included)
     per_group = (
-        out.join(keys, "doc_id")
-        .groupBy("content_key")
+        out.groupBy("keeper_id")
         .agg(FF.countDistinct("split").alias("n_splits"))
         .collect()
     )
     assert per_group and all(r.n_splits == 1 for r in per_group)
+    # null and empty text share one content group (keeper = min id)
+    nulls = {r.doc_id: r.keeper_id for r in out.collect()}
+    assert nulls[100] == nulls[101] == nulls[102] == 100
