@@ -1435,7 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
-            FROM documents GROUP BY text
+            FROM documents GROUP BY coalesce(text, '')
         """,
         # DuckDB's sha256() over the text bytes ≡ Spark's
         # sha2(cast binary, 256) — verified byte-identical hex
@@ -2137,7 +2137,7 @@ def oracle_sql() -> dict[str, str]:
                             AND n_tokens BETWEEN 20 AND 90),
             fd AS (SELECT d.doc_id, d.text
                    FROM documents d JOIN kept USING (doc_id)),
-            keep2 AS (SELECT MIN(doc_id) AS doc_id FROM fd GROUP BY text),
+            keep2 AS (SELECT MIN(doc_id) AS doc_id FROM fd GROUP BY coalesce(text, '')),
             clean AS (SELECT fd.doc_id, fd.text
                       FROM fd JOIN keep2 USING (doc_id)),
             toks AS (SELECT doc_id,

@@ -83,11 +83,17 @@ def exact_dedup(
 
     ``key="text"``: raw-text groupBy — the oracle twin (bit-exact by
     construction, no hash assumption); test-scale only.
+
+    Null posture (both modes, and shared with ``content_keys``): NULL
+    text normalizes to '' — one dedup family, one identity. Hash mode
+    additionally NEEDS it: a NULL key would make every downstream
+    key join/anti-join silently drop or re-admit the doc.
     """
+    norm = F.coalesce(F.col(text_col), F.lit(""))
     if key == "text":
-        grp = [F.col(text_col)]
+        grp = [norm]
     elif key == "hash":
-        grp = [F.sha2(F.col(text_col).cast("binary"), 256)]
+        grp = [F.sha2(norm.cast("binary"), 256)]
     else:
         raise ValueError(f"exact_dedup: unknown key mode {key!r}")
     return (
@@ -622,6 +628,14 @@ def dedup_against(
         seen_col = "content_key"
     elif len(seen.columns) == 1:
         seen_col = seen.columns[0]
+        dt = seen.schema[seen_col].dataType.simpleString()
+        if dt != "string":
+            # e.g. a doc_id frame: the cross-type anti-join would cast
+            # the hex keys to NULL and report EVERY doc as fresh
+            raise ValueError(
+                "dedup_against: seen's single column "
+                f"{seen_col!r} is {dt}, expected string content keys"
+            )
     else:
         raise ValueError(
             "dedup_against: seen must have a content_key column or "

@@ -273,7 +273,10 @@ def split_corpus(
     acc = 0.0
     for name, w in weights.items():
         lo, acc = acc, acc + w
-        cond = (b >= int(lo * SAMPLE_RES)) & (b < int(acc * SAMPLE_RES))
+        # round, not int-truncate: {0.7, 0.2, 0.1} accumulates to
+        # 0.999…9 in IEEE, and truncation would turn the top bucket
+        # into a silent ~1ppm holdout
+        cond = (b >= round(lo * SAMPLE_RES)) & (b < round(acc * SAMPLE_RES))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return docs.withColumn("split", expr).filter(F.col("split").isNotNull())
 
@@ -283,6 +286,7 @@ def split_leakage_free(
     weights: dict[str, float],
     id_col: str = "doc_id",
     text_col: str = "text",
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-free train/val/test split: byte-identical documents
     always land in the SAME split (a duplicate straddling train and
@@ -294,11 +298,22 @@ def split_leakage_free(
     Scale shape: the keeper groupBy and the join back both key on the
     32-byte content address, so every exchange carries (key, id)
     rows, never text; the split assignment itself is pure map-side
-    arithmetic. A pipeline that already ran ``exact_dedup`` /
-    ``content_keys`` reuses those groups for free."""
+    arithmetic. The key table feeds BOTH sides of that self-join, so
+    it is persisted here (persist_big — doc-row cardinality, same
+    posture as q_dedup_incremental; released by
+    ``session.clear_materialized``) and the corpus hash pass runs
+    once. ``keys``: optional precomputed ``content_keys(docs)``
+    output — pass it when the pipeline already hashed the corpus
+    (e.g. alongside ``dedup_against``) to skip even that one pass."""
+    from ..plans import persist_big
     from .dedup import content_keys
 
-    keys = content_keys(docs, id_col=id_col, text_col=text_col)
+    require_columns(docs, [id_col] if keys is not None else [id_col, text_col],
+                    "split_leakage_free")
+    if keys is None:
+        keys = persist_big(
+            content_keys(docs, id_col=id_col, text_col=text_col)
+        )
     keeper = keys.groupBy("content_key").agg(
         F.min("doc_id").alias("keeper_id")
     )

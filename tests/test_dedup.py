@@ -45,6 +45,20 @@ def test_exact_dedup_hash_mode_equals_text_mode(spark, sf_dir):
     assert h == t and len(h) > 0
 
 
+def test_exact_dedup_null_text_merges_with_empty(spark):
+    """Null posture shared across the dedup family (content_keys,
+    exact_dedup both modes): NULL text ≡ '' — one identity, so hash
+    mode and text mode agree even on null/empty mixtures, and no
+    NULL key ever reaches a downstream join."""
+    df = _docs(spark, [(1, None), (2, ""), (3, None), (4, "x")])
+    for key in ("hash", "text"):
+        got = {
+            r["keeper_id"]: r["dup_count"]
+            for r in exact_dedup(df, key=key).collect()
+        }
+        assert got == {1: 3, 4: 1}, (key, got)
+
+
 def test_shingles_k3(spark):
     df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "  A  b   c ")])
     got = sorted(
@@ -286,3 +300,7 @@ def test_dedup_against_seen_shapes_and_nulls(spark):
     bad = old.select("doc_id", "text")
     with pytest.raises(ValueError, match="content_key"):
         dedup_against(new, bad)
+    # (c) a single NON-STRING column errs too — the cross-type
+    # anti-join would cast hex keys to NULL and report all-fresh
+    with pytest.raises(ValueError, match="string"):
+        dedup_against(new, old.select("doc_id"))

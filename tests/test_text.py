@@ -216,6 +216,15 @@ def test_split_corpus_deterministic_and_partitioned(spark):
     h = split_corpus(docs, {"train": 0.5}).count()
     assert h < 500
 
+    # IEEE-sum weights ({.7,.2,.1} accumulates to 0.999…9) must still
+    # partition EVERYTHING — int-truncating the cumulative bound
+    # silently dropped top-bucket (999999) keys; 602193 lands there
+    top = spark.createDataFrame(
+        [(602193, "t"), (1, "t")], "doc_id long, text string"
+    )
+    w3 = {"train": 0.7, "val": 0.2, "test": 0.1}
+    assert split_corpus(top, w3).count() == 2
+
 
 def test_vocabulary_rank_order(spark):
     from propius_spark.operators import vocabulary
