@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from propius_spark.functions import (
     decode_media,
     media_from_documents,
+    resize_images,
+    sample_frames,
     subword_token_count,
     token_count,
 )
@@ -928,6 +930,50 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (deterministic fake kernel — tiled-digest
+    re-encode, real codecs stubbed): MEDIA→MEDIA with meta rewritten;
+    the oracle reconstructs the 5×8 payload byte-for-byte as
+    sha256(text) ‖ first-16-bytes(sha256(text))."""
+    rez = resize_images(
+        media_from_documents(_docs(spark, sf_dir)), width=5, height=8, fake=True
+    )
+    return rez.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (deterministic fake kernel): every
+    4th frame of a synthetic video table (n_frames = 1 + media_id % 12
+    — SQL-replayable on purpose); the JVM-side explode does the row
+    multiplication, the Arrow kernel only decodes per-frame digests."""
+    vids = media_from_documents(_docs(spark, sf_dir)).select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        "payload",
+        F.struct(
+            F.col("meta.format").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            (F.lit(1) + F.pmod("media_id", F.lit(12))).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(vids, every_n=4, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "modality",
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+        F.hex("payload").alias("frame_hex"),
+    )
+
+
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel click→view→purchase within 24 h —
     one user-key shuffle, per-user array expressions for the chained
@@ -1081,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_dup_pairs": q_multimodal_dup_pairs,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "funnel_events": q_funnel_events,
         "cohort_retention": q_cohort_retention,
         "token_distribution": q_token_distribution,
@@ -1880,6 +1928,20 @@ def oracle_sql() -> dict[str, str]:
                      j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
                      )::BIGINT AS pixel_sum
             FROM documents
+        """,
+        "multimodal_resize": """
+            SELECT doc_id AS media_id, 5::INT AS width, 8::INT AS height,
+                   40::INT AS n_bytes,
+                   upper(sha256(text) || substr(sha256(text), 1, 16))
+                     AS payload_hex
+            FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT doc_id AS media_id, fi::INT AS frame_idx,
+                   'image' AS modality, 32::INT AS n_bytes,
+                   upper(sha256(text || ':' || fi)) AS frame_hex
+            FROM documents,
+                 LATERAL unnest(range(0, 1 + doc_id % 12, 4)) AS t(fi)
         """,
         "weighted_sample_docs": """
             SELECT doc_id, source, n_chars

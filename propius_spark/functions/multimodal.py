@@ -16,10 +16,13 @@ Scale notes (100 TB target):
   the parquet scan (column pruning — the dominant saving when payloads
   are KB-MB each).
 - The actual codec work (PIL/ffmpeg/librosa) is NOT in this container:
-  the decode kernels are STUBBED — `decode_media` raises
-  NotImplementedError unless `fake=True`, which substitutes a
-  deterministic byte-hash "decode" so the Spark-side plumbing (schema,
-  batch iteration, partitioning) is fully real and testable.
+  every kernel (`decode_media`, `extract_features`, `resize_images`,
+  `sample_frames`) raises NotImplementedError unless `fake=True`,
+  which substitutes a deterministic byte-hash kernel so the Spark-side
+  plumbing (schema, batch iteration, partitioning, JVM-side frame
+  explosion) is fully real and testable — including by the driver's
+  SQL oracle, since the fake kernels are sha256 arithmetic an oracle
+  can replay byte-for-byte.
 """
 
 from __future__ import annotations
@@ -158,22 +161,147 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = False) -> Data
     return media.select("media_id", "payload").mapInPandas(_feat, out_schema)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — real resize needs PIL. Declared so the API surface (and
-    its schema contract: same MEDIA schema out, meta.width/height
-    rewritten) is pinned for when codecs are available."""
-    raise NotImplementedError(
-        "resize_images needs PIL (not in this container); "
-        "schema contract: MEDIA in -> MEDIA out with meta.width/height "
-        f"rewritten to ({width}, {height})"
+def _fake_resized(payload: bytes, n: int) -> bytes:
+    """Deterministic stand-in for a re-encoded (width×height) image:
+    sha256(payload) tiled to exactly n bytes — stable across
+    partitions/runs and byte-reconstructable by a SQL oracle
+    (digest ‖ digest ‖ … truncated)."""
+    digest = hashlib.sha256(payload or b"").digest()
+    reps = -(-n // len(digest))
+    return (digest * reps)[:n]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Re-encode every payload at (width, height): MEDIA in → MEDIA out
+    with meta.width/height rewritten and the payload replaced by the
+    resized encoding.
+
+    STUB KERNEL: the real resample needs PIL (not in this container);
+    `fake=True` substitutes the deterministic tiled-digest encoding
+    (one byte per pixel) through the same plumbing. Scale shape: meta
+    fields travel as flat columns through the Arrow batches (no
+    struct↔dict conversion per row) and the struct is rebuilt JVM-side;
+    the kernel touches only the payload column.
+    """
+    require_columns(media, ["media_id", "modality", "payload", "meta"], "resize_images")
+    if width < 1 or height < 1:
+        raise ValueError(f"resize_images: width/height must be >= 1, got ({width}, {height})")
+    if not fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "real resize needs PIL (not in this container); "
+            "pass fake=True for the deterministic test encoding"
+        )
+
+    n = width * height
+    flat = media.select(
+        "media_id",
+        "modality",
+        "payload",
+        F.col("meta.format").alias("_fmt"),
+        F.col("meta.sample_rate").alias("_sr"),
+        F.col("meta.n_frames").alias("_nf"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("_fmt", T.StringType()),
+            T.StructField("_sr", T.IntegerType()),
+            T.StructField("_nf", T.IntegerType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(lambda p: _fake_resized(p, n))
+            yield pdf
+
+    return flat.mapInPandas(_resize, out_schema).select(
+        "media_id",
+        "modality",
+        "payload",
+        F.struct(
+            F.col("_fmt").alias("format"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("_sr").alias("sample_rate"),
+            F.col("_nf").alias("n_frames"),
+        ).alias("meta"),
     )
 
 
-def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
-    """STUB — real frame sampling needs ffmpeg. Contract: video rows
-    explode to one MEDIA row per sampled frame (modality='image',
-    meta.n_frames=1)."""
-    raise NotImplementedError(
-        "sample_frames needs ffmpeg (not in this container); "
-        f"contract: one image row per every_n={every_n}-th frame"
+def sample_frames(media: DataFrame, every_n: int, fake: bool = False) -> DataFrame:
+    """Explode video rows into one image MEDIA row per every_n-th frame
+    (frame indices 0, every_n, 2·every_n, … < meta.n_frames), plus a
+    `frame_idx` column. Non-video rows are dropped; sampled frames come
+    out modality='image', meta.n_frames=1.
+
+    STUB KERNEL: real frame extraction needs ffmpeg; `fake=True`
+    substitutes a deterministic per-frame digest payload
+    (sha256(payload ‖ ':' ‖ frame_idx)). Scale shape: the frame-index
+    explosion happens JVM-side (`explode(sequence(...))` — the row
+    multiplication never runs in Python), and only the per-frame decode
+    crosses into the Arrow-batched kernel.
+    """
+    require_columns(media, ["media_id", "modality", "payload", "meta"], "sample_frames")
+    if every_n < 1:
+        raise ValueError(f"sample_frames: every_n must be >= 1, got {every_n}")
+    if not fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "real frame sampling needs ffmpeg (not in this container); "
+            "pass fake=True for the deterministic test decode"
+        )
+
+    frames = (
+        media.filter((F.col("modality") == "video") & F.col("meta.n_frames").isNotNull())
+        .select(
+            "media_id",
+            "payload",
+            F.col("meta.format").alias("_fmt"),
+            F.col("meta.width").alias("_w"),
+            F.col("meta.height").alias("_h"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+                )
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_idx", F.col("frame_idx").cast("int"))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("_fmt", T.StringType()),
+            T.StructField("_w", T.IntegerType()),
+            T.StructField("_h", T.IntegerType()),
+        ]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id", "frame_idx", "payload", "_fmt", "_w", "_h"]].copy()
+            out["payload"] = [
+                hashlib.sha256((p or b"") + b":" + str(int(i)).encode()).digest()
+                for p, i in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield out
+
+    return frames.mapInPandas(_extract, out_schema).select(
+        "media_id",
+        "frame_idx",
+        F.lit("image").alias("modality"),
+        "payload",
+        F.struct(
+            F.col("_fmt").alias("format"),
+            F.col("_w").alias("width"),
+            F.col("_h").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
     )

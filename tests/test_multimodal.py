@@ -63,6 +63,70 @@ def test_fake_decode_deterministic_and_partition_invariant(media):
     )
 
 
+def test_resize_rewrites_meta_and_payload(media):
+    out = resize_images(media, width=6, height=7, fake=True)
+    # schema contract: MEDIA in -> MEDIA out
+    assert [f.name for f in out.schema] == [f.name for f in MEDIA]
+    rows = {r.media_id: r for r in out.collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert rows.keys() == src.keys()
+    for mid, r in rows.items():
+        assert (r.meta.width, r.meta.height) == (6, 7)
+        assert r.meta.format == src[mid].meta.format  # non-dim meta preserved
+        assert len(r.payload) == 6 * 7
+        digest = hashlib.sha256(bytes(src[mid].payload)).digest()
+        assert bytes(r.payload) == (digest * 2)[: 6 * 7]  # pinned fake math
+    # partition-invariant
+    again = {
+        r.media_id: bytes(r.payload)
+        for r in resize_images(media.repartition(7), 6, 7, fake=True).collect()
+    }
+    assert again == {m: bytes(r.payload) for m, r in rows.items()}
+
+
+def test_resize_validates_dims(media):
+    with pytest.raises(ValueError):
+        resize_images(media, 0, 4, fake=True)
+    with pytest.raises(ValueError):
+        sample_frames(media, 0, fake=True)
+
+
+def test_sample_frames_explodes_videos_only(spark, media):
+    from pyspark.sql import functions as F
+
+    vids = media.limit(10).select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        "payload",
+        F.struct(
+            F.col("meta.format").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            (F.lit(1) + F.pmod("media_id", F.lit(9))).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    mixed = vids.unionByName(media.limit(5))  # image rows must be dropped
+    out = sample_frames(mixed, every_n=3, fake=True)
+    rows = out.collect()
+    src = {r.media_id: r for r in vids.collect()}
+    # one row per sampled index: 0, 3, 6, ... < n_frames
+    expected = {
+        (mid, fi)
+        for mid, r in src.items()
+        for fi in range(0, r.meta.n_frames, 3)
+    }
+    assert {(r.media_id, r.frame_idx) for r in rows} == expected
+    for r in rows:
+        assert r.modality == "image"
+        assert r.meta.n_frames == 1
+        assert r.meta.width == src[r.media_id].meta.width
+        want = hashlib.sha256(
+            bytes(src[r.media_id].payload) + b":" + str(r.frame_idx).encode()
+        ).digest()
+        assert bytes(r.payload) == want
+
+
 def test_features_feed_ann(media):
     emb = extract_features(media, dim=8, fake=True).withColumnRenamed(
         "media_id", "vec_id"
