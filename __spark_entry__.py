@@ -79,6 +79,8 @@ from propius_spark.operators import (
     filter_corpus,
     resolve_duplicates,
     sessionize,
+    mix_sources,
+    shuffle_shards,
     simhash_pairs,
     stratified_sample,
     weighted_sample,
@@ -658,6 +660,30 @@ def q_sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+def q_mix_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture control: resample documents to a 50/30/20 mix of
+    three sources (others dropped), keeping the maximum rows that
+    mixture admits — per-group keep-rates derive from the group counts
+    by floor arithmetic, selection is pure key arithmetic (both exactly
+    replayed by the oracle)."""
+    return mix_sources(
+        _docs(spark, sf_dir),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        group_col="source",
+        key_col="doc_id",
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_shuffle_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: every doc
+    gets a pseudo-random (shard, pos) — a reproducible permutation via
+    two decorrelated LCG lanes, one shuffle on the shard key, window
+    sort bounded to corpus/n_shards per task."""
+    return shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id", "source"), n_shards=8, key_col="doc_id"
+    ).select("doc_id", "source", "shard", "pos")
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) of the events
     stream per user — gaps-and-islands via LAG + running SUM, one
@@ -1117,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary": q_corpus_summary,
         "events_props_rollup": q_events_props_rollup,
         "sample_events_stratified": q_sample_events_stratified,
+        "mix_sources_docs": q_mix_sources_docs,
+        "shuffle_shards_docs": q_shuffle_shards_docs,
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
         "asof_click_purchase": q_asof_click_purchase,
@@ -2223,5 +2251,39 @@ def oracle_sql() -> dict[str, str]:
               ON e.event_type = v.event_type
             WHERE ((2654435761 * e.event_id + 1013904223) % 2147483647)
                   % 1000000 < v.cut
+        """,
+        # mixture resampling: keep-rates derive from the group counts by
+        # the same floor arithmetic as operators/sampling.py::mix_sources
+        # (IEEE doubles in both engines), selection by the shared LCG
+        "mix_sources_docs": """
+            WITH counts AS (
+                SELECT source, COUNT(*)::DOUBLE AS n FROM documents
+                WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+            tgt AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+                                          ('src2', 0.2)) t(source, t)),
+            j AS (SELECT counts.source, n, t
+                  FROM counts JOIN tgt USING (source)),
+            s AS (SELECT MIN(FLOOR(n / t)) AS big_s FROM j),
+            rates AS (SELECT source,
+                             CAST(FLOOR(1000000 * big_s * t / n) AS BIGINT)
+                               AS cut
+                      FROM j, s)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE ((2654435761 * d.doc_id + 1013904223) % 2147483647)
+                  % 1000000 < r.cut
+        """,
+        # two decorrelated LCG lanes: shard from the sample lane,
+        # within-shard order from the Borland lane (+ key tiebreak)
+        "shuffle_shards_docs": """
+            SELECT doc_id, source, shard::INT AS shard,
+                   (ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY ord, doc_id) - 1)::INT
+                     AS pos
+            FROM (SELECT doc_id, source,
+                         ((2654435761 * doc_id + 1013904223)
+                           % 2147483647) % 8 AS shard,
+                         (22695477 * doc_id + 1) % 2147483647 AS ord
+                  FROM documents)
         """,
     }

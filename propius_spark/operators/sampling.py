@@ -107,6 +107,115 @@ def cap_per_group(
     )
 
 
+def mix_sources(
+    df: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Resample to a target corpus mixture (data mixing, the
+    "50% web / 30% books / 20% code" control): down-sample each group
+    so the OUTPUT proportions approximate ``targets`` while keeping as
+    much data as possible — output size S = min_g floor(n_g / t_g),
+    per-group keep-rate S·t_g / n_g (the binding group is kept whole).
+    Groups absent from ``targets`` are dropped. Down-sampling only;
+    up-weighting an under-represented group beyond its size is a
+    training-loop concern (epoch repetition), not a data op.
+
+    Selection is the same pure key arithmetic as
+    `deterministic_sample` — partition-invariant, retry-stable, and
+    exactly replayable by a SQL oracle (the cut is floor arithmetic on
+    the group counts, identical IEEE doubles in both engines).
+
+    Scale: two corpus scans (count pass + filter pass — both map-side
+    partial aggregation / pure filter; nothing corpus-sized shuffles);
+    the group-count table is |groups| rows (small by contract:
+    sources/domains, not keys), materialized once — it feeds both the
+    global-min aggregate and the rate table, and without
+    materialization the corpus count pass replays per consumer — and
+    the resulting rate table broadcasts to the filter.
+    """
+    require_columns(df, [group_col, key_col], "mix_sources")
+    if not targets:
+        raise ValueError("mix_sources: targets must be non-empty")
+    bad = {g: t for g, t in targets.items() if t <= 0}
+    if bad:
+        raise ValueError(f"mix_sources: target proportions must be > 0, got {bad}")
+    from ..plans import materialize
+
+    spark = df.sparkSession
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    tgt = spark.createDataFrame(
+        list(targets.items()), f"{group_col} string, __t double"
+    )
+    joined = materialize(counts.join(F.broadcast(tgt), group_col))
+    # S = min_g floor(n_g / t_g): the largest output size no group can
+    # exceed its own row count for
+    s = joined.agg(F.min(F.floor(F.col("__n") / F.col("__t"))).alias("__S"))
+    rates = (
+        joined.crossJoin(F.broadcast(s))
+        .withColumn(
+            "__cut",
+            F.floor(
+                F.lit(SAMPLE_RES) * F.col("__S") * F.col("__t") / F.col("__n")
+            ).cast("long"),
+        )
+        .select(group_col, "__cut")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(sample_bucket(F.col(key_col)) < F.col("__cut"))
+        .drop("__cut")
+    )
+
+
+# Second LCG lane (Borland constants — public) for shard-internal
+# ordering, decorrelated from the sample_bucket lane so sharding and
+# sampling decisions on the same key are independent.
+SHUFFLE_A = 22695477
+SHUFFLE_B = 1
+
+
+def shuffle_shards(df: DataFrame, n_shards: int, key_col: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export:
+    every row gets a pseudo-random ``shard`` in [0, n_shards) and a
+    dense ``pos`` (0-based) giving its position within the shard —
+    together a reproducible random permutation of the corpus, the
+    "shuffle the training data once, globally, and write fixed shards"
+    step before sequence packing / epoch streaming.
+
+    Both assignments are pure key arithmetic (two decorrelated LCG
+    lanes), so the permutation is identical under re-partitioning,
+    task retries, and re-runs — and exactly replayable by a SQL oracle.
+
+    Scale: ONE shuffle, on the shard key; within-shard position is a
+    window sort per shard, so per-task sort state is corpus/n_shards —
+    size n_shards to the target shard file size (e.g. ~128 MB) and no
+    single task ever sees more than one shard. Write with
+    ``.repartition("shard").write.partitionBy("shard")`` for
+    file-per-shard layout.
+    """
+    require_columns(df, [key_col], "shuffle_shards")
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col).cast("long")
+    shard = F.pmod(
+        F.pmod(F.lit(SAMPLE_A) * key + F.lit(SAMPLE_B), F.lit(SAMPLE_P)),
+        F.lit(n_shards),
+    )
+    order = F.pmod(F.lit(SHUFFLE_A) * key + F.lit(SHUFFLE_B), F.lit(SAMPLE_P))
+    w = Window.partitionBy("shard").orderBy(F.col("__ord").asc(), key.asc())
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("__ord", order)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("__ord")
+    )
+
+
 def weighted_sample(
     df: DataFrame, rate: float, weight_col: str, key_col: str
 ) -> DataFrame:

@@ -97,3 +97,98 @@ def test_weighted_sample_clamps_and_is_partition_invariant(spark):
                                      weight_col="w", key_col="k").collect()
     )
     assert kept == kept2
+
+
+def test_mix_sources_hits_targets_and_keeps_binding_group(spark):
+    from propius_spark.operators import mix_sources
+    from propius_spark.operators.sampling import SAMPLE_RES, sample_bucket  # noqa: F401
+
+    # src a: 100 rows, b: 60, c: 40; targets 50/30/20.
+    # S = min(100/.5, 60/.3, 40/.2) = 200 -> every group binds exactly:
+    # cuts are all RES -> everything kept, mixture already exact.
+    rows = [(i, "a") for i in range(100)] + \
+           [(1000 + i, "b") for i in range(60)] + \
+           [(2000 + i, "c") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(df, {"a": 0.5, "b": 0.3, "c": 0.2},
+                      group_col="source", key_col="doc_id")
+    assert out.count() == 200
+
+    # skewed input: a dominates; b binds (S = min(400/.5, 60/.3, 200/.2)
+    # = 200): b kept whole, a/c down-sampled toward 100/40
+    rows = [(i, "a") for i in range(400)] + \
+           [(1000 + i, "b") for i in range(60)] + \
+           [(2000 + i, "c") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(df, {"a": 0.5, "b": 0.3, "c": 0.2},
+                      group_col="source", key_col="doc_id")
+    got = {r.source: r.cnt for r in
+           out.groupBy("source").agg(__import__("pyspark").sql.functions
+                                     .count("*").alias("cnt")).collect()}
+    assert got["b"] == 60                      # binding group kept whole
+    # LCG buckets are approximately uniform: 10% slack on the others
+    assert abs(got["a"] - 100) <= 20
+    assert abs(got["c"] - 40) <= 10
+    # groups without a target are dropped entirely
+    df2 = df.union(spark.createDataFrame([(9000, "junk")],
+                                         "doc_id long, source string"))
+    out2 = mix_sources(df2, {"a": 0.5, "b": 0.3, "c": 0.2},
+                       group_col="source", key_col="doc_id")
+    assert out2.filter("source = 'junk'").count() == 0
+    # partition-invariant
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in
+                  mix_sources(df.repartition(7), {"a": 0.5, "b": 0.3,
+                                                  "c": 0.2},
+                              group_col="source",
+                              key_col="doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_mix_sources_validates(spark):
+    import pytest
+
+    from propius_spark.operators import mix_sources
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        mix_sources(df, {}, group_col="source", key_col="doc_id")
+    with pytest.raises(ValueError):
+        mix_sources(df, {"a": 0.0}, group_col="source", key_col="doc_id")
+
+
+def test_shuffle_shards_permutation_properties(spark):
+    from propius_spark.operators import shuffle_shards
+    from propius_spark.operators.sampling import (
+        SAMPLE_A, SAMPLE_B, SAMPLE_P, SHUFFLE_A, SHUFFLE_B,
+    )
+
+    n = 500
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = shuffle_shards(df, n_shards=8, key_col="doc_id").collect()
+    assert len(out) == n
+    # every row assigned; pos is dense 0..k-1 within each shard
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(8))
+    for rows in by_shard.values():
+        assert sorted(r.pos for r in rows) == list(range(len(rows)))
+    # pinned arithmetic: shard and within-shard order match the two LCGs
+    for r in out:
+        assert r.shard == ((SAMPLE_A * r.doc_id + SAMPLE_B) % SAMPLE_P) % 8
+    for shard, rows in by_shard.items():
+        want = sorted(
+            (r.doc_id for r in rows),
+            key=lambda k: ((SHUFFLE_A * k + SHUFFLE_B) % SAMPLE_P, k),
+        )
+        got = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+        assert got == want
+    # roughly uniform shards (n/8 = 62.5; generous slack)
+    assert all(30 <= len(v) <= 95 for v in by_shard.values())
+    # partition-invariant permutation
+    out2 = shuffle_shards(df.repartition(11), n_shards=8,
+                          key_col="doc_id").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in out2} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
