@@ -976,8 +976,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (deterministic fake kernel): every
     4th frame of a synthetic video table (n_frames = 1 + media_id % 12
-    — SQL-replayable on purpose); the JVM-side explode does the row
-    multiplication, the Arrow kernel only decodes per-frame digests."""
+    — SQL-replayable on purpose); frame indices are computed JVM-side
+    as one array per video and each payload crosses Arrow once — the
+    kernel fans out only the KB-sized decoded frames."""
     vids = media_from_documents(_docs(spark, sf_dir)).select(
         "media_id",
         F.lit("video").alias("modality"),
@@ -1538,7 +1539,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 900000 THEN 'val'
                         ELSE 'test' END AS split
             FROM (SELECT doc_id,
-                         ((2654435761 * doc_id + 1013904223) % 2147483647)
+                         ((2654435761 * (doc_id % 2147483647) + 1013904223) % 2147483647)
                            % 1000000 AS b
                   FROM documents)
         """,
@@ -1553,8 +1554,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 900000 THEN 'val'
                         ELSE 'test' END AS split
             FROM (SELECT doc_id, keeper_id,
-                         ((2654435761 * keeper_id + 1013904223)
-                           % 2147483647) % 1000000 AS b
+                         ((2654435761 * (keeper_id % 2147483647)
+                           + 1013904223) % 2147483647) % 1000000 AS b
                   FROM k)
         """,
         "vocabulary": r"""
@@ -1974,7 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": """
             SELECT doc_id, source, n_chars
             FROM (SELECT doc_id, source, n_chars,
-                         ((2654435761 * doc_id + 1013904223) % 2147483647)
+                         ((2654435761 * (doc_id % 2147483647) + 1013904223) % 2147483647)
                            % 1000000 AS b,
                          LEAST(1.0, GREATEST(0.0,
                            0.5 * (n_chars / 200.0))) AS p
@@ -2249,7 +2250,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN (VALUES ('click', 500000), ('view', 250000),
                          ('purchase', 1000000)) v(event_type, cut)
               ON e.event_type = v.event_type
-            WHERE ((2654435761 * e.event_id + 1013904223) % 2147483647)
+            WHERE ((2654435761 * (e.event_id % 2147483647) + 1013904223) % 2147483647)
                   % 1000000 < v.cut
         """,
         # mixture resampling: keep-rates derive from the group counts by
@@ -2270,7 +2271,7 @@ def oracle_sql() -> dict[str, str]:
                       FROM j, s)
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN rates r ON d.source = r.source
-            WHERE ((2654435761 * d.doc_id + 1013904223) % 2147483647)
+            WHERE ((2654435761 * (d.doc_id % 2147483647) + 1013904223) % 2147483647)
                   % 1000000 < r.cut
         """,
         # two decorrelated LCG lanes: shard from the sample lane,
@@ -2281,9 +2282,10 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ord, doc_id) - 1)::INT
                      AS pos
             FROM (SELECT doc_id, source,
-                         ((2654435761 * doc_id + 1013904223)
+                         ((1103515245 * (doc_id % 2147483647) + 12345)
                            % 2147483647) % 8 AS shard,
-                         (22695477 * doc_id + 1) % 2147483647 AS ord
+                         (22695477 * (doc_id % 2147483647) + 1)
+                           % 2147483647 AS ord
                   FROM documents)
         """,
     }

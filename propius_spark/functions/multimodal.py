@@ -19,8 +19,8 @@ Scale notes (100 TB target):
   every kernel (`decode_media`, `extract_features`, `resize_images`,
   `sample_frames`) raises NotImplementedError unless `fake=True`,
   which substitutes a deterministic byte-hash kernel so the Spark-side
-  plumbing (schema, batch iteration, partitioning, JVM-side frame
-  explosion) is fully real and testable — including by the driver's
+  plumbing (schema, batch iteration, partitioning, per-video frame
+  fan-out) is fully real and testable — including by the driver's
   SQL oracle, since the fake kernels are sha256 arithmetic an oracle
   can replay byte-for-byte.
 """
@@ -56,12 +56,18 @@ MEDIA = T.StructType(
     ]
 )
 
-try:  # real codecs, absent in this container — plumbing falls back to stubs
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+def _require_fake(fn: str, needs: str, fake: bool) -> None:
+    """No REAL kernel exists yet for any media op — `fake=True` is the
+    only executable path. The gate raises unconditionally on
+    fake=False (rather than probing for PIL/ffmpeg): a probe that
+    falls through to the fake kernel would silently label digest bytes
+    as real decode output the moment the codec library happens to be
+    importable."""
+    if not fake:
+        raise NotImplementedError(
+            f"{fn}: real kernel not implemented ({needs} not in this "
+            "container); pass fake=True for the deterministic test kernel"
+        )
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -97,11 +103,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     same mapInPandas plumbing.
     """
     require_columns(media, ["media_id", "modality", "payload"], "decode_media")
-    if not fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "real media decode needs PIL/ffmpeg (not in this container); "
-            "pass fake=True for the deterministic test decode"
-        )
+    _require_fake("decode_media", "PIL/ffmpeg", fake)
 
     out_schema = T.StructType(
         [
@@ -131,11 +133,7 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = False) -> Data
     `dim`, shaped for the ANN operators (operators/ann.py). STUB math
     (hash-derived), real Arrow-batched plumbing."""
     require_columns(media, ["media_id", "payload"], "extract_features")
-    if not fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "real feature extraction needs a model runtime (not in this "
-            "container); pass fake=True for the deterministic test features"
-        )
+    _require_fake("extract_features", "a model runtime", fake)
 
     out_schema = T.StructType(
         [
@@ -188,11 +186,7 @@ def resize_images(
     require_columns(media, ["media_id", "modality", "payload", "meta"], "resize_images")
     if width < 1 or height < 1:
         raise ValueError(f"resize_images: width/height must be >= 1, got ({width}, {height})")
-    if not fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "real resize needs PIL (not in this container); "
-            "pass fake=True for the deterministic test encoding"
-        )
+    _require_fake("resize_images", "PIL", fake)
 
     n = width * height
     flat = media.select(
@@ -242,35 +236,30 @@ def sample_frames(media: DataFrame, every_n: int, fake: bool = False) -> DataFra
 
     STUB KERNEL: real frame extraction needs ffmpeg; `fake=True`
     substitutes a deterministic per-frame digest payload
-    (sha256(payload ‖ ':' ‖ frame_idx)). Scale shape: the frame-index
-    explosion happens JVM-side (`explode(sequence(...))` — the row
-    multiplication never runs in Python), and only the per-frame decode
-    crosses into the Arrow-batched kernel.
+    (sha256(payload ‖ ':' ‖ frame_idx)). Scale shape: the sampled
+    frame indices are computed JVM-side as ONE array column per video
+    and the row explosion happens inside the kernel — each video
+    payload (the dominant bytes: MBs per row) crosses the Arrow
+    boundary exactly once, not once per sampled frame; only the
+    KB-sized decoded frames multiply. Videos with n_frames < 1 (empty
+    or corrupt) simply produce no frames instead of erroring the job.
     """
     require_columns(media, ["media_id", "modality", "payload", "meta"], "sample_frames")
     if every_n < 1:
         raise ValueError(f"sample_frames: every_n must be >= 1, got {every_n}")
-    if not fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "real frame sampling needs ffmpeg (not in this container); "
-            "pass fake=True for the deterministic test decode"
-        )
+    _require_fake("sample_frames", "ffmpeg", fake)
 
-    frames = (
-        media.filter((F.col("modality") == "video") & F.col("meta.n_frames").isNotNull())
-        .select(
-            "media_id",
-            "payload",
-            F.col("meta.format").alias("_fmt"),
-            F.col("meta.width").alias("_w"),
-            F.col("meta.height").alias("_h"),
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
-                )
-            ).alias("frame_idx"),
-        )
-        .withColumn("frame_idx", F.col("frame_idx").cast("int"))
+    videos = media.filter(
+        (F.col("modality") == "video") & (F.col("meta.n_frames") >= 1)
+    ).select(
+        "media_id",
+        "payload",
+        F.col("meta.format").alias("_fmt"),
+        F.col("meta.width").alias("_w"),
+        F.col("meta.height").alias("_h"),
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+        .cast("array<int>")
+        .alias("_idxs"),
     )
     out_schema = T.StructType(
         [
@@ -285,14 +274,27 @@ def sample_frames(media: DataFrame, every_n: int, fake: bool = False) -> DataFra
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf[["media_id", "frame_idx", "payload", "_fmt", "_w", "_h"]].copy()
-            out["payload"] = [
-                hashlib.sha256((p or b"") + b":" + str(int(i)).encode()).digest()
-                for p, i in zip(pdf["payload"], pdf["frame_idx"])
-            ]
-            yield out
+            rows = {
+                "media_id": [], "frame_idx": [], "payload": [],
+                "_fmt": [], "_w": [], "_h": [],
+            }
+            for mid, p, fmt, w, h, idxs in zip(
+                pdf["media_id"], pdf["payload"], pdf["_fmt"],
+                pdf["_w"], pdf["_h"], pdf["_idxs"],
+            ):
+                raw = p or b""
+                for i in idxs:
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(int(i))
+                    rows["payload"].append(
+                        hashlib.sha256(raw + b":" + str(int(i)).encode()).digest()
+                    )
+                    rows["_fmt"].append(fmt)
+                    rows["_w"].append(w)
+                    rows["_h"].append(h)
+            yield pd.DataFrame(rows)
 
-    return frames.mapInPandas(_extract, out_schema).select(
+    return videos.mapInPandas(_extract, out_schema).select(
         "media_id",
         "frame_idx",
         F.lit("image").alias("modality"),

@@ -27,13 +27,24 @@ SAMPLE_P = 2_147_483_647  # 2³¹ − 1, same modulus family as minhash
 SAMPLE_RES = 1_000_000  # rate resolution: 1 ppm
 
 
+def _lcg(key: Column, a: int, b: int) -> Column:
+    """(a·key + b) mod P with the key PRE-REDUCED mod P before the
+    multiply: a·key on a raw 64-bit key overflows long for keys above
+    ~2⁶³/a (≈3.5e9 for the Knuth multiplier) — an ANSI-mode crash, or
+    a silent wrap that diverges from overflow-free oracles. Reduction
+    first is exact (a·k ≡ a·(k mod P) (mod P)) and bounds the product
+    at a·(P−1) < 2⁶³ for every multiplier used here."""
+    return F.pmod(
+        F.lit(a) * F.pmod(key.cast("long"), F.lit(SAMPLE_P)) + F.lit(b),
+        F.lit(SAMPLE_P),
+    )
+
+
 def sample_bucket(key: Column) -> Column:
     """Uniform pseudo-random bucket in [0, SAMPLE_RES) from a long key:
-    ((A·key + B) mod P) mod RES. Deterministic and engine-agnostic."""
-    return F.pmod(
-        F.pmod(F.lit(SAMPLE_A) * key.cast("long") + F.lit(SAMPLE_B), F.lit(SAMPLE_P)),
-        F.lit(SAMPLE_RES),
-    )
+    ((A·(key mod P) + B) mod P) mod RES. Deterministic, engine-agnostic,
+    overflow-free for any 64-bit key."""
+    return F.pmod(_lcg(key, SAMPLE_A, SAMPLE_B), F.lit(SAMPLE_RES))
 
 
 def deterministic_sample(
@@ -118,7 +129,9 @@ def mix_sources(
     so the OUTPUT proportions approximate ``targets`` while keeping as
     much data as possible — output size S = min_g floor(n_g / t_g),
     per-group keep-rate S·t_g / n_g (the binding group is kept whole).
-    Groups absent from ``targets`` are dropped. Down-sampling only;
+    Groups absent from ``targets`` are dropped; a target group absent
+    from the DATA raises (silently renormalizing to the remaining
+    groups would ship a materially wrong mixture). Down-sampling only;
     up-weighting an under-represented group beyond its size is a
     training-loop concern (epoch repetition), not a data op.
 
@@ -150,6 +163,18 @@ def mix_sources(
         list(targets.items()), f"{group_col} string, __t double"
     )
     joined = materialize(counts.join(F.broadcast(tgt), group_col))
+    # A target group absent from the data must ERROR, not silently
+    # renormalize: the inner join would drop it and the output mixture
+    # would be materially wrong (e.g. 0% of a requested 20% source).
+    # `joined` is |groups| rows and already materialized — the check is
+    # a local set difference, not an extra corpus pass.
+    present = {row[group_col] for row in joined.select(group_col).collect()}
+    missing = sorted(set(targets) - present)
+    if missing:
+        raise ValueError(
+            f"mix_sources: target groups absent from the data: {missing} "
+            "(refusing to silently renormalize the mixture)"
+        )
     # S = min_g floor(n_g / t_g): the largest output size no group can
     # exceed its own row count for
     s = joined.agg(F.min(F.floor(F.col("__n") / F.col("__t"))).alias("__S"))
@@ -170,11 +195,15 @@ def mix_sources(
     )
 
 
-# Second LCG lane (Borland constants — public) for shard-internal
-# ordering, decorrelated from the sample_bucket lane so sharding and
-# sampling decisions on the same key are independent.
+# Dedicated LCG lanes for shuffle_shards (Borland and glibc constants —
+# public). Neither is the sample_bucket lane: shard and within-shard
+# order must both be independent of sampling decisions on the same key
+# (shard = sample lane % n_shards would empty high shards whenever a
+# small sample cut precedes sharding and n_shards divides SAMPLE_RES).
 SHUFFLE_A = 22695477
 SHUFFLE_B = 1
+SHARD_A = 1103515245
+SHARD_B = 12345
 
 
 def shuffle_shards(df: DataFrame, n_shards: int, key_col: str) -> DataFrame:
@@ -202,11 +231,8 @@ def shuffle_shards(df: DataFrame, n_shards: int, key_col: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     key = F.col(key_col).cast("long")
-    shard = F.pmod(
-        F.pmod(F.lit(SAMPLE_A) * key + F.lit(SAMPLE_B), F.lit(SAMPLE_P)),
-        F.lit(n_shards),
-    )
-    order = F.pmod(F.lit(SHUFFLE_A) * key + F.lit(SHUFFLE_B), F.lit(SAMPLE_P))
+    shard = F.pmod(_lcg(key, SHARD_A, SHARD_B), F.lit(n_shards))
+    order = _lcg(key, SHUFFLE_A, SHUFFLE_B)
     w = Window.partitionBy("shard").orderBy(F.col("__ord").asc(), key.asc())
     return (
         df.withColumn("shard", shard.cast("int"))

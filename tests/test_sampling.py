@@ -160,7 +160,7 @@ def test_mix_sources_validates(spark):
 def test_shuffle_shards_permutation_properties(spark):
     from propius_spark.operators import shuffle_shards
     from propius_spark.operators.sampling import (
-        SAMPLE_A, SAMPLE_B, SAMPLE_P, SHUFFLE_A, SHUFFLE_B,
+        SAMPLE_P, SHARD_A, SHARD_B, SHUFFLE_A, SHUFFLE_B,
     )
 
     n = 500
@@ -176,7 +176,7 @@ def test_shuffle_shards_permutation_properties(spark):
         assert sorted(r.pos for r in rows) == list(range(len(rows)))
     # pinned arithmetic: shard and within-shard order match the two LCGs
     for r in out:
-        assert r.shard == ((SAMPLE_A * r.doc_id + SAMPLE_B) % SAMPLE_P) % 8
+        assert r.shard == ((SHARD_A * r.doc_id + SHARD_B) % SAMPLE_P) % 8
     for shard, rows in by_shard.items():
         want = sorted(
             (r.doc_id for r in rows),
@@ -192,3 +192,50 @@ def test_shuffle_shards_permutation_properties(spark):
     assert {(r.doc_id, r.shard, r.pos) for r in out2} == {
         (r.doc_id, r.shard, r.pos) for r in out
     }
+
+
+def test_mix_sources_raises_on_absent_target_group(spark):
+    import pytest
+
+    from propius_spark.operators import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(6)],
+        "doc_id long, source string",
+    )
+    with pytest.raises(ValueError, match="absent from the data.*'c'"):
+        mix_sources(df, {"a": 0.5, "b": 0.3, "c": 0.2},
+                    group_col="source", key_col="doc_id")
+
+
+def test_lcg_lanes_survive_huge_keys(spark):
+    """Keys above ~3.5e9 overflowed the raw a*key multiply (ANSI crash
+    / silent wrap); the lanes now pre-reduce mod P, which is exact."""
+    from propius_spark.operators import deterministic_sample, shuffle_shards
+    from propius_spark.operators.sampling import (
+        SAMPLE_P, SHARD_A, SHARD_B,
+    )
+
+    big = [5_000_000_000, 2**62, 2**63 - 1, 2_147_483_647]
+    df = spark.createDataFrame([(k,) for k in big], "doc_id long")
+    out = shuffle_shards(df, n_shards=8, key_col="doc_id").collect()
+    assert len(out) == len(big)
+    for r in out:
+        assert r.shard == ((SHARD_A * (r.doc_id % SAMPLE_P) + SHARD_B)
+                           % SAMPLE_P) % 8
+    # sampling lane too: must evaluate, not crash
+    deterministic_sample(df, 0.5, "doc_id").collect()
+
+
+def test_shard_lane_decorrelated_from_sample_lane(spark):
+    """Sampling at a tiny rate then sharding must still fill all
+    shards: with shard = sample-lane % 8 (8 | SAMPLE_RES), survivors of
+    a small cut landed only in low shards."""
+    from propius_spark.operators import deterministic_sample, shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(200_000)], "doc_id long")
+    survivors = deterministic_sample(df, 0.004, "doc_id")
+    out = shuffle_shards(survivors, n_shards=8, key_col="doc_id").collect()
+    assert len(out) > 400
+    shards = {r.shard for r in out}
+    assert shards == set(range(8))
