@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from propius_spark.functions import (
     decode_media,
+    extract_features,
     media_from_documents,
     resize_images,
     sample_frames,
@@ -1001,6 +1002,20 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction → similarity-search composition: the
+    Arrow-batched extract_features kernel (deterministic fake: unit-
+    normed sha256 bytes, float32-stored like a real model's output)
+    feeds cosine_topk unchanged — the image-search pipeline shape. The
+    oracle replays the kernel bit-exactly: double byte/norm division
+    rounded through FLOAT, then the same double cosine arithmetic."""
+    media = media_from_documents(_docs(spark, sf_dir))
+    emb = extract_features(media, dim=8, fake=True).withColumnRenamed(
+        "media_id", "vec_id"
+    )
+    return _r6(cosine_topk(emb, query_id=0, k=10), "cosine")
+
+
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel click→view→purchase within 24 h —
     one user-key shuffle, per-user array expressions for the chained
@@ -1158,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dup_pairs": q_multimodal_dup_pairs,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_search": q_multimodal_search,
         "funnel_events": q_funnel_events,
         "cohort_retention": q_cohort_retention,
         "token_distribution": q_token_distribution,
@@ -1964,6 +1980,32 @@ def oracle_sql() -> dict[str, str]:
                    upper(sha256(text) || substr(sha256(text), 1, 16))
                      AS payload_hex
             FROM documents
+        """,
+        "multimodal_search": """
+            WITH raw AS (SELECT doc_id, list_transform(range(0, 8),
+                           j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
+                           AS b
+                         FROM documents),
+            nz AS (SELECT doc_id, b,
+                          sqrt(list_sum(list_transform(b,
+                            x -> (x*x)::DOUBLE))) AS n0
+                   FROM raw),
+            vecs AS (SELECT doc_id,
+                            list_transform(b, x -> CAST(CAST(
+                              x / (CASE WHEN n0 = 0.0 THEN 1.0 ELSE n0 END)
+                              AS FLOAT) AS DOUBLE)) AS v
+                     FROM nz),
+            nb AS (SELECT doc_id AS vec_id, v,
+                          sqrt(list_dot_product(v, v)) AS norm
+                   FROM vecs),
+            q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = 0)
+            SELECT b.vec_id,
+                   ROUND(list_dot_product(b.v, q.qv)/(b.norm*q.qn), 6)
+                     AS cosine
+            FROM nb b, q WHERE b.vec_id <> 0
+            ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
+                     b.vec_id ASC
+            LIMIT 10
         """,
         "multimodal_frames": """
             SELECT doc_id AS media_id, fi::INT AS frame_idx,
