@@ -1006,14 +1006,23 @@ def q_multimodal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction → similarity-search composition: the
     Arrow-batched extract_features kernel (deterministic fake: unit-
     normed sha256 bytes, float32-stored like a real model's output)
-    feeds cosine_topk unchanged — the image-search pipeline shape. The
-    oracle replays the kernel bit-exactly: double byte/norm division
-    rounded through FLOAT, then the same double cosine arithmetic."""
+    feeds the exact k-NN join — the image-search pipeline shape with
+    ONE corpus kernel pass. Filters cannot push through mapInPandas,
+    so the query row is filtered BEFORE its kernel (plan-audited:
+    cosine_topk's internal query filter re-ran the extraction over the
+    whole corpus to pull one vector). The oracle replays the kernel
+    bit-exactly: double byte/norm division rounded through FLOAT, then
+    the same double cosine arithmetic."""
     media = media_from_documents(_docs(spark, sf_dir))
-    emb = extract_features(media, dim=8, fake=True).withColumnRenamed(
-        "media_id", "vec_id"
-    )
-    return _r6(cosine_topk(emb, query_id=0, k=10), "cosine")
+
+    def feats(m):  # noqa: ANN001 - local helper
+        return extract_features(m, dim=8, fake=True).withColumnRenamed(
+            "media_id", "vec_id"
+        )
+
+    qv = feats(media.filter(F.col("media_id") == 0))
+    corpus = feats(media.filter(F.col("media_id") != 0))
+    return _r6(knn_join(qv, corpus, k=10), "cosine")
 
 
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1999,7 +2008,7 @@ def oracle_sql() -> dict[str, str]:
                           sqrt(list_dot_product(v, v)) AS norm
                    FROM vecs),
             q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = 0)
-            SELECT b.vec_id,
+            SELECT 0::BIGINT AS query_id, b.vec_id,
                    ROUND(list_dot_product(b.v, q.qv)/(b.norm*q.qn), 6)
                      AS cosine
             FROM nb b, q WHERE b.vec_id <> 0
