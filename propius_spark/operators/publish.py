@@ -43,6 +43,19 @@ def correlated_items(dictionary: DataFrame) -> DataFrame:
     )
 
 
+def shape_similar_items(sims: DataFrame) -> DataFrame:
+    """Cast/alias the exact-similarity output into the published
+    `similar_items` schema — ONE definition shared by the batch
+    publisher and the streaming model refresh (the published schema is
+    a contract; a drift between the two writers would corrupt the
+    serving surface silently)."""
+    return sims.select(
+        F.col("item_a").cast("long").alias("item_a_id"),
+        F.col("item_b").cast("long").alias("item_b_id"),
+        F.col("scaled_score").cast("double").alias("scaled_score"),
+    )
+
+
 def publish_model(
     occurrences: DataFrame,
     dictionary: DataFrame,
@@ -76,11 +89,7 @@ def publish_model(
     # (disjoint) and emits each (cuts-item × stats-item) pair at most
     # once. Pinned by test_correlation::test_publish_unique_keys.
     cells = build_cells(occurrences)
-    sims = similar_items_exact(cells, k_sigma=k_sigma).select(
-        F.col("item_a").cast("long").alias("item_a_id"),
-        F.col("item_b").cast("long").alias("item_b_id"),
-        F.col("scaled_score").cast("double").alias("scaled_score"),
-    )
+    sims = shape_similar_items(similar_items_exact(cells, k_sigma=k_sigma))
     dim = correlated_items(dictionary)
     sims_path = f"{out_dir}/similar_items"
     dim_path = f"{out_dir}/correlated_items"

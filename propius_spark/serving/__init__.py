@@ -48,6 +48,19 @@ def retrieve_similar_items(
 
     Ties broken by item_b_id so results are deterministic (the
     reference's bare ORDER BY is tie-nondeterministic).
+
+    Missing-dim posture — the two serving twins deliberately DIFFER:
+    this parity op replicates the reference exactly (data.py:233-247:
+    join, THEN order+limit), so a neighbor absent from
+    `correlated_items` lets the next-ranked named neighbor into the
+    answer — the right call for a store whose dim is name-deduped by
+    publication (publish_model keeps min-id-per-name): the served
+    top-k is "the k best neighbors that HAVE names", matching what the
+    reference's SQL returns on the same store. The beyond-reference
+    batch op (`retrieve_similar_batch`) instead ranks on the fact
+    table first, so a missing dim row is a GAP — rank stability across
+    dim refreshes matters more for bulk exports. Pick the twin whose
+    posture the caller needs.
     """
     src = similar_items
     if n_buckets > 0:
@@ -136,8 +149,9 @@ def retrieve_similar_batch(
         F.desc("scaled_score"), F.asc("item_b_id")
     )
     # rank BEFORE the dim join: top-k is a property of the fact table;
-    # a neighbor missing from the dim must produce a gap, not silently
-    # promote lower neighbors into the top-k
+    # a neighbor missing from the dim produces a gap, never promotes a
+    # lower neighbor (the POINT twin deliberately takes the opposite,
+    # reference-parity posture — see retrieve_similar_items' docstring)
     topk = (
         src.filter(F.col("item_a_id").isin(list(item_ids)))
         .withColumn("rn", F.row_number().over(w).cast("long"))

@@ -31,6 +31,33 @@ def clear_materialized(spark: SparkSession) -> int:
     return len(rdds)
 
 
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Snapshot the ids of currently-persisted RDDs — pair with
+    `release_materialized_since` to scope a release to one pipeline's
+    own intermediates."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keys()}
+
+
+def release_materialized_since(spark: SparkSession, before: set[int]) -> int:
+    """Unpersist only the RDDs materialized AFTER `before` was
+    snapshotted (see `persistent_rdd_ids`). The scoped alternative to
+    `clear_materialized` for code that runs INSIDE a live session it
+    does not own — e.g. a streaming foreachBatch releasing its own
+    trigger's intermediates: clearing everything there would evict
+    the caller's materialized frames (localCheckpoint blocks have
+    truncated lineage — they cannot be recomputed, so eviction is
+    data loss, not just a slowdown) and the whole CacheManager.
+    Returns the number of RDDs released."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for k in list(jmap.keys()):
+        if int(k) not in before:
+            jmap[k].unpersist()
+            released += 1
+    return released
+
+
 def get_spark(app_name: str = "propius_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4

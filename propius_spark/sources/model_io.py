@@ -62,19 +62,30 @@ def save_reference_matrix(
     np.corrcoef output for zero-variance rows).
     """
     import numpy as np
+    from pyspark.sql import functions as F
 
     if fmt not in ("numpy", "csv"):
         raise ValueError(f"Unsupported format: {fmt}")
-    rows = pairs.select("item_a", "item_b", "corr").collect()
+    if fmt == "numpy" and not path.endswith(".npy"):
+        # np.save appends '.npy' to extension-less paths — normalize
+        # HERE so save/load stay inverses for the path the caller holds
+        path = path + ".npy"
+    # size check via a distributed aggregate BEFORE collect(): the
+    # guard exists to prevent a driver OOM, so it must run before the
+    # driver materializes anything pair-cardinality
     n = n_items
     if n is None:
-        n = 1 + max((max(r.item_a, r.item_b) for r in rows), default=-1)
+        agg = pairs.agg(
+            F.max(F.greatest("item_a", "item_b")).alias("mx")
+        ).first()
+        n = 1 + (agg.mx if agg.mx is not None else -1)
     if n > max_items:
         raise ValueError(
             f"dense interchange refused for {n} items "
             f"(> max_items={max_items}); the O(I^2) matrix would not be "
             "driver-sized — use save_pairs (long-form parquet) instead"
         )
+    rows = pairs.select("item_a", "item_b", "corr").collect()
     m = np.full((n, n), fill, dtype="float64")
     np.fill_diagonal(m, 1.0)
     for r in rows:

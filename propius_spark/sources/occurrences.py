@@ -32,29 +32,47 @@ def load_occurrences(
 ) -> DataFrame:
     """Load a co-occurrence event log as (reference_id, item_id).
 
-    `fmt` is inferred from the extension when not given (csv/parquet).
+    `fmt` is inferred from the extension when not given
+    (csv/json/parquet/orc); an extension-less path raises rather than
+    guessing — the old csv fallback silently parsed parquet/orc
+    DIRECTORIES (the standard extension-less Spark write layout) as
+    permissive-mode CSV, yielding all-NULL rows instead of an error.
     `s3://` paths are rewritten to `s3a://` (the Hadoop S3 connector).
+    All formats come back in the canonical schema: self-describing
+    formats (parquet/orc) are CAST to it, so `string_reference` and
+    the long item typing hold regardless of how the file was written.
     """
     if not path:
         raise ValueError("path is required")
     if path.startswith("s3://"):
         path = "s3a://" + path[len("s3://"):]
     if fmt is None:
-        for ext in ("parquet", "json", "orc"):
+        for ext in ("parquet", "json", "orc", "csv"):
             if path.endswith("." + ext):
                 fmt = ext
                 break
         else:
-            fmt = "csv"
+            raise ValueError(
+                f"load_occurrences: cannot infer format from {path!r} "
+                "(no .csv/.json/.parquet/.orc extension) — pass fmt= "
+                "explicitly; guessing csv here silently misparses "
+                "binary formats"
+            )
     schema = OCCURRENCES_STR_REF if string_reference else OCCURRENCES
     if fmt == "csv":
         df = spark.read.schema(schema).option("header", str(header).lower()).csv(path)
     elif fmt == "json":
         df = spark.read.schema(schema).json(path)
-    elif fmt == "parquet":
-        df = spark.read.parquet(path).select("reference_id", "item_id")
-    elif fmt == "orc":
-        df = spark.read.orc(path).select("reference_id", "item_id")
+    elif fmt in ("parquet", "orc"):
+        raw = spark.read.parquet(path) if fmt == "parquet" else spark.read.orc(path)
+        require_columns(raw, ["reference_id", "item_id"], "load_occurrences")
+        # enforce the canonical types, not just the names: a parquet
+        # file with string ids otherwise flowed through untyped and
+        # broke long-key joins downstream
+        df = raw.select(
+            F.col("reference_id").cast(schema["reference_id"].dataType),
+            F.col("item_id").cast(schema["item_id"].dataType),
+        )
     else:
         raise ValueError(f"unsupported occurrences format: {fmt}")
     require_columns(df, ["reference_id", "item_id"], "load_occurrences")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..schemas import OCCURRENCES, require_columns
+from .writers import start_complete_query
 
 
 def stream_occurrences(
@@ -114,22 +115,10 @@ def start_cells_query(
                     "advances"
                 )
 
-        writer = (
-            cells.writeStream.outputMode("complete")
-            .foreachBatch(_dump)
-            .queryName(query_name)
-            .option("checkpointLocation", checkpoint_dir)
+        return start_complete_query(
+            cells, checkpoint_dir, query_name, available_now, foreach_batch=_dump
         )
-    else:
-        writer = (
-            cells.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(query_name)
-            .option("checkpointLocation", checkpoint_dir)
-        )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_complete_query(cells, checkpoint_dir, query_name, available_now)
 
 
 def start_model_refresh(
@@ -159,33 +148,29 @@ def start_model_refresh(
     """
 
     def _refresh(batch_cells: DataFrame, batch_id: int) -> None:
+        from ..operators.publish import shape_similar_items
         from ..operators.similarity import similar_items_exact
-        from ..session import clear_materialized
+        from ..session import persistent_rdd_ids, release_materialized_since
 
-        sims = (
+        spark = batch_cells.sparkSession
+        # snapshot BEFORE the pipeline materializes its intermediates:
+        # the release below is scoped to what THIS trigger persisted —
+        # clear_materialized here would evict every other pipeline's
+        # materialized frames in a shared session (localCheckpoint
+        # blocks cannot be recomputed: truncated lineage)
+        before = persistent_rdd_ids(spark)
+        # no dedup shuffle: (item_a_id, item_b_id) is unique by
+        # construction (publish.py's invariant, pinned by
+        # test_publish_unique_keys)
+        sims = shape_similar_items(
             similar_items_exact(batch_cells, k_sigma=k_sigma)
-            .select(
-                F.col("item_a").cast("long").alias("item_a_id"),
-                F.col("item_b").cast("long").alias("item_b_id"),
-                F.col("scaled_score").cast("double").alias("scaled_score"),
-            )
-            .dropDuplicates(["item_a_id", "item_b_id"])
         )
         sims.write.mode("overwrite").parquet(f"{out_dir}/similar_items")
-        # release the pipeline's materialized intermediates before the
-        # next trigger (plans.materialize blocks otherwise accumulate
-        # across triggers)
-        clear_materialized(batch_cells.sparkSession)
+        release_materialized_since(spark, before)
 
-    writer = (
-        cells.writeStream.outputMode("complete")
-        .foreachBatch(_refresh)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return start_complete_query(
+        cells, checkpoint_dir, query_name, available_now, foreach_batch=_refresh
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def windowed_event_counts(

@@ -13,9 +13,14 @@ watermark passes its event time + the delay — so state holds only the
 recent-horizon hash set, not every document ever seen. The trade is
 explicit and standard: a duplicate recurring further apart than the
 watermark horizon is re-admitted (cross-horizon dedup is the batch
-job's role on the landed data). Keying on xxhash64(text) (not the
-text) keeps state rows at 8 bytes + key overhead; the ~2⁻⁶⁴ collision
-rate is the same engineering trade the batch path documents.
+job's role on the landed data). The state key is the SAME content
+address the whole batch family stands on — sha2-256 over
+coalesce(text, '') (operators/dedup.py content_keys): 32-byte state
+rows instead of 8, in exchange for the family's adversarial-collision
+posture (xxhash64 admits engineered collisions that would silently
+drop real documents at ingest) and its null-text ≡ '' identity, so
+"dedup at ingest, re-dedup in batch" pipelines agree at every
+boundary.
 """
 
 from __future__ import annotations
@@ -44,8 +49,11 @@ def dedup_stream(
     from ..operators.sessions import _ts_micros
 
     docs = docs.withColumn(ts_col, F.timestamp_micros(_ts_micros(docs, ts_col)))
+    # the family content address (operators/dedup.py content_keys):
+    # sha2-256 over coalesce(text, '') — same identity as the batch path
+    key = F.sha2(F.coalesce(F.col(text_col), F.lit("")).cast("binary"), 256)
     return (
-        docs.withColumn("__h", F.xxhash64(F.col(text_col)))
+        docs.withColumn("__h", key)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")

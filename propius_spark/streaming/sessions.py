@@ -34,8 +34,11 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..schemas import require_columns
 
+# output schema template: the user_id type is derived from the INPUT
+# column (a hardcoded `long` crashed the first micro-batch on string
+# user ids — the batch twin preserves the id type, so must this one)
 SESSION_OUT = (
-    "user_id long, session_start_us long, session_end_us long, n_events long"
+    "user_id {user_type}, session_start_us long, session_end_us long, n_events long"
 )
 # parallel arrays of open islands, sorted by start
 SESSION_STATE = "starts array<long>, lasts array<long>, ns array<long>"
@@ -53,6 +56,8 @@ def sessionize_stream(
     require_columns(events, [user_col, ts_col], "sessionize_stream")
     gap_us = int(gap_minutes * 60_000_000)
     gap_ms = gap_us // 1000
+    user_type = events.schema[user_col].dataType.simpleString()
+    out_schema = SESSION_OUT.format(user_type=user_type)
     # Normalize ONCE, JVM-side, for all three event-time encodings
     # (long nanos / TIMESTAMP_NTZ / TIMESTAMP — watermarks reject NTZ
     # outright): `__t_us` is epoch micros (what the operator computes
@@ -121,7 +126,7 @@ def sessionize_stream(
         .groupBy("user_id")
         .applyInPandasWithState(
             close_sessions,
-            SESSION_OUT,
+            out_schema,
             SESSION_STATE,
             "append",
             "EventTimeTimeout",

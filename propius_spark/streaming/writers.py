@@ -35,3 +35,30 @@ def start_append_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_complete_query(
+    df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str,
+    available_now: bool = True,
+    foreach_batch=None,
+) -> StreamingQuery:
+    """Complete-mode runner (the aggregate IS the whole state each
+    trigger): with ``foreach_batch`` → that callable owns the sink;
+    without → in-memory sink (test/serving-cache surface only). Same
+    single-definition rationale as `start_append_query` — this wiring
+    previously lived in three copies across the cells and
+    model-refresh helpers."""
+    writer = df.writeStream.outputMode("complete")
+    writer = (
+        writer.foreachBatch(foreach_batch)
+        if foreach_batch is not None
+        else writer.format("memory")
+    )
+    writer = writer.queryName(query_name).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -158,3 +158,32 @@ def test_retrieve_similar_batch_equals_point_calls(spark):
             )
         ]
         assert sorted(got[item]) == want, item
+
+
+def test_serving_twins_documented_missing_dim_postures(spark):
+    """The two serving twins take DELIBERATELY different missing-dim
+    postures (pinned here so a drift in either direction fails): the
+    point path is reference parity (data.py:233-247 joins first, so
+    the next-ranked NAMED neighbor fills the top-k — what the
+    reference's SQL returns on a name-deduped published store); the
+    batch path ranks on the fact table first, so a missing dim row is
+    a gap (rank stability for bulk exports)."""
+    from propius_spark.serving import (
+        retrieve_similar_batch,
+        retrieve_similar_items,
+    )
+
+    sims = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+        "item_a_id long, item_b_id long, scaled_score double",
+    )
+    dim = spark.createDataFrame(  # id 10 (the top neighbor) is missing
+        [(11, "eleven", None), (12, "twelve", None)],
+        "id long, key string, human_label string",
+    )
+    # point twin: reference semantics — next named neighbor promoted
+    point = retrieve_similar_items(sims, dim, 1, limit=1).collect()
+    assert [(r.item_b_id, r.item_name) for r in point] == [(11, "eleven")]
+    # batch twin: fact-table rank — rank 1 is missing from the dim, gap
+    batch = retrieve_similar_batch(sims, dim, [1], k=1).collect()
+    assert [r.item_b_id for r in batch] == []

@@ -147,3 +147,48 @@ def test_save_reference_matrix_roundtrip(spark, tmp_path):
         save_reference_matrix(pairs, npy, fmt="pickle")
     with pytest.raises(ValueError):
         save_reference_matrix(pairs, npy, max_items=2)
+
+
+def test_load_occurrences_extensionless_raises(spark, tmp_path):
+    """An extension-less path must error, not silently parse as CSV —
+    the standard Spark parquet DIRECTORY layout has no extension and
+    permissive CSV turned it into all-NULL rows."""
+    path = str(tmp_path / "occ_dir")
+    _write(spark, "parquet", path + ".parquet")
+    with pytest.raises(ValueError, match="cannot infer format"):
+        load_occurrences(spark, path)
+
+
+def test_load_occurrences_parquet_casts_to_schema(spark, tmp_path):
+    """Self-describing formats are CAST to the canonical schema: a
+    parquet file with string-typed ids comes back long-typed."""
+    path = str(tmp_path / "occ_str.parquet")
+    spark.createDataFrame(
+        [("1", "10"), ("2", "20")], "reference_id string, item_id string"
+    ).write.parquet(path)
+    df = load_occurrences(spark, path)
+    assert dict(df.dtypes) == {"reference_id": "bigint", "item_id": "bigint"}
+    assert sorted((r.reference_id, r.item_id) for r in df.collect()) == [
+        (1, 10), (2, 20),
+    ]
+
+
+def test_save_reference_matrix_extensionless_npy_roundtrip(spark, tmp_path):
+    """np.save appends '.npy' to extension-less paths; save normalizes
+    the path itself so save→load stays an inverse for the path the
+    caller holds (plus the .npy twin)."""
+    from propius_spark.sources.model_io import (
+        load_reference_matrix,
+        save_reference_matrix,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 0, 0.5)], "item_a long, item_b long, corr double"
+    )
+    base = str(tmp_path / "model")
+    save_reference_matrix(pairs, base, fmt="numpy")
+    got = sorted(
+        (r.item_a, r.item_b, r.corr)
+        for r in load_reference_matrix(spark, base + ".npy").collect()
+    )
+    assert got == [(0, 1, 0.5), (1, 0, 0.5)]

@@ -255,3 +255,110 @@ def test_dedup_stream_first_seen_wins(spark, tmp_path):
         (r.doc_id, r.text) for r in spark.table("t_dedup_stream").collect()
     )
     assert got == [(1, "alpha"), (2, "beta"), (5, "gamma")]
+
+
+def test_dedup_stream_null_text_equals_empty(spark, tmp_path):
+    """Family identity: the stream keys on the same content address as
+    the batch dedups (sha2 over coalesce(text, '')), so a NULL-text
+    doc and an empty-text doc ARE duplicates — first seen wins."""
+    from datetime import datetime, timedelta
+
+    from propius_spark.streaming import dedup_stream
+
+    t0 = datetime(2024, 5, 1)
+    land = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, t0, None), (2, t0 + timedelta(minutes=1), ""),
+         (3, t0 + timedelta(minutes=2), "x")],
+        "doc_id long, ts timestamp, text string",
+    ).coalesce(1).write.parquet(land)
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .parquet(land)
+    )
+    q = (
+        dedup_stream(stream, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_nulltext")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.table("t_dedup_nulltext").collect())
+    assert got == [1, 3]  # doc 2 ('' text) deduped against doc 1 (NULL)
+
+
+def test_sessionize_stream_string_user_ids(spark, tmp_path):
+    """The output schema derives the user_id type from the input — a
+    hardcoded long crashed the first micro-batch on string ids."""
+    from datetime import datetime, timedelta
+
+    from propius_spark.streaming import sessionize_stream
+
+    t0 = datetime(2024, 5, 1)
+    land = str(tmp_path / "ev")
+    rows = [
+        ("alice", t0), ("alice", t0 + timedelta(minutes=5)),
+        ("bob", t0 + timedelta(minutes=1)),
+        # far-future row pushes the watermark so earlier sessions close
+        ("zed", t0 + timedelta(days=2)),
+    ]
+    spark.createDataFrame(rows, "user_id string, ts timestamp") \
+        .coalesce(1).write.parquet(land)
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp").parquet(land)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_str")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: r.n_events for r in spark.table("t_sess_str").collect()
+    }
+    assert got == {"alice": 2, "bob": 1}
+
+
+def test_model_refresh_releases_only_its_own_blocks(spark, tmp_path):
+    """The refresh must not evict OTHER pipelines' materialized frames
+    in a shared session (clear_materialized there was session-wide;
+    localCheckpoint blocks cannot be recomputed)."""
+    from propius_spark.plans import materialize
+    from propius_spark.session import persistent_rdd_ids
+    from propius_spark.streaming import start_model_refresh, streaming_cells
+
+    # a bystander pipeline's materialized frame
+    mine = materialize(
+        spark.createDataFrame([(1, 2)], "a long, b long")
+    )
+    before = persistent_rdd_ids(spark)
+    assert before  # the bystander is persisted
+
+    land = str(tmp_path / "occ")
+    spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)],
+        "reference_id long, item_id long",
+    ).coalesce(1).write.parquet(land)
+    stream = (
+        spark.readStream.schema("reference_id long, item_id long")
+        .parquet(land)
+    )
+    q = start_model_refresh(
+        streaming_cells(stream),
+        out_dir=str(tmp_path / "model"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        k_sigma=-10.0,
+    )
+    q.awaitTermination()
+    after = persistent_rdd_ids(spark)
+    # the bystander's blocks survived; the refresh's own are released
+    assert before <= after or before & after == before
+    assert mine.count() == 1  # still usable (blocks not evicted)
+    mine.unpersist()
