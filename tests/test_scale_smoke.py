@@ -202,3 +202,39 @@ def test_event_family_at_1m_events(spark):
     # first view (rn=2) — all 10k users convert at both steps
     fr = {r.step: r.n_users for r in funnel(ev, ["click", "view"]).collect()}
     assert fr == {"click": 10_000, "view": 10_000}
+
+
+def test_shuffle_shards_and_mix_at_1m_docs(spark):
+    """SCALE.md 'per-task sort state is corpus/n_shards': 1M keys
+    (including ids far above the old 3.5e9 overflow line) shard into
+    64 roughly-uniform shards with dense per-shard positions, and
+    mix_sources resamples a skewed 3-source corpus to 50/30/20 with
+    the binding group kept whole — both as pure key arithmetic."""
+    from propius_spark.operators import mix_sources, shuffle_shards
+
+    n = 1_000_000
+    docs = spark.range(n).select(
+        (F.col("id") * 7 + 5_000_000_000).alias("doc_id"),
+        F.when(F.col("id") % 10 < 6, "web")
+        .when(F.col("id") % 10 < 9, "books")
+        .otherwise("code")
+        .alias("source"),
+    )
+    sh = shuffle_shards(docs, n_shards=64, key_col="doc_id")
+    stats = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("pos").alias("mx")
+    )
+    rows = stats.collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.mx == r.cnt - 1          # dense 0..cnt-1 positions
+        assert abs(r.cnt - n / 64) < n / 64 * 0.05  # ~uniform
+    # mixture: web 600k / books 300k / code 100k, targets 50/30/20
+    # -> S = min(1.2M, 1M, 0.5M) = 500k: code binds (kept whole)
+    out = mix_sources(docs, {"web": 0.5, "books": 0.3, "code": 0.2},
+                      group_col="source", key_col="doc_id")
+    got = {r.source: r.cnt for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got["code"] == 100_000
+    assert abs(got["web"] - 250_000) < 5_000
+    assert abs(got["books"] - 150_000) < 5_000
