@@ -1100,10 +1100,20 @@ def q_multimodal_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode emits per-media feature blocks (deterministic fake kernel),
     which feed the BLAS near-dup operator unchanged — the plumbing a
     real image-dedup pipeline runs, with stubbed codecs."""
+    from propius_spark.plans import persist_big
+
     dec = decode_media(media_from_documents(_docs(spark, sf_dir)), fake=True)
-    emb = dec.select(
-        F.col("media_id").alias("vec_id"),
-        F.col("pixels").cast("array<double>").alias("embedding"),
+    # cache the decoded embeddings: embedding_dup_pairs consumes its
+    # input on BOTH sides of the block-pair join, and without the cache
+    # the decode kernel (the expensive stage once codecs are real) runs
+    # twice over the corpus (plan-audited: python=2 kernels → 1).
+    # persist_big = lazy DISK_ONLY, corpus-cardinality contract;
+    # released by session.clear_materialized like the shingle tables.
+    emb = persist_big(
+        dec.select(
+            F.col("media_id").alias("vec_id"),
+            F.col("pixels").cast("array<double>").alias("embedding"),
+        )
     )
     return _r6(embedding_dup_pairs(emb, threshold=0.9), "cosine")
 
