@@ -1618,7 +1618,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s.s+1 : s.s+32], ' ') AS chunk_text,
                    len(t[s.s+1 : s.s+32])::BIGINT AS n_tokens
             FROM toks, LATERAL unnest(range(0, len(t), 24)) AS s(s)
-            WHERE len(t) > 0
+            WHERE len(t) > 0 AND (s.s = 0 OR s.s < len(t) - 8)
         """,
         "pack_docs": r"""
             WITH toks AS (SELECT doc_id,
@@ -2046,7 +2046,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": r"""
             WITH toks AS (SELECT doc_id,
                                  list_filter(string_split_regex(
-                                        lower(text), '\s+'), x -> x <> '')
+                                        lower(coalesce(text, '')), '\s+'),
+                                     x -> x <> '')
                                    AS t
                           FROM documents),
             dls AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
@@ -2301,7 +2302,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s.s+1 : s.s+32], ' ') AS chunk_text,
                    len(t[s.s+1 : s.s+32])::BIGINT AS n_tokens
             FROM toks, LATERAL unnest(range(0, len(t), 24)) AS s(s)
-            WHERE len(t) > 0
+            WHERE len(t) > 0 AND (s.s = 0 OR s.s < len(t) - 8)
         """,
         # selection is pure key arithmetic (operators/sampling.py) —
         # the oracle replays the identical sample

@@ -72,7 +72,11 @@ def asof_join(
         *[F.col(c) for c in lonly],
         F.lit(None).cast(vstruct).alias("__v"),
     )
-    r2 = right.select(
+    # a NULL right timestamp can never satisfy r.ts <= l.ts (pandas
+    # merge_asof and DuckDB ASOF both treat the comparison as false) —
+    # but Spark's NULLS FIRST ascending sort would place such a row at
+    # -infinity and carry its values into EVERY left row. Drop them.
+    r2 = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(on),
         _ts_micros(right, ts_col).alias("__ts"),
         F.lit(1).alias("__side"),

@@ -29,7 +29,10 @@ def chunk_documents(
     chunk_tokens − overlap): (doc_id, chunk_id, chunk_text, n_tokens).
     Chunk i covers tokens [i·stride, i·stride + chunk_tokens); starts
     run at 0, stride, 2·stride, ... < n, so trailing chunks may be
-    short. Empty docs produce no chunks.
+    short. Empty docs produce no chunks. A trailing start that adds no
+    NEW tokens (s ≥ n − overlap with s > 0: the window is fully inside
+    the previous chunk's overlap region) is dropped — emitting it
+    duplicated training content verbatim.
 
     Map-side only — tokenize, window-slice, and explode are per-row
     array expressions fused into the scan; output cardinality is
@@ -40,7 +43,10 @@ def chunk_documents(
     require_columns(docs, [id_col, text_col], "chunk_documents")
     stride = chunk_tokens - overlap
     t = tokens(F.col(text_col))
-    starts = F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s < F.size("__t") - overlap),
+    )
     return (
         docs.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
         .filter(F.size("__t") > 0)
@@ -83,6 +89,19 @@ def pack_documents(
     so re-runs and the SQL oracle agree row-for-row.
     """
     require_columns(docs, [id_col, text_col], "pack_documents")
+    # validate like chunk_documents: without these, a bad target made
+    # `div 0` yield NULL bin ids and a bad shard count made pmod yield
+    # one NULL shard — corrupt training bins, silently
+    if target_tokens < 1:
+        raise ValueError(f"pack_documents: target_tokens must be >= 1, got {target_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"pack_documents: n_shards must be >= 1, got {n_shards}")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"pack_documents: {id_col} must be an integer column for the "
+            f"deterministic shard/order arithmetic, got {id_type}"
+        )
     nt = F.size(tokens(F.col(text_col)))
     base = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -35,7 +35,14 @@ def encode_contexts(occurrences: DataFrame) -> DataFrame:
     The rank runs over the distinct contexts only (bounded by context
     cardinality, not row count) and is joined back; Catalyst broadcasts
     when the dimension is small.
+
+    NULL reference_ids are dropped (a null context key carries no
+    co-occurrence information): left in, the null would take dense
+    rank 0 — shifting every real id up by one — while the equi-join
+    silently discarded its rows anyway, so ctx_id 0 never appeared and
+    the documented dense-0-based contract broke.
     """
+    occurrences = occurrences.filter(F.col("reference_id").isNotNull())
     distinct_refs = occurrences.select("reference_id").distinct()
     ranked = distinct_refs.select(
         "reference_id",

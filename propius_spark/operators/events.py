@@ -57,6 +57,15 @@ def funnel(
     require_columns(events, [user_col, ts_col, type_col], "funnel")
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        # t_i = min(t >= t_{i-1}) would let the SAME event satisfy both
+        # occurrences of a repeated step (t_i = t_{i-1}), reporting
+        # every one-event user as converting twice — repeated-step
+        # funnels need event-identity exclusion, which this operator
+        # does not implement
+        raise ValueError(
+            f"funnel: repeated step names not supported, got {steps}"
+        )
     e = events.select(
         F.col(user_col).alias("user_id"),
         _ts_micros(events, ts_col).alias("t"),

@@ -141,9 +141,19 @@ def bm25_search(
     )
     spark = docs.sparkSession
     if not qtokens:
-        return spark.createDataFrame([], "doc_id long, score double")
+        # schema must match the scoring path for ANY id type — a
+        # hardcoded `doc_id long` made the empty-query branch
+        # union-incompatible with the normal one on string ids
+        id_type = docs.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame([], f"doc_id {id_type}, score double")
+    # family null posture (null text ≡ ''): an unguarded tokens(NULL)
+    # is NULL, whose size() is −1 under legacy sizeOfNull — a null-text
+    # doc then poisons avgdl with dl = −1 while the SQL oracle's AVG
+    # skips NULLs. Coalescing makes it an ordinary 0-token doc in both
+    # engines: counted in N and avgdl, matching no query token.
     base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+        F.col(id_col).alias("doc_id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
     )
     def _eq(tok):
         # single-arg lambda REQUIRED: a second parameter (even a bound

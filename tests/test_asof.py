@@ -47,3 +47,19 @@ def test_asof_join_long_nanos_and_clash(spark):
         left.withColumnRenamed("v", "x"), right, on="k"
     ).collect()
     assert [(r.k, r.ts_us, r.x, r.v) for r in got] == [(1, 5, 9, 1.0)]
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A NULL right timestamp can never satisfy r.ts <= l.ts (pandas /
+    DuckDB posture); Spark's NULLS-FIRST sort would have carried its
+    values into every left row."""
+    from propius_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5_000_000)], "k long, us long"
+    ).select("k", F.timestamp_micros("us").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, None, 99)], "k long, us long, v long"
+    ).select("k", F.timestamp_micros("us").alias("ts"), "v")
+    out = asof_join(left, right, on="k").collect()
+    assert len(out) == 1 and out[0].v is None

@@ -19,11 +19,12 @@ def test_chunk_documents_hand_computed(spark):
         (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens)
         for r in chunk_documents(docs, chunk_tokens=3, overlap=1).collect()
     )
-    # stride 2: doc 1 → [a b c][c d e][e]; doc 2 → [x]; doc 3 → none
+    # stride 2: doc 1 → [a b c][c d e]; the tail start at 4 covers only
+    # "e", already inside [c d e]'s overlap — dropped, not duplicated;
+    # doc 2 → [x]; doc 3 → none
     assert got == [
         (1, 0, "a b c", 3),
         (1, 1, "c d e", 3),
-        (1, 2, "e", 1),
         (2, 0, "x", 1),
     ]
 
@@ -70,7 +71,8 @@ def test_chunking_matches_python_reference(spark, docs, c, ov):
     want = []
     for i, n in docs:
         ws = [f"t{j}" for j in range(n)]
-        for ci, s in enumerate(range(0, n, stride)):
+        starts = [s for s in range(0, n, stride) if s == 0 or s < n - ov]
+        for ci, s in enumerate(starts):
             want.append((i, ci, " ".join(ws[s:s + c])))
     assert got == sorted(want)
 
@@ -106,3 +108,42 @@ def test_pack_documents_bins_bounded(spark):
         assert sum(toks) - toks[-1] < 64 + max(toks)
     # shard is doc_id mod 4
     assert all(r.shard == r.doc_id % 4 for r in rows)
+
+
+def test_chunk_tail_inside_overlap_not_emitted(spark):
+    """A trailing start fully inside the previous chunk's overlap
+    region duplicates content verbatim — it must not be emitted."""
+    from propius_spark.operators import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=8, overlap=4).collect()
+    )
+    # starts 0, 4 — start 8 covers tokens 8-9, both inside chunk 1
+    assert [c for c, _ in rows] == [0, 1]
+    assert rows[1][1].split() == [f"w{i}" for i in range(4, 10)]
+    # a tail that DOES add new tokens is kept: 13 tokens -> starts 0,4,8
+    text13 = " ".join(f"w{i}" for i in range(13))
+    docs13 = spark.createDataFrame([(1, text13)], "doc_id long, text string")
+    ids = sorted(
+        r.chunk_id
+        for r in chunk_documents(docs13, chunk_tokens=8, overlap=4).collect()
+    )
+    assert ids == [0, 1, 2]
+
+
+def test_pack_documents_validates(spark):
+    import pytest
+
+    from propius_spark.operators import pack_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_documents(docs, target_tokens=0)
+    with pytest.raises(ValueError):
+        pack_documents(docs, n_shards=0)
+    sdocs = spark.createDataFrame([("x", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integer column"):
+        pack_documents(sdocs)

@@ -253,3 +253,19 @@ def test_publish_salted_write_equivalence(spark, tmp_path):
     for bucket in (0, 1):
         d = Path(p2["similar_items"]) / f"bucket={bucket}"
         assert d.is_dir() and list(d.glob("*.parquet"))
+
+
+def test_encode_contexts_drops_null_refs_keeps_dense_ids(spark):
+    """NULL reference_ids are dropped; real contexts still get dense
+    0-based ids (the null used to absorb rank 0 and its rows silently
+    vanished in the join)."""
+    from propius_spark.operators import encode_contexts
+
+    occ = spark.createDataFrame(
+        [(None, 1), ("a", 1), ("b", 2), ("a", 3)],
+        "reference_id string, item_id long",
+    )
+    rows = encode_contexts(occ).collect()
+    assert len(rows) == 3  # the null-ref row is gone
+    ids = {r.reference_id: r.ctx_id for r in rows}
+    assert ids == {"a": 0, "b": 1}  # dense, 0-based

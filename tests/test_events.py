@@ -139,3 +139,14 @@ def test_rolling_user_counts_hand_computed(spark):
         (1, us(0), 1), (1, us(3), 2), (1, us(7), 3), (1, us(11), 2),
         (2, us(0), 2), (2, us(0), 2),
     ]
+
+
+def test_funnel_rejects_repeated_steps(spark, sf_dir):
+    import pytest
+
+    from propius_spark.operators import funnel
+    from propius_spark.sources import read_events
+
+    ev = read_events(spark, sf_dir)
+    with pytest.raises(ValueError, match="repeated step"):
+        funnel(ev, ["click", "click"])

@@ -72,3 +72,38 @@ def test_bm25_hand_computed(spark):
 
     assert bm25_search(docs, "   ").count() == 0
     assert bm25_search(docs, "zzz").count() == 0
+
+
+def test_bm25_null_text_counts_as_empty_doc(spark):
+    """Family null posture: a null-text doc is an ordinary 0-token doc
+    (counted in N and avgdl, matching nothing) — unguarded size(NULL)
+    was -1 under legacy sizeOfNull and poisoned avgdl."""
+    from propius_spark.operators import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "apache spark streams"), (2, None), (3, "spark sql")],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(docs, "spark", k=10).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 3]
+    # python reference with dl(null)=0, N=3, avgdl=5/3
+    import math
+
+    def score(tf, dl, n=3.0, avgdl=5.0 / 3.0, df=2.0, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    got = {r.doc_id: r.score for r in rows}
+    assert abs(got[1] - round(score(1.0, 3.0), 6)) < 1e-6
+    assert abs(got[3] - round(score(1.0, 2.0), 6)) < 1e-6
+
+
+def test_bm25_empty_query_schema_matches_id_type(spark):
+    from propius_spark.operators import bm25_search
+
+    docs = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "uid string, text string"
+    )
+    out = bm25_search(docs, "   ", id_col="uid")
+    assert dict(out.dtypes) == {"doc_id": "string", "score": "double"}
+    assert out.count() == 0
