@@ -583,8 +583,9 @@ def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes, ceil(len/4) per piece — functions/text.py). Map-side
     only; the cost model for chunking/packing budgets. NULL text
     counts 0 under BOTH counters in BOTH engines (the engine's raw
-    size() is -1 on null, the oracle's len() is NULL — each is
-    coalesced to the same 0)."""
+    size() is NULL under ANSI / -1 under legacy sizeOfNull, the
+    oracle's len() is NULL — every variant lands on the same 0 via
+    greatest/coalesce)."""
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.greatest(

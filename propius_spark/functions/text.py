@@ -43,8 +43,11 @@ def tokens(text: Column) -> Column:
     ("\\n") yielded ["", ""] — n=2 tokens, 0 chars, and a 0/0 NaN
     quality score that passed every quality filter (NaN sorts above
     all doubles in Spark). Filtering empties collapses all of those
-    to the correct answer. Null text stays null (size() = -1 — the
-    callers' guards treat it as no tokens)."""
+    to the correct answer. Null text stays null: its size() is NULL
+    under ANSI mode (Spark 4 default) and -1 under legacy
+    sizeOfNull — callers must not branch on either sentinel; every
+    guard here treats both as "no tokens" (>= 0 filters,
+    greatest(x, 0), explicit coalesce)."""
     return F.filter(
         F.split(F.lower(text), r"\s+"), lambda x: x != ""
     )

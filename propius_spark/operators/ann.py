@@ -45,6 +45,15 @@ def _dot(a, b):
     )
 
 
+def _cosine(dot, na, nb):
+    """dot/(na·nb) via try_divide: a zero-norm (degenerate) vector
+    yields NULL cosine in BOTH ANSI and legacy modes — NULL fails
+    every `>= threshold` filter and sorts last under `desc`, so such
+    vectors match nothing. The plain `/` crashed the whole job with
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    return F.try_divide(dot, na * nb)
+
+
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Adds `vec` (array<double>) and `norm`. Cast once; all math in
     double so the engine and the oracle evaluate identical IEEE ops."""
@@ -72,7 +81,7 @@ def cosine_topk(
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            (_dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))).alias(
+            _cosine(_dot(F.col("vec"), F.col("qvec")), F.col("norm"), F.col("qnorm")).alias(
                 "cosine"
             ),
         )
@@ -169,8 +178,12 @@ def _block_cosines_kernel(threshold: float):
     (exact block nested-loop AND candidate-bucket sub-blocks) — the
     engine-semantics subtleties live in exactly one place:
 
-    - NaN ≥ τ is TRUE under Spark/DuckDB ordering (NaN sorts above all
-      doubles) but False in NumPy — kept explicitly;
+    - degenerate vectors match NOTHING: zero-norm cosines are NULL in
+      both the Catalyst try_divide paths and DuckDB (x/0 → NULL), and
+      NaN-component cosines cannot leave the kernel as NaN at all —
+      pandas NaN is Arrow's null sentinel, so an emitted NaN would
+      arrive engine-side as a NULL "duplicate" with no score. Both are
+      masked out;
     - a diagonal group (pa == pb) holds ONE copy of its vector set
       (side 0) and self-joins it with a strict upper triangle (drops
       self-pairs and mirrored duplicates);
@@ -202,7 +215,11 @@ def _block_cosines_kernel(threshold: float):
             na = np.linalg.norm(ma, axis=1)
             nb_ = na if diagonal else np.linalg.norm(mb, axis=1)
             sims = (ma @ mb.T) / np.outer(na, nb_)
-        keep = (sims >= threshold) | np.isnan(sims)
+        # degenerate-vector exclusion (see docstring)
+        sims[na == 0.0, :] = -np.inf
+        sims[:, nb_ == 0.0] = -np.inf
+        sims = np.where(np.isnan(sims), -np.inf, sims)
+        keep = sims >= threshold
         if diagonal:
             keep &= ids_a[:, None] < ids_b[None, :]
         else:
@@ -249,9 +266,11 @@ def _bucketed_dup_pairs(
     share one pass over the generator's subtree;
     ``session.clear_materialized`` releases it."""
     if max_bucket_vectors < 1:
-        # ceil(count/0) is NULL under non-ANSI division and would
-        # silently explode() every row away — a "dedup" that finds
-        # nothing. There is no disable value; pass a huge cap instead.
+        # a zero cap must not reach the plan: under legacy division
+        # ceil(count/0) is NULL (explode() silently drops every row —
+        # a "dedup" that finds nothing) and under ANSI (Spark 4
+        # default) it crashes mid-job. No disable value; pass a huge
+        # cap instead.
         raise ValueError(
             f"max_bucket_vectors must be >= 1, got {max_bucket_vectors}"
         )
@@ -369,20 +388,24 @@ def knn_join(
                 continue
             ids = pdf["vid"].to_numpy()
             m = np.stack(pdf["vec"].to_numpy())
+            norms = np.linalg.norm(m, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 # (batch × Q) cosine submatrix in one BLAS call
-                sims = (m @ b_qmat.T) / np.outer(
-                    np.linalg.norm(m, axis=1), b_qnorm
-                )
+                sims = (m @ b_qmat.T) / np.outer(norms, b_qnorm)
+            # degenerate vectors (zero-norm OR NaN components) match
+            # nothing: zero-norm mirrors the Catalyst twin's try_divide
+            # NULL; NaN cosines cannot survive the Arrow boundary
+            # anyway (pandas NaN IS the null sentinel — an emitted NaN
+            # arrives as NULL and would rank nondeterministically)
+            sims[norms == 0.0, :] = -np.inf
+            sims[:, b_qnorm == 0.0] = -np.inf
+            sims = np.where(np.isnan(sims), -np.inf, sims)
             sims[ids[:, None] == b_qids[None, :]] = -np.inf  # self
             out_q, out_v, out_c = [], [], []
             kk = min(k, sims.shape[0])
             for j in range(len(b_qids)):
                 col = sims[:, j]
-                # NaN (zero-norm vectors) ranks ABOVE all doubles in
-                # Spark/DuckDB ordering — mirror that in the selection
-                # key while emitting the original NaN value
-                skey = np.where(np.isnan(col), np.inf, col)
+                skey = col
                 # partial select then exact (cosine desc, id asc) order
                 cand = np.argpartition(-skey, kk - 1)[:kk] if kk < len(skey) else np.arange(len(skey))
                 order = np.lexsort((ids[cand], -skey[cand]))[:kk]
@@ -433,8 +456,15 @@ def ivf_knn_join(
     """
     import numpy as np
 
+    from ..plans import materialize
+
     spark = corpus.sparkSession
     cents, _ = assign_centroids(corpus, n_centroids, id_col, vec_col)
+    # the centroid table is consumed by TWO driver actions (the probes
+    # job and the crows collect); left lazy, each replays the
+    # corpus-wide seed TakeOrdered — materialize the KB-sized table
+    # once (same reasoning as ivf_topk's plan-audited fix)
+    cents = materialize(cents)
     qbase = with_norm(queries, vec_col).select(
         F.col(id_col).cast("long").alias("qid"), "vec", "norm"
     )
@@ -444,7 +474,7 @@ def ivf_knn_join(
         .select(
             "qid",
             "centroid_id",
-            (_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias(
+            _cosine(_dot(F.col("vec"), F.col("cvec")), F.col("norm"), F.col("cnorm")).alias(
                 "sim"
             ),
         )
@@ -487,7 +517,12 @@ def ivf_knn_join(
                 # (cmat rows are cid-ascending, argmax takes the first)
                 ca = np.argmax((m @ b_cmat.T) / np.outer(norms, b_cnorm), axis=1)
                 sims = (m @ b_qmat.T) / np.outer(norms, b_qnorm)
-            sims = np.where(np.isnan(sims), np.inf, sims)  # engine NaN order
+            # degenerate vectors (zero-norm OR NaN components) match
+            # nothing — same posture and Arrow-boundary rationale as
+            # the knn_join kernel
+            sims[norms == 0.0, :] = -np.inf
+            sims[:, b_qnorm == 0.0] = -np.inf
+            sims = np.where(np.isnan(sims), -np.inf, sims)
             sims[~b_mask[ca]] = -np.inf  # not in a probed list
             sims[ids[:, None] == b_qids[None, :]] = -np.inf  # self
             out_q, out_v, out_c = [], [], []
@@ -504,9 +539,7 @@ def ivf_knn_join(
                 keep = col[sel] > -np.inf
                 out_q.extend([b_qids[j]] * int(keep.sum()))
                 out_v.extend(ids[sel][keep].tolist())
-                out_c.extend(
-                    np.where(np.isinf(col[sel][keep]), np.nan, col[sel][keep]).tolist()
-                )
+                out_c.extend(col[sel][keep].tolist())
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_c})
 
     cand = corpus.select(
@@ -546,7 +579,7 @@ def kmeans_centroids(
         .filter(F.col("norm") > 0)
         .select(
             array_to_vector(
-                F.zip_with("vec", "vec", lambda x, _: x / F.col("norm"))
+                F.transform("vec", lambda x: x / F.col("norm"))
             ).alias("features")
         )
     )
@@ -677,7 +710,7 @@ def multi_probe_assignments(
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
-        (_dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))).alias("sim"),
+        _cosine(_dot(F.col("vec"), F.col("cvec")), F.col("norm"), F.col("cnorm")).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (
@@ -719,7 +752,7 @@ def ivf_topk(
         .crossJoin(F.broadcast(q))
         .select(
             "centroid_id",
-            (_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias(
+            _cosine(_dot(F.col("cvec"), F.col("qvec")), F.col("cnorm"), F.col("qnorm")).alias(
                 "sim"
             ),
         )
@@ -734,7 +767,7 @@ def ivf_topk(
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            (_dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))).alias(
+            _cosine(_dot(F.col("vec"), F.col("qvec")), F.col("norm"), F.col("qnorm")).alias(
                 "cosine"
             ),
         )
@@ -877,7 +910,7 @@ def lsh_topk(
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            (_dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))).alias(
+            _cosine(_dot(F.col("vec"), F.col("qvec")), F.col("norm"), F.col("qnorm")).alias(
                 "cosine"
             ),
         )

@@ -198,7 +198,9 @@ def corpus_summary(
     """
     from ..functions.text import token_count, tokens
 
-    require_columns(docs, [group_col, id_col, text_col], "corpus_summary")
+    # id_col is NOT required: the summary never touches document ids
+    # (requiring it rejected valid (group, text) frames)
+    require_columns(docs, [group_col, text_col], "corpus_summary")
     g = F.col(group_col)
     per_doc = docs.select(
         g,
@@ -268,6 +270,14 @@ def split_corpus(
     require_columns(docs, [key_col], "split_corpus")
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative and non-empty")
+    if sum(weights.values()) > 1.0 + 1e-9:
+        # buckets only cover [0, 1): a sum over 1 silently TRUNCATES
+        # the overflowing splits' ranges (the last split would get a
+        # fraction of its requested share with no error)
+        raise ValueError(
+            f"split weights sum to {sum(weights.values())} > 1; "
+            "splits are bucket ranges of [0, 1)"
+        )
     b = sample_bucket(F.col(key_col))
     expr = None
     acc = 0.0
@@ -348,7 +358,9 @@ def vocabulary(
     )
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
-    return ranked.filter(F.col("rank") <= limit) if limit else ranked
+    # `is not None`, not truthiness: limit=0 must cap to zero rows,
+    # not silently return the full unbounded vocabulary
+    return ranked.filter(F.col("rank") <= limit) if limit is not None else ranked
 
 
 def token_distribution(

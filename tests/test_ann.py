@@ -515,3 +515,55 @@ def test_lsh_topk_exact_within_candidates(spark):
     assert [(r.vec_id, round(r.cosine, 9)) for r in got_rows] == [
         (v, round(c, 9)) for v, c in want
     ]
+
+
+def test_zero_norm_vectors_match_nothing_everywhere(spark):
+    """A zero-norm (degenerate) vector crashes nothing and matches
+    nothing, in the Catalyst paths (try_divide -> NULL cosine: ANSI
+    mode's plain division crashed the job) AND the BLAS kernels
+    (masked before the NaN-components rule)."""
+    from propius_spark.operators import (
+        cosine_topk,
+        embedding_dup_pairs,
+        ivf_topk,
+        knn_join,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),  # 2 is zero-norm
+        (3, [1.0, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = cosine_topk(emb, query_id=0, k=4).collect()
+    ids = [r.vec_id for r in top]
+    # the zero-norm vector's NULL cosine sorts LAST under desc
+    assert ids[:2] == [3, 1] and (2 not in ids or ids[-1] == 2)
+    assert next(r.cosine for r in top if r.vec_id == 2) is None
+
+    pairs = embedding_dup_pairs(emb, threshold=0.5, n_blocks=2).collect()
+    assert all(2 not in (r.vec_a, r.vec_b) for r in pairs)
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(0, 1), (0, 3), (1, 3)}
+
+    kn = knn_join(emb.filter("vec_id = 0"), emb.filter("vec_id != 0"), k=4).collect()
+    assert sorted(r.vec_id for r in kn) == [1, 3]  # zero-norm excluded
+
+    ivf = ivf_topk(emb, query_id=0, k=4, n_centroids=1, n_probe=1).collect()
+    assert all(r.vec_id != 2 or r.cosine is None for r in ivf)
+
+
+def test_knn_join_nan_component_vectors_excluded(spark):
+    """NaN-COMPONENT vectors are degenerate and match nothing in the
+    kernels (a kernel cannot emit NaN anyway — pandas NaN crosses
+    Arrow as NULL, which would rank nondeterministically)."""
+    from propius_spark.operators import embedding_dup_pairs, knn_join
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [float("nan"), 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kn = knn_join(emb.filter("vec_id = 0"), emb.filter("vec_id != 0"), k=2).collect()
+    got = {r.vec_id: r.cosine for r in kn}
+    assert set(got) == {1}             # the NaN-component vector is out
+    pairs = embedding_dup_pairs(emb, threshold=0.5, n_blocks=2).collect()
+    assert all(2 not in (r.vec_a, r.vec_b) for r in pairs)

@@ -361,3 +361,25 @@ def test_split_leakage_free_groups_stay_together(spark):
     # null and empty text share one content group (keeper = min id)
     nulls = {r.doc_id: r.keeper_id for r in out.collect()}
     assert nulls[100] == nulls[101] == nulls[102] == 100
+
+
+def test_split_corpus_rejects_oversum_weights(spark):
+    import pytest
+
+    from propius_spark.operators import split_corpus
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum"):
+        split_corpus(docs, {"train": 0.8, "val": 0.8})
+
+
+def test_vocabulary_limit_zero_and_corpus_summary_without_ids(spark):
+    from propius_spark.operators import corpus_summary, vocabulary
+
+    docs = spark.createDataFrame(
+        [("en", "a b c"), ("en", "a b")], "lang string, text string"
+    )
+    assert vocabulary(docs, limit=0).count() == 0  # falsy-zero bug
+    # corpus_summary never touches doc ids; a (group, text) frame works
+    rows = corpus_summary(docs, group_col="lang").collect()
+    assert len(rows) == 1 and rows[0].n_docs == 2
