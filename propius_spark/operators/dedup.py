@@ -58,6 +58,17 @@ MINHASH_B = [
 SIMHASH_BITS = 32
 
 
+def content_address(text: "F.Column | str"):
+    """THE family content address: sha2-256 over coalesce(text, '') —
+    one definition for every consumer (exact_dedup's hash mode,
+    content_keys, the streaming ingest dedup). The docstrings stake
+    cross-boundary agreement ("dedup at ingest, re-dedup in batch")
+    on this expression staying bit-identical everywhere; keeping it in
+    one place removes the drift surface."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.sha2(F.coalesce(col, F.lit("")).cast("binary"), 256)
+
+
 def exact_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -93,7 +104,7 @@ def exact_dedup(
     if key == "text":
         grp = [norm]
     elif key == "hash":
-        grp = [F.sha2(norm.cast("binary"), 256)]
+        grp = [content_address(F.col(text_col))]
     else:
         raise ValueError(f"exact_dedup: unknown key mode {key!r}")
     return (
@@ -191,6 +202,16 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def _jaccard_from_inter(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared exact-Jaccard tail over an (doc_a, doc_b, inter) table +
+    per-doc shingle counts — ONE definition for the exact path and the
+    MinHash-LSH verify, so the arithmetic/threshold posture cannot
+    drift between them."""
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
@@ -320,17 +341,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_from_inter(inter, sizes, threshold)
 
 
 def _edge_fingerprint(e: DataFrame) -> tuple:
@@ -589,9 +600,7 @@ def content_keys(
     "fresh" forever; inner joins on the key drop the doc outright)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.sha2(
-            F.coalesce(F.col(text_col), F.lit("")).cast("binary"), 256
-        ).alias("content_key"),
+        content_address(F.col(text_col)).alias("content_key"),
     )
 
 
@@ -628,18 +637,20 @@ def dedup_against(
         seen_col = "content_key"
     elif len(seen.columns) == 1:
         seen_col = seen.columns[0]
-        dt = seen.schema[seen_col].dataType.simpleString()
-        if dt != "string":
-            # e.g. a doc_id frame: the cross-type anti-join would cast
-            # the hex keys to NULL and report EVERY doc as fresh
-            raise ValueError(
-                "dedup_against: seen's single column "
-                f"{seen_col!r} is {dt}, expected string content keys"
-            )
     else:
         raise ValueError(
             "dedup_against: seen must have a content_key column or "
             f"exactly one column, got {seen.columns}"
+        )
+    # dtype check on WHICHEVER branch chose the column: a non-string
+    # store column (e.g. a legacy long-hash table that happens to be
+    # named content_key) would cast the hex keys to NULL in the
+    # anti-join and report EVERY doc as fresh
+    dt = seen.schema[seen_col].dataType.simpleString()
+    if dt != "string":
+        raise ValueError(
+            f"dedup_against: seen's key column {seen_col!r} is {dt}, "
+            "expected string content keys"
         )
     if keys is None:
         keys = content_keys(docs, id_col, text_col)

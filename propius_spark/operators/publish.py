@@ -26,7 +26,11 @@ def correlated_items(dictionary: DataFrame) -> DataFrame:
     index on key admits one row per title in insert order; here the
     SMALLEST id per key survives — a deterministic rule (plain
     dropDuplicates keeps an arbitrary row per key, so two publishes of
-    the same dictionary could serve different ids)."""
+    the same dictionary could serve different ids). NULL titles are
+    all kept: SQLite's UNIQUE index treats NULLs as mutually distinct
+    (the reference inserts every NULL-titled row), and a partitionBy
+    window would instead group them together and silently drop all but
+    one item from the store."""
     from pyspark.sql.window import Window
 
     require_columns(dictionary, ["id", "title"], "correlated_items")
@@ -38,7 +42,7 @@ def correlated_items(dictionary: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("human_label"),
         )
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("key").isNull() | (F.col("__rn") == 1))
         .drop("__rn")
     )
 
@@ -129,12 +133,19 @@ def export_jdbc(spark: SparkSession, paths: dict[str, str], url: str, **options)
     entries (n_buckets and any future ints/flags) are skipped; every
     string-valued entry is treated as a parquet path and exported under
     its key as the table name."""
+    from ..schemas import SIMILAR_ITEMS
+
     for table, path in paths.items():
         if not isinstance(path, str):
             continue
+        df = spark.read.parquet(path)
+        if table == "similar_items":
+            # strip the internal bucket/salt layout columns: the JDBC
+            # table must match the reference's 3-column DDL exactly
+            # (a bucketed store otherwise exported a 4-column table)
+            df = df.select(*[f.name for f in SIMILAR_ITEMS.fields])
         (
-            spark.read.parquet(path)
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .format("jdbc")
             .option("url", url)
             .option("dbtable", table)

@@ -12,6 +12,14 @@ selects the identical sample.
 Scale: both operators are map-side only — the per-stratum rate table
 broadcasts (strata cardinality ≪ corpus) and no shuffle occurs, so
 they pipeline into whatever scan they follow at any scale.
+
+Composing sampling decisions: all operators draw from ONE bucket lane
+per (key, seed). Two samples on the SAME key with the SAME seed are
+fully correlated (the second keeps 100% or a truncated slice of the
+first's survivors, never an independent fraction) — pass distinct
+``seed`` values to make composed decisions independent. seed=0 (the
+default) reproduces the historical arithmetic, which every SQL oracle
+replays.
 """
 
 from __future__ import annotations
@@ -40,20 +48,44 @@ def _lcg(key: Column, a: int, b: int) -> Column:
     )
 
 
-def sample_bucket(key: Column) -> Column:
+def sample_bucket(key: Column, seed: int = 0) -> Column:
     """Uniform pseudo-random bucket in [0, SAMPLE_RES) from a long key:
-    ((A·(key mod P) + B) mod P) mod RES. Deterministic, engine-agnostic,
-    overflow-free for any 64-bit key."""
-    return F.pmod(_lcg(key, SAMPLE_A, SAMPLE_B), F.lit(SAMPLE_RES))
+    ((A·(key mod P) + B) mod P) mod RES, deterministic and
+    engine-agnostic, overflow-free for any 64-bit key. ``seed != 0``
+    re-mixes through a second LCG round (decorrelated lane per seed)
+    so composed sampling decisions on the same key can be made
+    independent; seed=0 is bit-identical to the seedless arithmetic
+    the oracles replay."""
+    h = _lcg(key, SAMPLE_A, SAMPLE_B)
+    if seed != 0:
+        h = _lcg(h + F.lit(int(seed) % SAMPLE_P), SAMPLE_A, SAMPLE_B)
+    return F.pmod(h, F.lit(SAMPLE_RES))
+
+
+def _require_numeric_key(df: DataFrame, key_col: str, fn: str) -> None:
+    """The LCG lanes cast the key to long; a non-numeric key column
+    would cast to NULL (legacy) or crash mid-job (ANSI) — either way a
+    silently-empty sample / all-NULL shard. Fail at build time
+    instead (same posture as dedup_against / pack_documents)."""
+    dtype = df.schema[key_col].dataType.simpleString()
+    if dtype not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"{fn}: {key_col} must be an integer column for the "
+            f"deterministic key arithmetic, got {dtype}"
+        )
 
 
 def deterministic_sample(
-    df: DataFrame, rate: float, key_col: str
+    df: DataFrame, rate: float, key_col: str, seed: int = 0
 ) -> DataFrame:
     """Keep ~rate of rows, chosen purely by key arithmetic — stable
-    under re-partitioning, retries, and re-runs."""
+    under re-partitioning, retries, and re-runs. See the module
+    docstring for ``seed`` (composing decisions on the same key)."""
     require_columns(df, [key_col], "deterministic_sample")
-    return df.filter(sample_bucket(F.col(key_col)) < int(rate * SAMPLE_RES))
+    _require_numeric_key(df, key_col, "deterministic_sample")
+    return df.filter(
+        sample_bucket(F.col(key_col), seed) < int(rate * SAMPLE_RES)
+    )
 
 
 def stratified_sample(
@@ -61,6 +93,7 @@ def stratified_sample(
     fractions: dict[str, float],
     strata_col: str,
     key_col: str,
+    seed: int = 0,
 ) -> DataFrame:
     """Per-stratum deterministic sampling (the exact-control analogue
     of `df.sampleBy`): keep ~fractions[stratum] of each stratum's rows.
@@ -69,6 +102,7 @@ def stratified_sample(
     `deterministic_sample`, so a row's fate never depends on which
     executor saw it."""
     require_columns(df, [strata_col, key_col], "stratified_sample")
+    _require_numeric_key(df, key_col, "stratified_sample")
     spark = df.sparkSession
     rates = spark.createDataFrame(
         [(s, int(r * SAMPLE_RES)) for s, r in fractions.items()],
@@ -76,7 +110,7 @@ def stratified_sample(
     )
     return (
         df.join(F.broadcast(rates), strata_col)
-        .filter(sample_bucket(F.col(key_col)) < F.col("__cut"))
+        .filter(sample_bucket(F.col(key_col), seed) < F.col("__cut"))
         .drop("__cut")
     )
 
@@ -123,6 +157,7 @@ def mix_sources(
     targets: dict[str, float],
     group_col: str = "source",
     key_col: str = "doc_id",
+    seed: int = 0,
 ) -> DataFrame:
     """Resample to a target corpus mixture (data mixing, the
     "50% web / 30% books / 20% code" control): down-sample each group
@@ -149,6 +184,7 @@ def mix_sources(
     the resulting rate table broadcasts to the filter.
     """
     require_columns(df, [group_col, key_col], "mix_sources")
+    _require_numeric_key(df, key_col, "mix_sources")
     if not targets:
         raise ValueError("mix_sources: targets must be non-empty")
     bad = {g: t for g, t in targets.items() if t <= 0}
@@ -181,16 +217,21 @@ def mix_sources(
     rates = (
         joined.crossJoin(F.broadcast(s))
         .withColumn(
+            # double-first chain, mirroring the oracle's (FLOOR returns
+            # DOUBLE in DuckDB): the long product RES·S overflows at
+            # S ≈ 9.2e12 — reachable corpus sizes — where the double
+            # chain just rounds
             "__cut",
             F.floor(
-                F.lit(SAMPLE_RES) * F.col("__S") * F.col("__t") / F.col("__n")
+                F.lit(SAMPLE_RES) * F.col("__S").cast("double")
+                * F.col("__t") / F.col("__n")
             ).cast("long"),
         )
         .select(group_col, "__cut")
     )
     return (
         df.join(F.broadcast(rates), group_col)
-        .filter(sample_bucket(F.col(key_col)) < F.col("__cut"))
+        .filter(sample_bucket(F.col(key_col), seed) < F.col("__cut"))
         .drop("__cut")
     )
 
@@ -217,6 +258,10 @@ def shuffle_shards(df: DataFrame, n_shards: int, key_col: str) -> DataFrame:
     Both assignments are pure key arithmetic (two decorrelated LCG
     lanes), so the permutation is identical under re-partitioning,
     task retries, and re-runs — and exactly replayable by a SQL oracle.
+    That guarantee requires ``key_col`` to be UNIQUE: rows sharing a
+    key get identical (shard, order, tiebreak) and their relative pos
+    falls back to arrival order — nondeterministic across retries.
+    Dedup or assign surrogate ids first.
 
     Scale: ONE shuffle, on the shard key; within-shard position is a
     window sort per shard, so per-task sort state is corpus/n_shards —
@@ -226,6 +271,7 @@ def shuffle_shards(df: DataFrame, n_shards: int, key_col: str) -> DataFrame:
     file-per-shard layout.
     """
     require_columns(df, [key_col], "shuffle_shards")
+    _require_numeric_key(df, key_col, "shuffle_shards")
     if n_shards < 1:
         raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
     from pyspark.sql.window import Window
@@ -243,7 +289,7 @@ def shuffle_shards(df: DataFrame, n_shards: int, key_col: str) -> DataFrame:
 
 
 def weighted_sample(
-    df: DataFrame, rate: float, weight_col: str, key_col: str
+    df: DataFrame, rate: float, weight_col: str, key_col: str, seed: int = 0
 ) -> DataFrame:
     """Importance sampling: keep each row with probability
     clamp(rate · weight, 0, 1), decided by the same key arithmetic as
@@ -254,6 +300,7 @@ def weighted_sample(
     scores, inverse-frequency weights, ...); weight ≥ 1/rate keeps the
     row always."""
     require_columns(df, [weight_col, key_col], "weighted_sample")
+    _require_numeric_key(df, key_col, "weighted_sample")
     p = F.least(
         F.lit(1.0), F.greatest(F.lit(0.0), F.lit(rate) * F.col(weight_col))
     )
@@ -261,5 +308,6 @@ def weighted_sample(
     # double→int casts — pin the cut to floor in both engines so a
     # fractional p·RES can never split the sample across engines
     return df.filter(
-        sample_bucket(F.col(key_col)) < F.floor(p * SAMPLE_RES).cast("long")
+        sample_bucket(F.col(key_col), seed)
+        < F.floor(p * SAMPLE_RES).cast("long")
     )

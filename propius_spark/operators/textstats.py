@@ -265,9 +265,10 @@ def split_corpus(
     assignment — the property RNG-based randomSplit cannot give.
     Weights need not sum to 1; rows falling past the cumulative range
     (sum < 1) are dropped (holdout)."""
-    from .sampling import SAMPLE_RES, sample_bucket
+    from .sampling import SAMPLE_RES, _require_numeric_key, sample_bucket
 
     require_columns(docs, [key_col], "split_corpus")
+    _require_numeric_key(docs, key_col, "split_corpus")
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative and non-empty")
     if sum(weights.values()) > 1.0 + 1e-9:

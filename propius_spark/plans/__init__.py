@@ -8,14 +8,21 @@ from pyspark.sql import functions as F
 
 def fan_out(df: DataFrame, key_col: str) -> DataFrame:
     """Hash-repartition by ``key_col`` to an EXPLICIT partition count
-    (max of cluster default parallelism and current partitioning) so
-    compute-bound per-row map stages use every core even when the
-    input is one small file. Explicit count matters: AQE coalesces
-    shuffle partitions by byte size and would fold a few MB of raw
-    text back into one task regardless of expression cost."""
+    (the cluster default parallelism) so compute-bound per-row map
+    stages use every core even when the input is one small file.
+    Explicit count matters: AQE coalesces shuffle partitions by byte
+    size and would fold a few MB of raw text back into one task
+    regardless of expression cost.
+
+    Deliberately NOT ``max(default, df.rdd.getNumPartitions())``:
+    touching ``df.rdd`` under AQE finalizes the adaptive plan, which
+    EXECUTES every upstream shuffle stage just to count partitions —
+    a derived input (join/aggregate upstream) would run its whole
+    pipeline twice. A frame already wider than the default keeps its
+    parallelism through the exchange anyway at realistic scales, and
+    callers with a known-wider input can repartition themselves."""
     sc = df.sparkSession.sparkContext
-    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
-    return df.repartition(n, F.col(key_col))
+    return df.repartition(sc.defaultParallelism, F.col(key_col))
 
 
 def materialize(df: DataFrame) -> DataFrame:

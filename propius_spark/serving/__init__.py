@@ -24,9 +24,17 @@ def register_model_views(
     ran against SQLite; here the same statements run on the parquet
     store through Catalyst). `paths` is publish_model's return value;
     non-path entries (n_buckets) are ignored."""
+    from ..schemas import SIMILAR_ITEMS
+
     for table in ("similar_items", "correlated_items"):
         if table in paths:
-            spark.read.parquet(paths[table]).createOrReplaceTempView(table)
+            df = spark.read.parquet(paths[table])
+            if table == "similar_items":
+                # the SQL-twin view carries the reference's 3-column
+                # shape; a bucketed store's internal bucket/salt
+                # columns must not leak into `SELECT *`
+                df = df.select(*[f.name for f in SIMILAR_ITEMS.fields])
+            df.createOrReplaceTempView(table)
 
 
 def retrieve_similar_items(

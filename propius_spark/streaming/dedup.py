@@ -49,11 +49,11 @@ def dedup_stream(
     from ..operators.sessions import _ts_micros
 
     docs = docs.withColumn(ts_col, F.timestamp_micros(_ts_micros(docs, ts_col)))
-    # the family content address (operators/dedup.py content_keys):
-    # sha2-256 over coalesce(text, '') — same identity as the batch path
-    key = F.sha2(F.coalesce(F.col(text_col), F.lit("")).cast("binary"), 256)
+    # THE family content address — same definition as the batch path
+    from ..operators.dedup import content_address
+
     return (
-        docs.withColumn("__h", key)
+        docs.withColumn("__h", content_address(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")

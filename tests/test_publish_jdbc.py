@@ -77,3 +77,17 @@ def test_export_jdbc_roundtrip_matches_parquet_store(spark, tmp_path):
     cols = ["item_a_id", "item_b_id", "scaled_score"]
     assert _sorted_rows(topk_jdbc, cols) == _sorted_rows(topk_pq, cols)
     clear_materialized(spark)
+
+
+def test_correlated_items_keeps_all_null_titles(spark):
+    """SQLite's UNIQUE index treats NULLs as mutually distinct — the
+    reference inserts every NULL-titled row, so the dim dedup must not
+    collapse them to one."""
+    from propius_spark.operators.publish import correlated_items
+
+    d = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x")],
+        "id long, title string",
+    )
+    rows = sorted(r.id for r in correlated_items(d).collect())
+    assert rows == [1, 2, 3]  # both NULLs kept; 'x' deduped to min id

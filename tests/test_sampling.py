@@ -239,3 +239,46 @@ def test_shard_lane_decorrelated_from_sample_lane(spark):
     assert len(out) > 400
     shards = {r.shard for r in out}
     assert shards == set(range(8))
+
+
+def test_seed_decorrelates_composed_samples(spark):
+    """Composing two sampling decisions on the same key with distinct
+    seeds is ~independent; same seed is fully correlated (the
+    documented hazard)."""
+    from propius_spark.operators import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(100_000)], "k long")
+    first = deterministic_sample(df, 0.1, "k")
+    n1 = first.count()
+    assert abs(n1 - 10_000) < 600
+    # same seed: the second cut at 0.5 keeps EVERYTHING the first kept
+    same = deterministic_sample(first, 0.5, "k").count()
+    assert same == n1
+    # distinct seed: approximately the product rate
+    indep = deterministic_sample(first, 0.5, "k", seed=7).count()
+    assert abs(indep - n1 / 2) < n1 * 0.1
+    # seed=0 reproduces the historical (oracle) arithmetic
+    from propius_spark.operators.sampling import (
+        SAMPLE_A, SAMPLE_B, SAMPLE_P, SAMPLE_RES,
+    )
+    keys = sorted(r.k for r in first.limit(50).collect())
+    for k in keys:
+        assert ((SAMPLE_A * k + SAMPLE_B) % SAMPLE_P) % SAMPLE_RES < 100_000
+
+
+def test_sampling_rejects_non_numeric_keys(spark):
+    import pytest
+
+    from propius_spark.operators import (
+        deterministic_sample,
+        mix_sources,
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([("u1", "web")], "uid string, source string")
+    with pytest.raises(ValueError, match="integer column"):
+        deterministic_sample(df, 0.5, "uid")
+    with pytest.raises(ValueError, match="integer column"):
+        shuffle_shards(df, 8, "uid")
+    with pytest.raises(ValueError, match="integer column"):
+        mix_sources(df, {"web": 1.0}, group_col="source", key_col="uid")
