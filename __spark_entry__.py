@@ -225,6 +225,13 @@ def _publish_store_dir() -> str:
     return tempfile.mkdtemp(prefix="propius_pub_")
 
 
+@functools.lru_cache(maxsize=1)
+def _roundtrip_store_dir() -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="propius_rt_")
+
+
 def q_publish_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 op-7 through a driver row: the full publish → serve
     round trip. publish_model writes the exact similar_items fact
@@ -719,7 +726,10 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(ev, window_duration="1 hour")
 
 
-CROSS_SET_OFFSET = 1_000_000  # shifts supplier ids above every part id
+# The cross-set id shift is DERIVED from the data (max part id + 1),
+# not a constant: a fixed 1,000,000 collides with p_partkey at sf >= 5
+# (TPC-H has 200k*SF parts) and, with the oracle sharing the constant,
+# both engines would agree on the corrupted answer — gate-blind.
 
 
 def q_corr_pairs_cross_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,16 +738,19 @@ def q_corr_pairs_cross_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders) and correlate across sets — 'suppliers similar to parts
     by co-occurrence in orders'. Output restricted to the cross-set
     (part → supplier) direction."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # data-derived shift: exact integer both engines compute identically
+    off = li.agg(F.max("l_partkey").alias("m")).first().m + 1
     parts = build_cells(occurrences_from_lineitem(spark, sf_dir))
     supp = build_cells(
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        li.select(
             F.col("l_orderkey").alias("reference_id"),
             F.col("l_suppkey").alias("item_id"),
         )
     )
-    stacked = vstack(parts, supp, offset=CROSS_SET_OFFSET)
+    stacked = vstack(parts, supp, offset=off)
     pairs = corr_pairs(stacked).filter(
-        (F.col("item_a") < CROSS_SET_OFFSET) & (F.col("item_b") >= CROSS_SET_OFFSET)
+        (F.col("item_a") < off) & (F.col("item_b") >= off)
     )
     return _r6(pairs.select("item_a", "item_b", "corr"), "corr")
 
@@ -752,7 +765,10 @@ def q_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_method="absolute",
         threshold_value=-1.0,
     )
-    path = "/tmp/propius_model_roundtrip"
+    # per-process mkdtemp store — a fixed predictable /tmp path raced
+    # concurrent bench/verify processes (overwrite = delete-then-write)
+    # and forfeited mkdtemp's 0700/fresh-dir guarantees
+    path = f"{_roundtrip_store_dir()}/model_csv"
     save_pairs(sims.select("item_a", "item_b", "corr"), path, fmt="csv")
     return _r6(load_pairs(spark, path, fmt="csv"), "corr")
 
@@ -772,7 +788,7 @@ def q_model_roundtrip_npy(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_method="absolute",
         threshold_value=-1.0,
     )
-    path = "/tmp/propius_model_roundtrip.npy"
+    path = f"{_roundtrip_store_dir()}/model.npy"
     save_reference_matrix(sims.select("item_a", "item_b", "corr"), path)
     return _r6(load_reference_matrix(spark, path), "corr")
 
@@ -784,18 +800,28 @@ def _run_stream_to_memory(spark: SparkSession, prefix: str, start) -> DataFrame:
     partition) store-commit overhead dominates otherwise; on a real
     cluster size this to state volume / executor count), conf restored
     even when the stream errors. ``start`` is
-    callable(checkpoint_dir, query_name) -> StreamingQuery."""
-    import tempfile
-    import uuid
+    callable(checkpoint_dir, query_name) -> StreamingQuery.
 
-    name = prefix + uuid.uuid4().hex[:8]
+    Leak posture (bench runs the suite up to 3×): the sink name is
+    STABLE per query — Spark's memory sink re-registers the temp view
+    on each start, so re-runs REPLACE the table instead of stranding a
+    fresh uuid-named copy of the full result in the JVM per pass — and
+    the per-run checkpoint dir is deleted once the stream finishes
+    (checkpoints cannot be reused: resuming one skips the already-
+    processed data and the sink would come up empty)."""
+    import shutil
+    import tempfile
+
+    name = prefix + "sink"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = tempfile.mkdtemp(prefix="propius_ckpt_")
     try:
-        q = start(tempfile.mkdtemp(prefix="propius_ckpt_"), name)
+        q = start(ckpt, name)
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -1244,6 +1270,16 @@ base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base)
 """
 
+_EXACT_DUP_PAIRS_SQL = f"""
+            WITH {_EMB_BASE}
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)
+                     AS cosine
+            FROM nb a JOIN nb b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
+        """
+
+
 def _lsh_cte(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
     """Shared oracle fragment: the SAME seeded Rademacher planes
     (rademacher_planes is pure driver-side Python, so engine and
@@ -1400,7 +1436,8 @@ _TEXT_STATS_SQL = rf"""
                    FROM (SELECT doc_id, tt, toks, codes,
                                 list_distinct(toks) AS dt FROM tk))
             SELECT doc_id, n AS n_tokens,
-                   CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) <= 0
+                   CASE WHEN coalesce(
+                            greatest(s_en, s_de, s_es, s_fr, s_zh), 0) <= 0
                           THEN 'und'
                         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
                           THEN 'en'
@@ -1480,7 +1517,8 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE (corr - mn)/(mx - mn) END AS sc
                      FROM w WHERE corr >= mean_ + 2.0*std_),
             dim AS (SELECT p_partkey AS id, p_name AS key FROM part
-                    QUALIFY ROW_NUMBER() OVER (PARTITION BY p_name
+                    QUALIFY p_name IS NULL
+                            OR ROW_NUMBER() OVER (PARTITION BY p_name
                                                ORDER BY p_partkey) = 1)
             SELECT f.item_b AS item_b_id, d.key AS item_name,
                    ROUND(f.sc, 6) AS scaled_score
@@ -1861,22 +1899,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             WHERE rn <= 10
         """,
-        "ann_dup_pairs": f"""
-            WITH {_EMB_BASE}
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)
-                     AS cosine
-            FROM nb a JOIN nb b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
-        """,
-        "ann_dup_pairs_trained": f"""
-            WITH {_EMB_BASE}
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ROUND(list_dot_product(a.v, b.v)/(a.norm*b.norm), 6)
-                     AS cosine
-            FROM nb a JOIN nb b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.v, b.v)/(a.norm*b.norm) >= 0.4
-        """,
+        "ann_dup_pairs": _EXACT_DUP_PAIRS_SQL,
+        # the gate config's pigeonhole guarantee (3+3>4 probed lists)
+        # makes the trained path's emitted set EQUAL the exact set —
+        # one shared literal, not a hand-kept copy
+        "ann_dup_pairs_trained": _EXACT_DUP_PAIRS_SQL,
         "ann_dup_clusters": f"""
             WITH RECURSIVE {_EMB_BASE},
             pairs AS (SELECT a.vec_id AS pu, b.vec_id AS pv
@@ -1947,11 +1974,12 @@ def oracle_sql() -> dict[str, str]:
                      b.vec_id ASC
             LIMIT 10
         """,
-        "corr_pairs_cross_set": f"""
-            WITH occ AS (SELECT l_orderkey AS ref, l_partkey AS item
+        "corr_pairs_cross_set": """
+            WITH mo AS (SELECT MAX(l_partkey) + 1 AS off FROM lineitem),
+            occ AS (SELECT l_orderkey AS ref, l_partkey AS item
                          FROM lineitem
                          UNION ALL
-                         SELECT l_orderkey, l_suppkey + {CROSS_SET_OFFSET}
+                         SELECT l_orderkey, l_suppkey + (SELECT off FROM mo)
                          FROM lineitem),
             cells AS (SELECT item, ref, COUNT(*)::DOUBLE AS cnt
                       FROM occ GROUP BY 1, 2),
@@ -1969,8 +1997,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((n.n*g.dot - a.s*b.s)/(a.den*b.den), 6) AS corr
             FROM gram g JOIN vs a ON g.item_a = a.item
             JOIN vs b ON g.item_b = b.item, nn n
-            WHERE g.item_a < {CROSS_SET_OFFSET}
-              AND g.item_b >= {CROSS_SET_OFFSET}
+            WHERE g.item_a < (SELECT off FROM mo)
+              AND g.item_b >= (SELECT off FROM mo)
         """,
         # identical values must survive the CSV round trip, so the
         # oracle is exactly the candidates query the model was built by

@@ -32,12 +32,29 @@ def build_cells(occurrences: DataFrame, ctx_col: str = "reference_id") -> DataFr
     )
 
 
-def vstack(cells_a: DataFrame, cells_b: DataFrame, offset: int) -> DataFrame:
+def vstack(
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    offset: int,
+    validate: bool = False,
+) -> DataFrame:
     """Union a second item-set before correlating (reference
     propius/similarity.py:28-29 `sparse.vstack`). Set B's item ids are
-    shifted by `offset` so the two id spaces cannot collide — the
-    distributed analogue of stacking matrix rows.
+    shifted by `offset` so the two id spaces cannot collide — PROVIDED
+    ``offset`` exceeds set A's max item id. That is the CALLER's
+    contract (derive it from the data: ``max(item_id) + 1`` — a fixed
+    constant silently corrupts the stack the day the id space outgrows
+    it, and since both colliding items' cells merge, downstream
+    correlations are wrong with no error). ``validate=True`` asserts
+    it eagerly (one max-aggregate job over set A).
     """
+    if validate:
+        mx = cells_a.agg(F.max("item_id").alias("m")).first().m
+        if mx is not None and mx >= offset:
+            raise ValueError(
+                f"vstack: offset {offset} <= max item_id {mx} of set A — "
+                "the id spaces would collide; use max(item_id) + 1"
+            )
     shifted = cells_b.withColumn("item_id", (F.col("item_id") + F.lit(offset)).cast("long"))
     return cells_a.select("item_id", "ctx_id", "cnt").unionByName(
         shifted.select("item_id", "ctx_id", "cnt")

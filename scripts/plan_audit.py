@@ -45,9 +45,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = os.environ.get("PROPIUS_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
+# note: applyInPandasWithState prints FlatMapGroupsInPandasWithState —
+# the plain FlatMapGroupsInPandas alternative prefix-matches it, and
+# the explicit spelling keeps the count correct if the regex is ever
+# anchored or reordered
 PY_NODES = re.compile(
-    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
-    r"|FlatMapGroupsWithStateInPandas|BatchEvalPython"
+    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandasWithState"
+    r"|FlatMapGroupsInPandas|BatchEvalPython"
 )
 
 
@@ -56,6 +60,11 @@ def main() -> None:
     from propius_spark.session import clear_materialized, get_spark
 
     only = set(sys.argv[1:])
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # a typo'd name must not produce an empty "no regressions"
+        # audit that exits 0
+        raise SystemExit(f"plan_audit: unknown queries {sorted(unknown)}")
     spark = get_spark("plan_audit", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict[str, int]] = {}

@@ -99,10 +99,17 @@ def main() -> int:
             orows = ores.fetchall()
             _pandas_canon(scols, srows)
             _pandas_canon(ocols, orows)
+            # column check FIRST: building `order` on mismatched
+            # columns raised StopIteration into the broad except,
+            # burying this purpose-built diagnostic under an ERR
+            ok_cols = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
+            if not ok_cols:
+                print(f"{name}: FAIL cols spark={scols} oracle={ocols}")
+                n_fail += 1
+                continue
             order = [ocols.index(next(o for o in ocols if o.lower() == c.lower()))
                      for c in sorted(scols, key=str.lower)]
             sorder = [scols.index(c) for c in sorted(scols, key=str.lower)]
-            ok_cols = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
             got = _norm([[r[i] for i in sorder] for r in srows], len(scols))
             want = _norm([[r[i] for i in order] for r in orows], len(scols))
             # driver also compares types via the value hash: surface
@@ -111,10 +118,7 @@ def main() -> int:
                 (g, w) for g, w in zip(got, want)
                 if tuple(type(x) for x in g) != tuple(type(x) for x in w)
             ]
-            if not ok_cols:
-                print(f"{name}: FAIL cols spark={scols} oracle={ocols}")
-                n_fail += 1
-            elif len(got) != len(want):
+            if len(got) != len(want):
                 print(f"{name}: FAIL rows spark={len(got)} oracle={len(want)}")
                 n_fail += 1
             elif got != want:

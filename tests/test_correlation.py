@@ -269,3 +269,17 @@ def test_encode_contexts_drops_null_refs_keeps_dense_ids(spark):
     assert len(rows) == 3  # the null-ref row is gone
     ids = {r.reference_id: r.ctx_id for r in rows}
     assert ids == {"a": 0, "b": 1}  # dense, 0-based
+
+
+def test_vstack_validate_catches_collision(spark):
+    import pytest
+
+    from propius_spark.operators import vstack
+
+    a = spark.createDataFrame([(10, 1, 1)], "item_id long, ctx_id long, cnt long")
+    b = spark.createDataFrame([(3, 1, 1)], "item_id long, ctx_id long, cnt long")
+    with pytest.raises(ValueError, match="collide"):
+        vstack(a, b, offset=5, validate=True)
+    # valid offset passes and shifts
+    rows = {r.item_id for r in vstack(a, b, offset=11, validate=True).collect()}
+    assert rows == {10, 14}
