@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -540,3 +541,79 @@ def test_lsh_buckets_invariant_under_positive_scaling(spark, seed, scale_seed):
     a = sorted(map(tuple, hyperplane_lsh_buckets(base, 8, 2, seed=5).collect()))
     b = sorted(map(tuple, hyperplane_lsh_buckets(scaled, 8, 2, seed=5).collect()))
     assert a == b
+
+
+key_sets = st.lists(
+    st.integers(0, 2**62), min_size=1, max_size=300, unique=True
+)
+
+
+@given(keys=key_sets, n_shards=st.integers(1, 16))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_shuffle_shards_is_permutation_for_any_keys(spark, keys, n_shards):
+    """(shard, pos) is a bijection onto ⋃_s ({s} × [0, |s|)) for ANY
+    unique key set (huge ids included), and identical under
+    re-partitioning — the reproducible-permutation contract."""
+    from propius_spark.operators import shuffle_shards
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    out = shuffle_shards(df, n_shards=n_shards, key_col="doc_id").collect()
+    assert len(out) == len(keys)
+    seen = {}
+    for r in out:
+        assert 0 <= r.shard < n_shards
+        seen.setdefault(r.shard, set()).add(r.pos)
+    for shard, poss in seen.items():
+        assert poss == set(range(len(poss)))  # dense, no gaps/dups
+    again = shuffle_shards(
+        df.repartition(5), n_shards=n_shards, key_col="doc_id"
+    ).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+
+
+@given(
+    sizes=st.tuples(
+        st.integers(1, 400), st.integers(1, 400), st.integers(1, 400)
+    ),
+    t=st.tuples(
+        st.floats(0.05, 0.9), st.floats(0.05, 0.9), st.floats(0.05, 0.9)
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_mix_sources_never_exceeds_group_budgets(spark, sizes, t):
+    """For any group sizes and positive targets: every group keeps at
+    most its own rows, at most ceil(S·t_g)+1 rows (floor arithmetic
+    slack), the binding group's keep-rate is ~1, and the output is a
+    subset of the input chosen deterministically."""
+    from propius_spark.operators import mix_sources
+
+    total_t = sum(t)
+    targets = {f"g{i}": ti / total_t for i, ti in enumerate(t)}
+    rows, base = [], 0
+    for i, n in enumerate(sizes):
+        rows += [(base + j, f"g{i}") for j in range(n)]
+        base += 10_000
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(df, targets, group_col="source", key_col="doc_id")
+    got = {r.source: r.cnt for r in out.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    s_cap = min(int(n // targets[f"g{i}"]) for i, n in enumerate(sizes))
+    for i, n in enumerate(sizes):
+        kept = got.get(f"g{i}", 0)
+        assert kept <= n
+        # the cut never ADMITS more than the budget (bucket arithmetic
+        # only under-fills); +1 slack for the floor on the cut itself
+        exp = s_cap * targets[f"g{i}"]
+        assert kept <= math.ceil(exp) + max(1, int(0.2 * exp + 3))
+    # deterministic subset
+    ids = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in mix_sources(df.repartition(7), targets,
+                             group_col="source", key_col="doc_id").collect()
+    )
+    assert ids == ids2
