@@ -2015,23 +2015,30 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256_hex
             FROM documents
         """,
+        # decode/resize/frames/search: the fake kernels hash
+        # `payload or b''` — NULL text is the EMPTY payload, so the
+        # oracles hash coalesce(text, '') in lockstep (multimodal_meta
+        # alone keeps raw NULLs: its engine side never coalesces)
         "multimodal_decode": """
             SELECT doc_id AS media_id, 'image' AS modality,
                    list_sum(list_transform(range(0, 16),
-                     j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
+                     j -> ('0x' || substr(sha256(coalesce(text, '')),
+                                          j*2+1, 2))::INT)
                      )::BIGINT AS pixel_sum
             FROM documents
         """,
         "multimodal_resize": """
             SELECT doc_id AS media_id, 5::INT AS width, 8::INT AS height,
                    40::INT AS n_bytes,
-                   upper(sha256(text) || substr(sha256(text), 1, 16))
+                   upper(sha256(coalesce(text, ''))
+                         || substr(sha256(coalesce(text, '')), 1, 16))
                      AS payload_hex
             FROM documents
         """,
         "multimodal_search": """
             WITH raw AS (SELECT doc_id, list_transform(range(0, 8),
-                           j -> ('0x' || substr(sha256(text), j*2+1, 2))::INT)
+                           j -> ('0x' || substr(sha256(coalesce(text, '')),
+                                                j*2+1, 2))::INT)
                            AS b
                          FROM documents),
             nz AS (SELECT doc_id, b,
@@ -2058,7 +2065,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": """
             SELECT doc_id AS media_id, fi::INT AS frame_idx,
                    'image' AS modality, 32::INT AS n_bytes,
-                   upper(sha256(text || ':' || fi)) AS frame_hex
+                   upper(sha256(coalesce(text, '') || ':' || fi))
+                     AS frame_hex
             FROM documents,
                  LATERAL unnest(range(0, 1 + doc_id % 12, 4)) AS t(fi)
         """,

@@ -73,9 +73,9 @@ def main() -> None:
     except Exception:
         pass
 
-    failures: dict[str, str] = {}
-
-    def run_suite(d: str) -> dict[str, float]:
+    def run_suite(d: str, failures: dict[str, str]) -> dict[str, float]:
+        # per-suite failures dict: the secondary SF's failures must not
+        # be mis-attributed to (or hidden by) the primary's
         timings: dict[str, float] = {}
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
@@ -109,7 +109,8 @@ def main() -> None:
     # estimator for a cold external disturbance; both raw totals are
     # kept in `runs` for transparency.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    passes = [run_suite(sf_dir) for _ in range(max(1, n_runs))]
+    failures: dict[str, str] = {}
+    passes = [run_suite(sf_dir, failures) for _ in range(max(1, n_runs))]
     # min over the passes a query SUCCEEDED in (a query that failed
     # one pass still reports its good pass; failed-everywhere queries
     # appear only under `failures`)
@@ -132,12 +133,15 @@ def main() -> None:
         "SPARK_GRAFT_SECONDARY_SF_DIR", "/root/testdata/sf0.01"
     )
     if sec_dir and os.path.isdir(sec_dir) and sec_dir != sf_dir:
-        sec = run_suite(sec_dir)
+        sec_failures: dict[str, str] = {}
+        sec = run_suite(sec_dir, sec_failures)
         result["secondary"] = {
             "sf": sf_of(sec_dir),
             "value": round(sum(sec.values()), 3),
             "queries": sec,
         }
+        if sec_failures:
+            result["secondary"]["failures"] = sec_failures
     print(json.dumps(result))
     spark.stop()
 

@@ -405,12 +405,11 @@ def knn_join(
             kk = min(k, sims.shape[0])
             for j in range(len(b_qids)):
                 col = sims[:, j]
-                skey = col
                 # partial select then exact (cosine desc, id asc) order
-                cand = np.argpartition(-skey, kk - 1)[:kk] if kk < len(skey) else np.arange(len(skey))
-                order = np.lexsort((ids[cand], -skey[cand]))[:kk]
+                cand = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+                order = np.lexsort((ids[cand], -col[cand]))[:kk]
                 sel = cand[order]
-                keep = skey[sel] > -np.inf
+                keep = col[sel] > -np.inf
                 out_q.extend([b_qids[j]] * int(keep.sum()))
                 out_v.extend(ids[sel][keep].tolist())
                 out_c.extend(col[sel][keep].tolist())

@@ -72,20 +72,29 @@ def save_reference_matrix(
         path = path + ".npy"
     # size check via a distributed aggregate BEFORE collect(): the
     # guard exists to prevent a driver OOM, so it must run before the
-    # driver materializes anything pair-cardinality
+    # driver materializes anything pair-cardinality. The frame is
+    # persisted across the guard + collect pair — without it the whole
+    # upstream pipeline (possibly a full model build) executes twice.
     n = n_items
     if n is None:
-        agg = pairs.agg(
-            F.max(F.greatest("item_a", "item_b")).alias("mx")
-        ).first()
-        n = 1 + (agg.mx if agg.mx is not None else -1)
-    if n > max_items:
-        raise ValueError(
-            f"dense interchange refused for {n} items "
-            f"(> max_items={max_items}); the O(I^2) matrix would not be "
-            "driver-sized — use save_pairs (long-form parquet) instead"
-        )
-    rows = pairs.select("item_a", "item_b", "corr").collect()
+        pairs = pairs.persist()
+    try:
+        if n is None:
+            agg = pairs.agg(
+                F.max(F.greatest("item_a", "item_b")).alias("mx")
+            ).first()
+            n = 1 + (agg.mx if agg.mx is not None else -1)
+        if n > max_items:
+            raise ValueError(
+                f"dense interchange refused for {n} items "
+                f"(> max_items={max_items}); the O(I^2) matrix would not "
+                "be driver-sized — use save_pairs (long-form parquet) "
+                "instead"
+            )
+        rows = pairs.select("item_a", "item_b", "corr").collect()
+    finally:
+        if n_items is None:
+            pairs.unpersist()
     m = np.full((n, n), fill, dtype="float64")
     np.fill_diagonal(m, 1.0)
     for r in rows:

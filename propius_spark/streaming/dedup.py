@@ -15,12 +15,19 @@ explicit and standard: a duplicate recurring further apart than the
 watermark horizon is re-admitted (cross-horizon dedup is the batch
 job's role on the landed data). The state key is the SAME content
 address the whole batch family stands on — sha2-256 over
-coalesce(text, '') (operators/dedup.py content_keys): 32-byte state
-rows instead of 8, in exchange for the family's adversarial-collision
-posture (xxhash64 admits engineered collisions that would silently
-drop real documents at ingest) and its null-text ≡ '' identity, so
-"dedup at ingest, re-dedup in batch" pipelines agree at every
-boundary.
+coalesce(text, '') (operators/dedup.py content_address), stored as
+the 32-byte unhexed digest: true 32-byte state rows, the family's
+adversarial-collision posture (xxhash64 admits engineered collisions
+that would silently drop real documents at ingest), and its
+null-text ≡ '' identity, so "dedup at ingest, re-dedup in batch"
+pipelines agree at every boundary.
+
+Checkpoint migration: the round-3 key change (xxhash64 long →
+sha2-256 binary) changes the state schema, so checkpoints written by
+the old key CANNOT resume — Spark's state-schema validation fails the
+restart. Deliberate: correctness of the dedup identity beats
+continuity of the dedup horizon; start a fresh checkpoint and accept
+one horizon of re-admitted duplicates (the batch dedup catches them).
 """
 
 from __future__ import annotations
@@ -53,7 +60,7 @@ def dedup_stream(
     from ..operators.dedup import content_address
 
     return (
-        docs.withColumn("__h", content_address(F.col(text_col)))
+        docs.withColumn("__h", F.unhex(content_address(F.col(text_col))))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")

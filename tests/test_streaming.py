@@ -358,7 +358,8 @@ def test_model_refresh_releases_only_its_own_blocks(spark, tmp_path):
     )
     q.awaitTermination()
     after = persistent_rdd_ids(spark)
-    # the bystander's blocks survived; the refresh's own are released
-    assert before <= after or before & after == before
+    # the refresh's OWN blocks are gone (a no-op release would leave
+    # them: after ⊋ before) and the bystander's survive untouched
+    assert after == before
     assert mine.count() == 1  # still usable (blocks not evicted)
     mine.unpersist()
