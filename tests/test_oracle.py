@@ -111,6 +111,12 @@ def test_register_model_views_sql_serving(spark, tmp_path):
     clear_materialized(spark)
     register_model_views(spark, paths)
 
+    # SELECT * shape = the reference's 3-column DDL: the bucketed
+    # store's internal layout columns must not leak into the view
+    assert sorted(spark.table("similar_items").columns) == [
+        "item_a_id", "item_b_id", "scaled_score",
+    ]
+
     row = spark.sql(
         """SELECT COUNT(*) AS total_similarities,
                   (SELECT COUNT(*) FROM correlated_items) AS total_items
