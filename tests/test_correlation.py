@@ -31,7 +31,7 @@ FIXTURE_ROWS = [
 ]
 
 
-def crosstab_numpy(rows, encoding: str) -> np.ndarray:
+def crosstab_numpy(rows, encoding: str) -> tuple:
     """Dense crosstab for oracle math. encoding: 'distinct' (engine
     default: one column per distinct reference_id) or 'replay'
     (reference run-length serials)."""

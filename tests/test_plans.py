@@ -71,9 +71,11 @@ def test_serving_pushdown_and_broadcast(spark, sf_dir):
         F.col("corr").alias("scaled_score"),
     )
     plan = _plan(retrieve_similar_items(sims, dim, item_id=1, limit=5))
-    assert "PushedFilters: [IsNotNull(p_partkey)" in plan or (
-        "PushedFilters:" in plan and "p_partkey" in plan
-    )
+    # the pushed predicate must mention the id column INSIDE the
+    # PushedFilters list — "p_partkey somewhere in the plan" was
+    # vacuously true via the scan's ReadSchema line
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("p_partkey" in ln for ln in pushed), pushed
     assert "BroadcastHashJoin" in plan
     # distributed top-k, not a global sort
     assert "TakeOrderedAndProject" in plan
@@ -111,8 +113,14 @@ def test_parity_paths_are_python_free(spark, sf_dir):
     multimodal decode)."""
     parity = [
         "corr_pairs_parts",
+        "corr_pairs_cross_set",
         "similar_candidates_events",
+        "similar_one_part",
+        "similar_exact_parts",
+        "similar_topk_per_item",
         "retrieve_topk_part",
+        "retrieve_topk_batch",
+        "publish_retrieve",
         "item_info",
         "search_items",
         "db_stats",
@@ -120,9 +128,11 @@ def test_parity_paths_are_python_free(spark, sf_dir):
         "dedup_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_clusters",
         "text_doc_stats",
         "ann_cosine_topk",
         "sessionize_events",
+        "model_roundtrip",
     ]
     qs = entrymod.queries()
     offending = {}
@@ -208,10 +218,11 @@ def test_new_text_ops_plan_shape(spark, sf_dir):
 
     def _n_shuffles(plan):
         # formatted mode prints shuffle nodes as "Exchange (n)" /
-        # "(n) Exchange"; broadcast exchanges are "BroadcastExchange"
-        return len(re.findall(r"\bExchange\b", plan)) - plan.count(
-            "BroadcastExchange"
-        )
+        # "(n) Exchange". \bExchange\b already cannot match inside
+        # "BroadcastExchange" (no word boundary at "tE"), so
+        # subtracting its count here DOUBLE-counted the correction and
+        # understated real shuffles whenever a broadcast was present
+        return len(re.findall(r"\bExchange\b", plan))
 
     cap = _plan(
         cap_per_group(

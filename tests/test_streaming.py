@@ -73,12 +73,12 @@ def test_windowed_event_counts_batch_equivalence(spark, sf_dir):
     plain window groupBy."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     got = windowed_event_counts(ev, "1 hour", "10 minutes")
-    # normalize exactly like the operator: long nanos → micros
-    # timestamp; native timestamp/timestamp_ntz pass through
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        ev_ts = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        ev_ts = ev
+    # normalize THROUGH the operator's own path (_ts_micros) — a
+    # hand-rolled copy here silently diverged the expected side the
+    # day the operator's encoding handling changed
+    from propius_spark.operators.sessions import _ts_micros
+
+    ev_ts = ev.withColumn("ts", F.timestamp_micros(_ts_micros(ev, "ts")))
     want = (
         ev_ts.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
