@@ -34,7 +34,7 @@ from propius_spark.functions import (
     subword_token_count,
     token_count,
 )
-from propius_spark.functions.text import SUBWORD_RE
+from propius_spark.functions.text import SUBWORD_RE, WS_CLASS
 from propius_spark.operators import (
     asof_join,
     assign_centroids,
@@ -1461,7 +1461,7 @@ _TEXT_STATS_SQL = rf"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "corr_pairs_parts": f"""
             {_MODEL}
             SELECT g.item_a, g.item_b,
@@ -1602,7 +1602,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(regexp_replace(regexp_replace(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                      '<EMAIL>', 'g'),
-                     'https?://[^\s]+', '<URL>', 'g'),
+                     'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
                      '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g')
                      AS text
             FROM documents
@@ -2296,14 +2296,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_doc_stats": _TEXT_STATS_SQL,
         # subword classes interpolate functions/text.py's SUBWORD_RE —
-        # ONE definition for engine and oracle
+        # ONE definition for engine and oracle. The subword match runs
+        # over RAW text (no lower()): JVM vs utf8proc lower() diverge
+        # on İ/ẞ/ς-class code points, which shifted letter-run lengths
+        # and flipped the r3 driver hash (SUBWORD_RE is case-complete
+        # by class instead).
         "token_estimates": f"""
             SELECT doc_id,
                    COALESCE(len(list_filter(
                        string_split_regex(lower(text), '\\s+'),
                        t -> t <> '')), 0) AS n_tokens,
                    COALESCE(list_sum(list_transform(
-                       regexp_extract_all(lower(text), '{SUBWORD_RE}'),
+                       regexp_extract_all(text, '{SUBWORD_RE}'),
                        p -> CAST(ceil(len(p)/4.0) AS BIGINT))), 0)
                      AS n_subword
             FROM documents
@@ -2388,3 +2392,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
     }
+    # Rewrite the readable `\s` in every oracle regex to the explicit
+    # whitespace class shared with the engine (functions/text.py
+    # WS_CLASS): RE2's \s lacks \x0B while Java's includes it, so the
+    # shorthand silently diverges per engine. Rewriting at return time
+    # keeps every present and future twin in lock-step by construction
+    # (`\s` appears only in regex positions in these bodies).
+    return {k: v.replace(r"\s", WS_CLASS) for k, v in sql.items()}

@@ -18,6 +18,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Explicit whitespace character set shared by every engine-side regex
+# AND every oracle twin.  Spelled out because the two regex engines in
+# play disagree on the shorthand: Java's \s is [ \t\n\x0B\f\r] while
+# RE2's (DuckDB) \s lacks \x0B (vertical tab) — so a `\s` inside a
+# split or a negated class silently classifies \x0B differently per
+# engine.  Both dialects parse these escapes identically, so the
+# explicit class is bit-portable.  __spark_entry__.oracle_sql()
+# rewrites the readable `\s` in its SQL bodies to this class at
+# return time, keeping the two sides in lock-step by construction.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_CLASS = "[" + WS_CHARS + "]"
+
 # Small public stopword lists; membership ratio is the classic cheap
 # language-ID heuristic (n-gram models are the heavier path — see
 # simhash/minhash for the n-gram machinery).
@@ -49,7 +61,7 @@ def tokens(text: Column) -> Column:
     guard here treats both as "no tokens" (>= 0 filters,
     greatest(x, 0), explicit coalesce)."""
     return F.filter(
-        F.split(F.lower(text), r"\s+"), lambda x: x != ""
+        F.split(F.lower(text), WS_CLASS + "+"), lambda x: x != ""
     )
 
 
@@ -60,16 +72,27 @@ def token_count(text: Column) -> Column:
 SUBWORD_CHUNK = 4
 # GPT-2-style pre-tokenizer classes, portable Java-regex ∩ RE2 subset:
 # letter runs, digit runs, single non-space punctuation. Kept in sync
-# with the oracle twin (__spark_entry__ token_estimates).
-SUBWORD_RE = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-zÀ-ɏ0-9]"
+# with the oracle twin (__spark_entry__ token_estimates) — the oracle
+# interpolates THIS constant, one definition for both engines. The
+# whitespace piece is the explicit WS_CHARS class (Java/RE2 \s differ
+# on \x0B), and the match runs over the RAW text — no lower() — since
+# JVM String.toLowerCase and DuckDB's utf8proc lower() disagree on a
+# handful of code points (İ→"i̇" vs "i", Σ-final-sigma context rules),
+# which shifts letter-run lengths and flipped the r3 driver hash. The
+# letter class [A-Za-zÀ-ɏ] is case-complete within its own range, so
+# dropping lower() only reclassifies exotic out-of-range letters
+# (e.g. ẞ U+1E9E) — identically in both engines, which is the
+# contract that matters.
+SUBWORD_RE = r"[A-Za-zÀ-ɏ]+|[0-9]+|[^" + WS_CHARS + r"A-Za-zÀ-ɏ0-9]"
 
 
 def subword_tokens(text: Column) -> Column:
-    """BPE-ish pre-token pieces of lowercased text: letter runs, digit
+    """BPE-ish pre-token pieces of the raw text: letter runs, digit
     runs, and single punctuation marks (the GPT-2 pre-tokenizer's
     classes, minus English contractions, in a regex subset both Java
-    and RE2 parse identically)."""
-    return F.regexp_extract_all(F.lower(text), F.lit(SUBWORD_RE), 0)
+    and RE2 parse identically). Case-insensitive by class construction
+    rather than by lower() — see SUBWORD_RE."""
+    return F.regexp_extract_all(text, F.lit(SUBWORD_RE), 0)
 
 
 def subword_token_count(text: Column) -> Column:
@@ -121,7 +144,7 @@ def fingerprint(text: Column) -> Column:
     minhash/simhash set sketches) — the classic document fingerprint.
     Pure fold over built-in arrays: map-side, codegen'd, and bit-equal
     in the DuckDB oracle (list_reduce over unicode code points)."""
-    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(text)), WS_CLASS + "+", " ")
     codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
     return F.aggregate(
         codes,
@@ -144,7 +167,7 @@ def quality_score(text: Column) -> Column:
     toks = tokens(text)
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
-    chars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    chars = F.length(F.regexp_replace(F.trim(text), WS_CLASS + "+", ""))
     alpha = F.length(
         F.regexp_replace(F.trim(text), r"[^A-Za-zÀ-ɏ一-鿿]", "")
     )

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, lang_id, quality_score, token_count
+from ..functions.text import (
+    WS_CHARS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
 from ..schemas import require_columns
 
 
@@ -231,7 +237,9 @@ def corpus_summary(
 # regexp_replace and the oracle's produce identical text
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("url", r"https?://[^\s]+", "<URL>"),
+    # whitespace spelled as the shared explicit class (functions/text
+    # WS_CHARS): Java's \s includes \x0B, RE2's does not
+    ("url", r"https?://[^" + WS_CHARS + r"]+", "<URL>"),
     ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
 )
 

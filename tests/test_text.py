@@ -383,3 +383,78 @@ def test_vocabulary_limit_zero_and_corpus_summary_without_ids(spark):
     # corpus_summary never touches doc ids; a (group, text) frame works
     rows = corpus_summary(docs, group_col="lang").collect()
     assert len(rows) == 1 and rows[0].n_docs == 2
+
+
+# --- cross-engine hostile-Unicode parity (round-4 red-row regression) ---
+#
+# Round 3's one red driver row (token_estimates) came from two
+# cross-engine divergences invisible on the local replica's data:
+# Java-regex \s includes \x0B while DuckDB/RE2's does not, and JVM
+# toLowerCase vs utf8proc lower() disagree on İ/ẞ/ς-class code points.
+# This test feeds a hostile corpus through the ENGINE expressions
+# (Spark) and the PRODUCTION oracle twin (DuckDB, verbatim from
+# __spark_entry__.oracle_sql) and asserts identical counters, so the
+# replica catches this class locally even when the driver's sampled
+# data happens to avoid it.
+
+HOSTILE_TEXTS = [
+    None,
+    "",
+    "\x0b",  # vertical tab: the Java-vs-RE2 \s divergence char
+    "a\x0bb",
+    " a \x0b b\t\nc ",
+    " ",  # NBSP: non-whitespace in BOTH engines' classes
+    "foo bar",
+    "İstanbul Iı İİ",  # dotted capital I
+    "STRAẞE straße",  # capital sharp s vs ß
+    "ΟΔΟΣ οδος ςΣ",  # final sigma / context-sensitive Σ
+    "café café",  # combining acute vs precomposed é
+    "é́́",  # stacked combining marks
+    "mixed \x0b  İẞς 1a2b3c .,;!?",
+    " line seps",  # LS/PS: not in either \s
+    "tabs\tand\x0bvtabs\x0band\fff",
+]
+
+
+def test_token_counters_match_duckdb_on_hostile_unicode(spark):
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from propius_spark.functions.text import subword_token_count
+
+    rng = random.Random(0xC0FFEE)  # deterministic "property" corpus
+    alphabet = list(" \t\n\x0b\f\r   ") + list(
+        "abzXYZ09.,!İıẞßςΣο"
+        "́éÀɏ一"
+    )
+    texts = HOSTILE_TEXTS + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    sdf = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.greatest(
+            token_count(F.col("text")).cast("long"), F.lit(0).cast("long")
+        ).alias("n_tokens"),
+        subword_token_count(F.col("text")).alias("n_subword"),
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_subword"]) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con.register("documents", pdf)
+    sql = entrymod.oracle_sql()["token_estimates"]
+    want = {
+        int(d): (int(nt), int(ns))
+        for d, nt, ns in con.execute(sql).fetchall()
+    }
+    assert len(got) == len(want) == len(texts)
+    diffs = {
+        i: (texts[i], got[i], want[i]) for i in want if got[i] != want[i]
+    }
+    assert not diffs, f"engine/oracle counter divergence: {diffs}"
