@@ -45,6 +45,11 @@ from ..plans import materialize, persist_big
 # h_i(x) = (A[i]·x + B[i]) mod P — fixed public parameters so engine
 # and oracle agree. P = 2³¹ − 1 (Mersenne prime); products stay < 2⁶³.
 MINHASH_PRIME = 2_147_483_647
+# dict-mode dictionaries rank on ONE task by design (the oracle replays
+# the lexicographic ids); past this bound the plan raises instead of
+# silently sorting an unbounded dictionary on a single core — switch
+# to id_mode='xxhash' (stateless, no dictionary) at that scale
+DICT_RANK_MAX = 10_000_000
 MINHASH_A = [
     2654435761, 2246822519, 3266489917, 668265263, 374761393, 3141592653,
     2718281829, 1597334677, 2869860233, 1120485391, 2099109841, 1327217885,
@@ -152,7 +157,9 @@ def shingles(
 def shingle_ids(sh: DataFrame, id_mode: str = "xxhash") -> DataFrame:
     """(doc_id, sid long). 'dict': dense_rank over the distinct
     shingle strings (oracle-comparable; global sort over the shingle
-    *dictionary*, which is ≪ corpus). 'xxhash': stateless 64-bit hash
+    *dictionary*, which is ≪ corpus — `bounded_rank`-guarded, since
+    the lexicographic rank the oracle replays cannot be partitioned
+    without changing the ids). 'xxhash': stateless 64-bit hash
     (production scale path, no sort, no dictionary)."""
     if id_mode == "xxhash":
         # reduce into [0, P) so minhash's a·sid + b stays < 2⁶³ under
@@ -161,9 +168,15 @@ def shingle_ids(sh: DataFrame, id_mode: str = "xxhash") -> DataFrame:
         return sh.select(
             "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)).alias("sid")
         )
+    from ..plans import bounded_rank
+
     dict_df = sh.select("shingle").distinct().select(
         "shingle",
-        F.dense_rank().over(Window.orderBy("shingle")).cast("long").alias("sid"),
+        bounded_rank(
+            F.dense_rank().over(Window.orderBy("shingle")).cast("long"),
+            DICT_RANK_MAX,
+            "shingle_ids(id_mode='dict')",
+        ).alias("sid"),
     )
     return sh.join(dict_df, "shingle").select("doc_id", "sid")
 
@@ -494,8 +507,15 @@ def simhash(
             "doc_id", "cnt", (F.pmod(F.xxhash64("tok"), F.lit(MINHASH_PRIME))).alias("tid")
         )
     else:
+        from ..plans import bounded_rank
+
         d = toks.select("tok").distinct().select(
-            "tok", F.dense_rank().over(Window.orderBy("tok")).cast("long").alias("tid")
+            "tok",
+            bounded_rank(
+                F.dense_rank().over(Window.orderBy("tok")).cast("long"),
+                DICT_RANK_MAX,
+                "simhash(id_mode='dict')",
+            ).alias("tid"),
         )
         coded = toks.join(d, "tok").select("doc_id", "cnt", "tid")
     # TWO hash lanes, 16 live bits each: a single (a·tid+b) mod 2³¹−1

@@ -354,9 +354,14 @@ def vocabulary(
     token-key shuffle, and (with ``limit``) a distributed top-k rather
     than a global sort. The rank window's single-partition scope only
     ever sees the post-filter vocabulary (≪ corpus) — cap it with
-    ``limit``/``min_count`` at scale."""
-    from ..functions.text import tokens
+    ``limit``/``min_count`` at scale; the plan itself raises via
+    `plans.bounded_rank` if the post-filter vocabulary still exceeds
+    the documented single-task bound."""
     from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+    from ..plans import bounded_rank
+    from .dedup import DICT_RANK_MAX
 
     require_columns(docs, [text_col], "vocabulary")
     counts = (
@@ -366,9 +371,20 @@ def vocabulary(
         .filter(F.col("count") >= min_count)
     )
     w = Window.orderBy(F.desc("count"), F.asc("token"))
-    ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    raw = F.row_number().over(w).cast("long")
     # `is not None`, not truthiness: limit=0 must cap to zero rows,
     # not silently return the full unbounded vocabulary
+    if limit is not None and limit <= DICT_RANK_MAX:
+        # filter on the BARE row_number so Catalyst's rank pushdown
+        # (WindowGroupLimit) still pattern-matches — every upstream
+        # partition is pruned to its top-`limit` rows before the
+        # single-partition window, so the single-task bound holds by
+        # construction and wrapping the rank in the guard's CASE would
+        # only defeat that optimization
+        return counts.withColumn("rank", raw).filter(F.col("rank") <= limit)
+    ranked = counts.withColumn(
+        "rank", bounded_rank(raw, DICT_RANK_MAX, "vocabulary")
+    )
     return ranked.filter(F.col("rank") <= limit) if limit is not None else ranked
 
 

@@ -93,3 +93,27 @@ def persist_big(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     return df.persist(StorageLevel.DISK_ONLY)
+
+def bounded_rank(rank: "F.Column", max_n: int, what: str) -> "F.Column":
+    """In-plan size guard for the repo's three deliberate global-rank
+    windows (dict-mode shingle/token dictionaries, vocabulary rank):
+    each ranks a *bounded-by-contract* table (a distinct dictionary or
+    a post-filter vocabulary, ≪ corpus) on one task, which is the
+    right plan while the bound holds and a silent single-task sort
+    past it. The guard turns "silently slow/OOM" into a loud error at
+    exactly the row where the contract breaks, and costs one codegen'd
+    conditional per dictionary row — no extra job, no second pass, so
+    the production xxhash paths and the gate data never notice it.
+    Callers that truly need a larger dictionary should switch to the
+    stateless hash id mode (the scale path) rather than raise the cap.
+    """
+    return F.when(rank <= F.lit(max_n), rank).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{what}: single-task rank window exceeded its "
+                f"documented bound of {max_n} rows (id_mode='dict' and "
+                "unlimited vocabulary() rank on one task; use the hash "
+                "id mode / a LIMIT at this scale)"
+            )
+        )
+    )

@@ -304,3 +304,30 @@ def test_dedup_against_seen_shapes_and_nulls(spark):
     # anti-join would cast hex keys to NULL and report all-fresh
     with pytest.raises(ValueError, match="string"):
         dedup_against(new, old.select("doc_id"))
+
+
+def test_dict_rank_guard_raises_past_bound(spark, monkeypatch):
+    """The dict-mode dictionaries rank on one task BY DESIGN (the
+    oracle replays lexicographic ids); plans.bounded_rank must turn
+    'dictionary outgrew the single-task contract' into a loud error
+    rather than a silent one-core sort. Shrink the bound to trip it
+    on a toy corpus; the same corpora pass untouched at the real
+    bound (every green dict-mode test)."""
+    import pytest
+
+    import propius_spark.operators.dedup as dd
+    from propius_spark.operators.dedup import shingle_ids, shingles, simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta tok{i + 100}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dd, "DICT_RANK_MAX", 3)
+    with pytest.raises(Exception, match="shingle_ids.*documented bound"):
+        # consume sid: count() would column-prune the whole window away
+        # (in which case there is no single-task sort to guard)
+        shingle_ids(shingles(docs, k=3), id_mode="dict").collect()
+    with pytest.raises(Exception, match="simhash.*documented bound"):
+        simhash(docs, id_mode="dict").collect()
+    # xxhash mode has no dictionary and never consults the bound
+    assert shingle_ids(shingles(docs, k=3), id_mode="xxhash").count() > 0

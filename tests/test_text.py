@@ -458,3 +458,25 @@ def test_token_counters_match_duckdb_on_hostile_unicode(spark):
         i: (texts[i], got[i], want[i]) for i in want if got[i] != want[i]
     }
     assert not diffs, f"engine/oracle counter divergence: {diffs}"
+
+
+def test_vocabulary_rank_guard_raises_past_bound(spark, monkeypatch):
+    """vocabulary()'s rank window is single-task over the post-filter
+    vocabulary by contract; past the documented bound the plan raises
+    (plans.bounded_rank) instead of silently sorting an unbounded
+    vocabulary on one core."""
+    import pytest
+
+    import propius_spark.operators.dedup as dd
+    from propius_spark.operators import vocabulary
+
+    docs = spark.createDataFrame(
+        [("a b c d e f g h i j",)], "text string"
+    )
+    monkeypatch.setattr(dd, "DICT_RANK_MAX", 4)
+    with pytest.raises(Exception, match="vocabulary.*documented bound"):
+        # collect, not count: count() prunes the rank column and the
+        # window (and the sort being guarded) with it
+        vocabulary(docs).collect()
+    # a LIMIT below the bound keeps the window inside its contract
+    assert len(vocabulary(docs, limit=3).collect()) == 3
