@@ -1388,12 +1388,13 @@ def _lsh_topk_oracle_sql(query_id: int = 0, k: int = 10) -> str:
             qb AS (SELECT bucket FROM bk WHERE vec_id = {query_id}),
             cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qb USING (bucket)
                      WHERE bk.vec_id <> {query_id}),
-            q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = {query_id})
-            SELECT b.vec_id,
-                   ROUND(list_dot_product(b.v, q.qv)/(b.norm*q.qn), 6) AS cosine
-            FROM nb b JOIN cand USING (vec_id), q
-            ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
-                     b.vec_id ASC
+            q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = {query_id}),
+            cos AS (SELECT b.vec_id,
+                           list_dot_product(b.v, q.qv)/(b.norm*q.qn) AS c
+                    FROM nb b JOIN cand USING (vec_id), q)
+            SELECT vec_id, ROUND(c, 6) AS cosine FROM cos
+            WHERE c IS NOT NULL AND NOT isnan(c)
+            ORDER BY c DESC, vec_id ASC
             LIMIT {k}
         """
 
@@ -1890,14 +1891,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
             FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         """,
+        # the `c IS NOT NULL AND NOT isnan(c)` guard mirrors the
+        # engine's _finite: zero-norm → NULL (both engines), NaN
+        # component → NaN which sorts ABOVE all doubles in both —
+        # degenerate vectors match nothing in either engine
         "ann_cosine_topk": f"""
             WITH {_EMB_BASE},
-            q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = 0)
-            SELECT b.vec_id,
-                   ROUND(list_dot_product(b.v, q.qv)/(b.norm*q.qn), 6) AS cosine
-            FROM nb b, q WHERE b.vec_id <> 0
-            ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
-                     b.vec_id ASC
+            q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = 0),
+            cos AS (SELECT b.vec_id,
+                           list_dot_product(b.v, q.qv)/(b.norm*q.qn) AS c
+                    FROM nb b, q WHERE b.vec_id <> 0)
+            SELECT vec_id, ROUND(c, 6) AS cosine FROM cos
+            WHERE c IS NOT NULL AND NOT isnan(c)
+            ORDER BY c DESC, vec_id ASC
             LIMIT 10
         """,
         "ann_ivf_knn_join": f"""
@@ -2015,14 +2021,15 @@ def oracle_sql() -> dict[str, str]:
                        WHERE rn = 1),
             probes AS (SELECT cid FROM cents, q
                        ORDER BY list_dot_product(cv, qv)/(cn*qn) DESC, cid ASC
-                       LIMIT 2)
-            SELECT b.vec_id,
-                   ROUND(list_dot_product(b.v, q.qv)/(b.norm*q.qn), 6) AS cosine
-            FROM nb b JOIN assign USING (vec_id)
-            JOIN probes ON assign.cid = probes.cid, q
-            WHERE b.vec_id <> 0
-            ORDER BY list_dot_product(b.v, q.qv)/(b.norm*q.qn) DESC,
-                     b.vec_id ASC
+                       LIMIT 2),
+            cos AS (SELECT b.vec_id,
+                           list_dot_product(b.v, q.qv)/(b.norm*q.qn) AS c
+                    FROM nb b JOIN assign USING (vec_id)
+                    JOIN probes ON assign.cid = probes.cid, q
+                    WHERE b.vec_id <> 0)
+            SELECT vec_id, ROUND(c, 6) AS cosine FROM cos
+            WHERE c IS NOT NULL AND NOT isnan(c)
+            ORDER BY c DESC, vec_id ASC
             LIMIT 10
         """,
         "corr_pairs_cross_set": """

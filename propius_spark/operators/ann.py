@@ -50,8 +50,23 @@ def _cosine(dot, na, nb):
     yields NULL cosine in BOTH ANSI and legacy modes — NULL fails
     every `>= threshold` filter and sorts last under `desc`, so such
     vectors match nothing. The plain `/` crashed the whole job with
-    DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode. try_divide only
+    covers the zero-DENOMINATOR case, though: a NaN vector COMPONENT
+    still propagates NaN through the dot product, and NaN sorts ABOVE
+    every double under desc — top-k paths must apply `_finite` so the
+    whole family shares one posture (degenerate vectors match
+    nothing), matching the BLAS kernels' in-kernel exclusion."""
     return F.try_divide(dot, na * nb)
+
+
+def _finite(df: DataFrame, col: str = "cosine") -> DataFrame:
+    """Drop NULL (zero-norm) and NaN (NaN-component) scores before a
+    desc sort: NULL sorts last but still surfaces when candidates < k,
+    and NaN would top-rank. Gives the Catalyst top-k paths the same
+    'degenerate vectors match nothing, k is a cap not a promise'
+    contract the Arrow/BLAS kernels enforce in-kernel."""
+    c = F.col(col)
+    return df.filter(c.isNotNull() & ~F.isnan(c))
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -85,6 +100,7 @@ def cosine_topk(
                 "cosine"
             ),
         )
+        .transform(_finite)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
@@ -770,6 +786,7 @@ def ivf_topk(
                 "cosine"
             ),
         )
+        .transform(_finite)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
@@ -913,6 +930,7 @@ def lsh_topk(
                 "cosine"
             ),
         )
+        .transform(_finite)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

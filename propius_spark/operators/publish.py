@@ -22,11 +22,13 @@ from .similarity import similar_items_exact
 def correlated_items(dictionary: DataFrame) -> DataFrame:
     """Dim table (id, key, human_label). The reference inserts the
     dictionary's positional index as id and the title as key, leaving
-    human_label NULL (propius/data.py:102-110). The reference's UNIQUE
-    index on key admits one row per title in insert order; here the
-    SMALLEST id per key survives — a deterministic rule (plain
-    dropDuplicates keeps an arbitrary row per key, so two publishes of
-    the same dictionary could serve different ids). NULL titles are
+    human_label NULL (propius/data.py:102-110). The reference uses
+    plain INSERTs against a UNIQUE index on key (data.py:110), so a
+    duplicate title raises IntegrityError and aborts its publish; here
+    the SMALLEST id per key survives instead — a deliberate strictness
+    relaxation, not parity, chosen deterministic (plain dropDuplicates
+    keeps an arbitrary row per key, so two publishes of the same
+    dictionary could serve different ids). NULL titles are
     all kept: SQLite's UNIQUE index treats NULLs as mutually distinct
     (the reference inserts every NULL-titled row), and a partitionBy
     window would instead group them together and silently drop all but

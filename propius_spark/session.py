@@ -48,7 +48,18 @@ def release_materialized_since(spark: SparkSession, before: set[int]) -> int:
     the caller's materialized frames (localCheckpoint blocks have
     truncated lineage — they cannot be recomputed, so eviction is
     data loss, not just a slowdown) and the whole CacheManager.
-    Returns the number of RDDs released."""
+    Returns the number of RDDs released.
+
+    SINGLE-WRITER ASSUMPTION: the diff against `before` attributes
+    every RDD persisted after the snapshot to the caller. If another
+    pipeline persists blocks in the same session concurrently (e.g.
+    two streaming queries sharing one SparkSession), those blocks fall
+    in the diff and get evicted too — the very localCheckpoint data
+    loss this function exists to prevent. Persistence is tracked on
+    the shared SparkContext (newSession() does not isolate it), so
+    concurrent persisting writers must either serialize their
+    release windows or track and unpersist their own DataFrame
+    handles explicitly instead of using this diff."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     released = 0
     for k in list(jmap.keys()):

@@ -135,6 +135,11 @@ def load_reference_matrix(
     import numpy as np
 
     if fmt == "numpy":
+        if not path.endswith(".npy"):
+            # np.save appended '.npy' to extension-less paths at save
+            # time; mirror that here so save('foo')/load('foo') stay
+            # inverses for the path the caller holds
+            path = path + ".npy"
         m = np.load(path)
     elif fmt == "csv":
         import pandas as pd

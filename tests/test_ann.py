@@ -577,3 +577,32 @@ def test_knn_join_nan_component_vectors_excluded(spark):
     assert set(got) == {1}             # the NaN-component vector is out
     pairs = embedding_dup_pairs(emb, threshold=0.5, n_blocks=2).collect()
     assert all(2 not in (r.vec_a, r.vec_b) for r in pairs)
+
+
+def test_catalyst_topk_excludes_nan_and_null_cosines(spark):
+    """Round-4 posture unification (r3 advice): the Catalyst top-k
+    paths (cosine_topk / ivf_topk / lsh_topk) now share the kernels'
+    exclusion contract — NaN-component vectors (NaN cosine would sort
+    ABOVE every double under desc and top-rank) and zero-norm vectors
+    (NULL cosine would surface whenever candidates < k) never appear;
+    k is a cap, not a promise."""
+    from propius_spark.operators import cosine_topk, ivf_topk, lsh_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [float("nan"), 1.0]),  # NaN component
+        (3, [0.0, 0.0]),           # zero norm
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = cosine_topk(emb, query_id=0, k=10).collect()
+    assert [r.vec_id for r in top] == [1]  # fewer than k, no NULL filler
+    assert all(r.cosine is not None and not math.isnan(r.cosine) for r in top)
+
+    ivf = ivf_topk(emb, query_id=0, k=10, n_centroids=1, n_probe=1).collect()
+    assert [r.vec_id for r in ivf] == [1]
+
+    lsh = lsh_topk(emb, query_id=0, k=10, n_planes=4, n_bands=2).collect()
+    assert all(r.vec_id not in (2, 3) for r in lsh)
+    assert all(r.cosine is not None and not math.isnan(r.cosine) for r in lsh)

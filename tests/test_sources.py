@@ -192,3 +192,24 @@ def test_save_reference_matrix_extensionless_npy_roundtrip(spark, tmp_path):
         for r in load_reference_matrix(spark, base + ".npy").collect()
     )
     assert got == [(0, 1, 0.5), (1, 0, 0.5)]
+
+
+def test_save_load_reference_matrix_extensionless_path(spark, tmp_path):
+    """save('foo') writes foo.npy (np.save appends the extension);
+    load('foo') must apply the same normalization so save/load stay
+    inverses for the path the caller holds (r3 advice item)."""
+    from propius_spark.sources import (
+        load_reference_matrix,
+        save_reference_matrix,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 0, 0.5)], "item_a long, item_b long, corr double"
+    )
+    bare = str(tmp_path / "model")  # no .npy
+    save_reference_matrix(pairs, bare, fmt="numpy")
+    got = {
+        (r.item_a, r.item_b): r.corr
+        for r in load_reference_matrix(spark, bare).collect()
+    }
+    assert got == {(0, 1): 0.5, (1, 0): 0.5}
