@@ -363,3 +363,74 @@ def test_model_refresh_releases_only_its_own_blocks(spark, tmp_path):
     assert after == before
     assert mine.count() == 1  # still usable (blocks not evicted)
     mine.unpersist()
+
+
+def test_streaming_batch_dedup_boundary_identity(spark, tmp_path):
+    """Cross-boundary identity the docs promise (r3 verdict item 8):
+    'dedup at ingest, re-dedup in batch' agrees because every path
+    stands on ONE content address (sha2-256 over coalesce(text, '')).
+    A seeded corpus with nulls/empties/duplicates goes through
+    (a) dedup_stream over the arrival stream, and
+    (b) the batch composition exact_dedup(batch1) + dedup_against(
+        batch2, content_keys(batch1)) + exact_dedup(within fresh),
+    and the survivor id sets must be identical — arrival order equals
+    id order, so streaming first-seen == batch min-id keeper."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as FF
+
+    from propius_spark.operators.dedup import (
+        content_keys,
+        dedup_against,
+        exact_dedup,
+    )
+    from propius_spark.streaming import dedup_stream
+
+    rng = random.Random(0xBEEF)
+    pool = ["alpha", "beta", "gamma", "delta", "", None, "alpha ", " beta"]
+    t0 = datetime(2024, 5, 1)
+    corpus = [
+        (i, t0 + timedelta(minutes=i), rng.choice(pool)) for i in range(60)
+    ]
+    batch1, batch2 = corpus[:30], corpus[30:]
+    schema = "doc_id long, ts timestamp, text string"
+
+    # --- streaming path: two arrival files, one micro-batch each
+    land = str(tmp_path / "docs")
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, schema).coalesce(1).sortWithinPartitions(
+            "doc_id"
+        ).write.mode("append").parquet(land)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        dedup_stream(stream, watermark="10 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_boundary")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_ids = sorted(
+        r.doc_id for r in spark.table("t_dedup_boundary").collect()
+    )
+
+    # --- batch path on the SAME corpus
+    b1 = spark.createDataFrame(batch1, schema)
+    b2 = spark.createDataFrame(batch2, schema)
+    keep1 = sorted(r.keeper_id for r in exact_dedup(b1).collect())
+    store = content_keys(b1)
+    fresh2_ids = dedup_against(b2, store).select("doc_id")
+    fresh2 = b2.join(fresh2_ids, "doc_id")
+    keep2 = sorted(r.keeper_id for r in exact_dedup(fresh2).collect())
+
+    assert stream_ids == sorted(keep1 + keep2)
+    # sanity: the corpus actually exercised dups, nulls, cross-batch hits
+    assert len(stream_ids) < len(corpus)
+    assert len(keep2) < len(batch2)
