@@ -101,17 +101,9 @@ def gram(cells: DataFrame, stats: DataFrame, max_context_degree: int | None = No
     """
     pruned = cells.join(stats.select("item_id"), "item_id", "left_semi")
     if max_context_degree is not None:
-        # degree via a count window over ctx_id, NOT groupBy+join-back:
-        # the window's single exchange partitions the cells by ctx_id —
-        # exactly the partitioning the Gram self-join below needs — so
-        # the cap costs one reusable shuffle instead of an aggregate
-        # plus a second join of the full cell table
-        from pyspark.sql.window import Window
-
-        deg = F.count(F.lit(1)).over(Window.partitionBy("ctx_id"))
+        deg = pruned.groupBy("ctx_id").agg(F.count(F.lit(1)).alias("_ctx_deg"))
         pruned = (
-            pruned.withColumn("_ctx_deg", deg)
-            .filter(F.col("_ctx_deg") <= max_context_degree)
+            pruned.join(deg.filter(F.col("_ctx_deg") <= max_context_degree), "ctx_id")
             .drop("_ctx_deg")
         )
     a = pruned.select(

@@ -330,19 +330,12 @@ def minhash_lsh_pairs(
         )
     )
     if max_bucket_size is not None:
-        # bucket size via a count window over the bucket key, NOT
-        # groupBy+join-back: the window's exchange partitions band_sig
-        # by (band, sig) — the exact key of the candidate self-join
-        # below — so the cap costs one reusable shuffle instead of an
-        # aggregate plus a re-join of the full banded table
-        from pyspark.sql.window import Window
-
-        bs = F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
-        band_sig = (
-            band_sig.withColumn("_bs", bs)
-            .filter(F.col("_bs") <= max_bucket_size)
-            .drop("_bs")
+        bucket_sizes = band_sig.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("_bs")
         )
+        band_sig = band_sig.join(
+            bucket_sizes.filter(F.col("_bs") <= max_bucket_size), ["band", "sig"]
+        ).drop("_bs")
     ba = band_sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     bb = band_sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cand = (
