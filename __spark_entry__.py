@@ -2462,5 +2462,17 @@ def oracle_sql() -> dict[str, str]:
     # WS_CLASS): RE2's \s lacks \x0B while Java's includes it, so the
     # shorthand silently diverges per engine. Rewriting at return time
     # keeps every present and future twin in lock-step by construction
-    # (`\s` appears only in regex positions in these bodies).
+    # (`\s` appears only in regex positions in these bodies). Guard:
+    # a `\s` INSIDE a character class (e.g. '[^\s,]') would rewrite to
+    # a nested class RE2 mis-parses as literals — spell such classes
+    # out explicitly instead (see redact_docs' URL pattern).
+    import re as _re
+
+    for k, v in sql.items():
+        if _re.search(r"\[[^\]]*\\s", v):
+            raise AssertionError(
+                f"oracle_sql[{k!r}]: \\s inside a character class would "
+                "be corrupted by the WS_CLASS rewrite; spell the "
+                "whitespace characters out explicitly in the class"
+            )
     return {k: v.replace(r"\s", WS_CLASS) for k, v in sql.items()}

@@ -375,13 +375,16 @@ def vocabulary(
     # `is not None`, not truthiness: limit=0 must cap to zero rows,
     # not silently return the full unbounded vocabulary
     if limit is not None and limit <= DICT_RANK_MAX:
-        # filter on the BARE row_number so Catalyst's rank pushdown
-        # (WindowGroupLimit) still pattern-matches — every upstream
-        # partition is pruned to its top-`limit` rows before the
-        # single-partition window, so the single-task bound holds by
-        # construction and wrapping the rank in the guard's CASE would
-        # only defeat that optimization
-        return counts.withColumn("rank", raw).filter(F.col("rank") <= limit)
+        # explicit top-`limit` BEFORE the rank window, so the
+        # single-partition window's input is ≤ limit rows BY
+        # CONSTRUCTION — not by trusting Catalyst's rank-pushdown
+        # pattern match (which a wrapper expression could silently
+        # defeat, leaving an unguarded full-vocabulary sort on one
+        # task). orderBy+limit compiles to TakeOrderedAndProject:
+        # per-partition partial top-k, O(limit)-heap merge; the rank
+        # then numbers the already-limited, already-ordered rows.
+        top = counts.orderBy(F.desc("count"), F.asc("token")).limit(limit)
+        return top.withColumn("rank", raw)
     ranked = counts.withColumn(
         "rank", bounded_rank(raw, DICT_RANK_MAX, "vocabulary")
     )

@@ -135,10 +135,15 @@ def load_reference_matrix(
     import numpy as np
 
     if fmt == "numpy":
-        if not path.endswith(".npy"):
+        import os
+
+        if not path.endswith(".npy") and not os.path.exists(path):
             # np.save appended '.npy' to extension-less paths at save
             # time; mirror that here so save('foo')/load('foo') stay
-            # inverses for the path the caller holds
+            # inverses for the path the caller holds — but only when
+            # the bare path doesn't exist, so pre-existing
+            # extension-less artifacts (np.save to an open file object
+            # appends nothing) still load as before
             path = path + ".npy"
         m = np.load(path)
     elif fmt == "csv":
