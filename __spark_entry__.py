@@ -1249,14 +1249,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
         "split_leakage_free": q_split_leakage_free,
-        "split_corpus": q_split_corpus,
+        # streaming_sessions' oracle gained the explicit null-ts
+        # exclusion in the round-4 review pass, so it swaps into the
+        # window for the untouched split_corpus
+        "streaming_sessions": q_streaming_sessions,
         "cap_per_source": q_cap_per_source,
         "mix_sources_docs": q_mix_sources_docs,
         "sample_events_stratified": q_sample_events_stratified,
         "events_props_rollup": q_events_props_rollup,
         # ---- position 50+: r3-gate-green, code and oracle untouched
         "streaming_windowed_counts": q_streaming_windowed_counts,
-        "streaming_sessions": q_streaming_sessions,
+        "split_corpus": q_split_corpus,
         "weighted_sample_docs": q_weighted_sample_docs,
         "publish_retrieve": q_publish_retrieve,
         "corr_pairs_parts": q_corr_pairs_parts,
@@ -1754,10 +1757,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE rn <= 5
         """,
+        # TRY_CAST twin of the engine's try_cast: a present-but-non-
+        # numeric value nulls (skipped by AVG) instead of erroring
         "events_props_rollup": """
             SELECT event_type, COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value,
-                   ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6)
+                   ROUND(AVG(TRY_CAST(json_extract(props, '$.k')
+                                      AS BIGINT)), 6)
                      AS avg_field
             FROM events GROUP BY 1
         """,
@@ -2296,8 +2302,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ws, event_type, wm_us
             HAVING ws + 3600000000 < wm_us
         """,
+        # `ts IS NOT NULL` in both sessionize oracles mirrors the
+        # engine's explicit null-time exclusion (an event with no time
+        # belongs to no session; NULLS FIRST/LAST conventions would
+        # otherwise attach it to a different session per engine)
         "streaming_sessions": """
-            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                       WHERE ts IS NOT NULL),
             wm AS (SELECT ((MAX(t) // 1000) - 3600000) * 1000 AS wm_us
                    FROM e),
             m AS (SELECT user_id, t,
@@ -2317,7 +2328,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE session_end_us + 1800000000 < wm_us
         """,
         "sessionize_events": """
-            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                       WHERE ts IS NOT NULL),
             m AS (SELECT user_id, t,
                     CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
                                                ORDER BY t) > 1800000000

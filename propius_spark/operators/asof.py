@@ -58,6 +58,18 @@ def asof_join(
     clash = set(lonly) & set(value_cols)
     if clash:
         raise ValueError(f"column name clash between sides: {sorted(clash)}")
+    # the output also carries `on` and `{ts_col}_us` — a value_col (or
+    # a left column) named either would emit duplicate column names
+    # and fail far downstream with AMBIGUOUS_REFERENCE instead of here
+    reserved = {on, ts_col, f"{ts_col}_us"}
+    bad = sorted(reserved & set(value_cols)) + sorted(
+        {f"{ts_col}_us"} & set(lonly)
+    )
+    if bad:
+        raise ValueError(
+            f"asof_join: column(s) {bad} collide with the join key / "
+            f"normalized timestamp output ({on!r}, {ts_col + '_us'!r})"
+        )
 
     ltypes = dict(left.dtypes)
     # the whole right payload rides in ONE struct: non-null for every

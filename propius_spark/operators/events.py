@@ -127,14 +127,21 @@ def cohort_retention(
     cohort-cardinality rows.
     """
     require_columns(events, [user_col, ts_col], "cohort_retention")
+    # exact integer FLOOR division (subtract pmod first): Spark's bare
+    # `div` truncates toward zero, so pre-epoch timestamps (negative
+    # micros) would collapse days −6..6 into one double-width week and
+    # disagree with DuckDB's `//` (which floors) — the oracle parity
+    # claim requires floor semantics at every bucket boundary. For
+    # non-negative times the two are identical, so post-1970 results
+    # are unchanged.
+    day = f"(__us - pmod(__us, {US_PER_DAY})) div {US_PER_DAY}"
+    week = f"(({day}) - pmod(({day}), 7)) div 7"
     e = events.select(
         F.col(user_col).alias("user_id"),
         _ts_micros(events, ts_col).alias("__us"),
-        # integer div, not `/`: double division near week boundaries
-        # must not round a user into the wrong cohort
-    ).select(
-        "user_id", F.expr(f"__us div {US_PER_DAY} div 7").alias("week")
-    )
+        # integer arithmetic, not `/`: double division near week
+        # boundaries must not round a user into the wrong cohort
+    ).select("user_id", F.expr(week).alias("week"))
     active = e.distinct()
     first = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (

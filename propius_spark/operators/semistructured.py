@@ -17,8 +17,12 @@ from ..schemas import require_columns
 
 def json_field(col: Column, field: str, cast: str = "string") -> Column:
     """One top-level JSON field as a typed column (null when absent or
-    mistyped — standard lax-JSON-path semantics in both engines)."""
-    return F.get_json_object(col, f"$.{field}").cast(cast)
+    mistyped — standard lax-JSON-path semantics in both engines).
+    try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    of a present-but-non-numeric value ('{"k": "abc"}' as long) throws
+    CAST_INVALID_INPUT and crashes the whole ingest job; try_cast
+    yields the promised NULL, matching the oracle's TRY_CAST."""
+    return F.get_json_object(col, f"$.{field}").try_cast(cast)
 
 
 def props_rollup(

@@ -70,7 +70,12 @@ def sessionize(
     gap_us = int(gap_minutes * 60_000_000)
     e = events.select(
         F.col(user_col).alias("user_id"), _ts_micros(events, ts_col).alias("t")
-    )
+    ).filter(F.col("t").isNotNull())
+    # null-ts exclusion is EXPLICIT (and mirrored in the oracle twins):
+    # without it, Spark's NULLS FIRST ordering silently folds null-time
+    # events into the user's first session while an oracle replaying
+    # with NULLS LAST attaches them to the last — an event with no time
+    # belongs to no session in either engine
     wo = Window.partitionBy("user_id").orderBy("t")
     brk = F.when(F.col("t") - F.lag("t").over(wo) > gap_us, 1).otherwise(0)
     sid = F.sum(brk).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))

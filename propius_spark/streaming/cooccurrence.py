@@ -162,11 +162,17 @@ def start_model_refresh(
         # no dedup shuffle: (item_a_id, item_b_id) is unique by
         # construction (publish.py's invariant, pinned by
         # test_publish_unique_keys)
-        sims = shape_similar_items(
-            similar_items_exact(batch_cells, k_sigma=k_sigma)
-        )
-        sims.write.mode("overwrite").parquet(f"{out_dir}/similar_items")
-        release_materialized_since(spark, before)
+        # release in finally: if the write throws (transient FS error),
+        # the trigger's localCheckpoint blocks would otherwise stay
+        # pinned across the checkpoint restart — the leftover-block
+        # degradation session.py documents
+        try:
+            sims = shape_similar_items(
+                similar_items_exact(batch_cells, k_sigma=k_sigma)
+            )
+            sims.write.mode("overwrite").parquet(f"{out_dir}/similar_items")
+        finally:
+            release_materialized_since(spark, before)
 
     return start_complete_query(
         cells, checkpoint_dir, query_name, available_now, foreach_batch=_refresh

@@ -70,7 +70,11 @@ def sessionize_stream(
         F.col(user_col).alias("user_id"),
         tmic.alias("__t_us"),
         F.timestamp_micros(tmic).alias("__ts"),
-    )
+    ).filter(F.col("__t_us").isNotNull())
+    # explicit null-time exclusion, same contract as batch sessionize:
+    # a watermark does NOT drop null event times, and a null __t_us
+    # reaches the kernel as pandas NaN where int(t) raises — failing
+    # the micro-batch and, via checkpoint replay, the query forever
 
     def close_sessions(
         key: tuple, pdfs: Iterable[pd.DataFrame], state

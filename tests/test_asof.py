@@ -63,3 +63,26 @@ def test_asof_null_right_ts_never_matches(spark):
     ).select("k", F.timestamp_micros("us").alias("ts"), "v")
     out = asof_join(left, right, on="k").collect()
     assert len(out) == 1 and out[0].v is None
+
+
+def test_asof_join_rejects_reserved_name_collisions(spark):
+    """Round-4 review fix: value_cols colliding with the join key or
+    the normalized `{ts_col}_us` output must raise HERE, not emit
+    duplicate column names that fail far downstream."""
+    import pytest
+
+    from propius_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1000, "x")], "k long, ts long, payload string"
+    )
+    right = spark.createDataFrame(
+        [(1, 500, 2.0)], "k long, ts long, v double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", value_cols=["k", "v"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", value_cols=["ts_us", "v"])
+    left2 = left.withColumnRenamed("payload", "ts_us")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right, on="k", value_cols=["v"])

@@ -150,3 +150,47 @@ def test_funnel_rejects_repeated_steps(spark, sf_dir):
     ev = read_events(spark, sf_dir)
     with pytest.raises(ValueError, match="repeated step"):
         funnel(ev, ["click", "click"])
+
+
+def test_cohort_retention_pre_epoch_floor_weeks(spark):
+    """Round-4 review fix: epoch-week must FLOOR (DuckDB `//`
+    semantics), not truncate toward zero — otherwise days -6..6
+    collapse into one double-width week-0 cohort and pre-epoch data
+    diverges from the oracle."""
+    from datetime import datetime
+
+    from propius_spark.operators import cohort_retention
+
+    rows = [
+        # 1969-12-30 = epoch day -2 -> week floor(-2/7) = -1
+        (1, datetime(1969, 12, 30)),
+        # 1970-01-02 = epoch day +1 -> week 0
+        (2, datetime(1970, 1, 2)),
+        (2, datetime(1970, 1, 9)),  # day 8 -> week 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    # user 1 is its own week -1 cohort (NOT merged into week 0);
+    # user 2 is the week-0 cohort, returning at offset 1
+    assert got == {(-1, 0): 1, (0, 0): 1, (0, 1): 1}
+
+
+def test_props_rollup_non_numeric_value_nulls_not_crashes(spark):
+    """Round-4 review fix: a present-but-non-numeric JSON value must
+    null out (try_cast; skipped by AVG) — under ANSI mode a plain cast
+    crashed the whole job."""
+    from propius_spark.operators import props_rollup
+
+    rows = [
+        ("click", 1.0, '{"k": 4}'),
+        ("click", 1.0, '{"k": "abc"}'),   # mistyped -> null
+        ("click", 1.0, '{"k": {"x":1}}'), # nested -> null
+        ("view", 2.0, None),              # absent props
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double, props string")
+    got = {r.event_type: (r.n_events, r.avg_field) for r in props_rollup(df).collect()}
+    assert got["click"] == (3, 4.0)  # avg over the single valid value
+    assert got["view"] == (1, None)

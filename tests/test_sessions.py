@@ -299,3 +299,23 @@ def test_sessionize_stream_boundary_island_closes_exactly_once(spark, tmp_path):
         (1, _us(100), _us(100), 1),
         (1, _us(135), _us(135), 1),
     ]
+
+
+def test_sessionize_excludes_null_timestamps(spark):
+    """Round-4 review fix: an event with no time belongs to no session
+    — explicit exclusion, mirrored in the oracle (NULLS FIRST/LAST
+    conventions would otherwise attach it per-engine differently)."""
+    from datetime import datetime
+
+    from propius_spark.operators import sessionize
+
+    rows = [
+        (1, None),
+        (1, datetime(2024, 1, 1, 10, 0)),
+        (1, datetime(2024, 1, 1, 10, 10)),
+        (2, None),  # all-null user: no sessions at all
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df).collect()
+    assert len(out) == 1
+    assert out[0].user_id == 1 and out[0].n_events == 2

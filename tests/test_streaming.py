@@ -434,3 +434,71 @@ def test_streaming_batch_dedup_boundary_identity(spark, tmp_path):
     # sanity: the corpus actually exercised dups, nulls, cross-batch hits
     assert len(stream_ids) < len(corpus)
     assert len(keep2) < len(batch2)
+
+
+def test_sessionize_stream_null_timestamps_do_not_poison_query(spark, tmp_path):
+    """Round-4 review fix: a NULL event time reaches the kernel as
+    pandas NaN where int(t) raised, failing the micro-batch and (via
+    checkpoint replay) the query forever. Null-time events are now
+    excluded up front — same contract as batch sessionize."""
+    from datetime import datetime, timedelta
+
+    from propius_spark.streaming import sessionize_stream
+
+    t0 = datetime(2024, 5, 1)
+    land = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [
+            (1, t0, "a"),
+            (1, None, "poison"),
+            (1, t0 + timedelta(minutes=5), "b"),
+            (1, t0 + timedelta(hours=10), "far-future closes the session"),
+        ],
+        "user_id long, ts timestamp, note string",
+    ).coalesce(1).write.parquet(land)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, note string")
+        .parquet(land)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_null_ts_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # would raise if the kernel crashed
+    rows = spark.table("t_null_ts_sessions").collect()
+    # the two real early events form one closed session of 2
+    assert any(r.n_events == 2 for r in rows)
+
+
+def test_model_refresh_releases_blocks_even_when_write_fails(spark, tmp_path):
+    """Round-4 review fix: if the trigger's sink write throws, the
+    localCheckpoint blocks the pipeline materialized must STILL be
+    released (try/finally) — leftover truncated-lineage blocks degrade
+    the whole shared session across the checkpoint restart."""
+    from propius_spark.session import persistent_rdd_ids
+    from propius_spark.streaming import start_model_refresh
+
+    land = str(tmp_path / "landing")
+    _write_occ(spark, OCC_ROWS_1, land)
+
+    before = persistent_rdd_ids(spark)
+    try:
+        q = start_model_refresh(
+            streaming_cells(stream_occurrences(spark, land)),
+            "nosuchfs://invalid/path",  # sink write must fail
+            str(tmp_path / "ck"),
+            k_sigma=1.0,
+            query_name="t_refresh_fail",
+        )
+        q.awaitTermination()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised  # the sink failure surfaces, not swallowed
+    leaked = persistent_rdd_ids(spark) - before
+    assert not leaked, f"leaked persisted RDDs after failed write: {leaked}"
