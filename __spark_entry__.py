@@ -1246,8 +1246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
-        "dedup_exact": q_dedup_exact,
-        "streaming_dedup": q_streaming_dedup,
+        # the events-coding oracle CTE gained the explicit
+        # null-event_type exclusion in the round-4 review pass; its two
+        # remaining consumers swap into the window for two untouched
+        # r3-green rows (dedup_exact, streaming_dedup)
+        "similar_candidates_events": q_similar_candidates_events,
+        "similar_topk_per_item": q_similar_topk_per_item,
         "split_leakage_free": q_split_leakage_free,
         # streaming_sessions' oracle gained the explicit null-ts
         # exclusion in the round-4 review pass, so it swaps into the
@@ -1265,8 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_pairs_parts": q_corr_pairs_parts,
         "similar_one_part": q_similar_one_part,
         "similar_exact_parts": q_similar_exact_parts,
-        "similar_candidates_events": q_similar_candidates_events,
-        "similar_topk_per_item": q_similar_topk_per_item,
+        "dedup_exact": q_dedup_exact,
+        "streaming_dedup": q_streaming_dedup,
         "retrieve_topk_part": q_retrieve_topk_part,
         "retrieve_topk_batch": q_retrieve_topk_batch,
         "item_info": q_item_info,
@@ -1440,7 +1444,8 @@ _EVENTS_CANDIDATES_SQL = """
     WITH coded AS (SELECT event_type,
                           DENSE_RANK() OVER (ORDER BY event_type) - 1
                             AS item_id
-                   FROM (SELECT DISTINCT event_type FROM events)),
+                   FROM (SELECT DISTINCT event_type FROM events
+                         WHERE event_type IS NOT NULL)),
     occ AS (SELECT e.user_id AS ref, c.item_id AS item
             FROM events e JOIN coded c USING (event_type)),
     cells AS (SELECT item, ref, COUNT(*)::DOUBLE AS cnt

@@ -90,9 +90,14 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def _fake_pixels(payload: bytes, n: int = 16) -> list[int]:
-    """Deterministic stand-in for a decoded pixel block: first n bytes
-    of sha256(payload) — stable across partitions/runs."""
-    return list(hashlib.sha256(payload or b"").digest()[:n])
+    """Deterministic stand-in for a decoded pixel block: sha256 of the
+    payload TILED to exactly n bytes (same scheme as _fake_resized) —
+    stable across partitions/runs, and honors the length contract for
+    n > 32 too (a bare digest slice silently capped feature vectors at
+    32 elements)."""
+    digest = hashlib.sha256(payload or b"").digest()
+    reps = -(-n // len(digest))
+    return list((digest * reps)[:n])
 
 
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
@@ -172,9 +177,10 @@ def _fake_resized(payload: bytes, n: int) -> bytes:
 def resize_images(
     media: DataFrame, width: int, height: int, fake: bool = False
 ) -> DataFrame:
-    """Re-encode every payload at (width, height): MEDIA in → MEDIA out
-    with meta.width/height rewritten and the payload replaced by the
-    resized encoding.
+    """Re-encode every IMAGE payload at (width, height): MEDIA in →
+    MEDIA out with meta.width/height rewritten and the payload
+    replaced by the resized encoding; non-image rows (audio/video in a
+    mixed media table) pass through byte-identical.
 
     STUB KERNEL: the real resample needs PIL (not in this container);
     `fake=True` substitutes the deterministic tiled-digest encoding
@@ -194,6 +200,8 @@ def resize_images(
         "modality",
         "payload",
         F.col("meta.format").alias("_fmt"),
+        F.col("meta.width").alias("_w"),
+        F.col("meta.height").alias("_h"),
         F.col("meta.sample_rate").alias("_sr"),
         F.col("meta.n_frames").alias("_nf"),
     )
@@ -203,25 +211,41 @@ def resize_images(
             T.StructField("modality", T.StringType()),
             T.StructField("payload", T.BinaryType()),
             T.StructField("_fmt", T.StringType()),
+            T.StructField("_w", T.IntegerType()),
+            T.StructField("_h", T.IntegerType()),
             T.StructField("_sr", T.IntegerType()),
             T.StructField("_nf", T.IntegerType()),
         ]
     )
 
+    # modality-aware: only image rows are resized; audio/video rows in
+    # a mixed MEDIA table pass through untouched (payload AND meta) —
+    # blindly re-encoding every row would silently replace an audio
+    # payload with a width×height blob and stamp image dimensions into
+    # its meta while modality still said 'audio' (a real PIL kernel
+    # would crash there; the fake one must not corrupt instead)
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = pdf["payload"].map(lambda p: _fake_resized(p, n))
+            is_img = pdf["modality"] == "image"
+            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(
+                lambda p: _fake_resized(p, n)
+            )
             yield pdf
 
+    is_image = F.col("modality") == "image"
     return flat.mapInPandas(_resize, out_schema).select(
         "media_id",
         "modality",
         "payload",
         F.struct(
             F.col("_fmt").alias("format"),
-            F.lit(width).cast("int").alias("width"),
-            F.lit(height).cast("int").alias("height"),
+            F.when(is_image, F.lit(width).cast("int"))
+            .otherwise(F.col("_w"))
+            .alias("width"),
+            F.when(is_image, F.lit(height).cast("int"))
+            .otherwise(F.col("_h"))
+            .alias("height"),
             F.col("_sr").alias("sample_rate"),
             F.col("_nf").alias("n_frames"),
         ).alias("meta"),

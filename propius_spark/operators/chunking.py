@@ -34,6 +34,14 @@ def chunk_documents(
     the previous chunk's overlap region) is dropped — emitting it
     duplicated training content verbatim.
 
+    OUTPUT IS NORMALIZED TEXT, not a byte slice of the original:
+    chunk_text is rebuilt from the shared tokens() stream, so it is
+    lowercased with all whitespace runs collapsed to single spaces
+    (oracle-pinned parity). Pipelines that must preserve casing/layout
+    should chunk on their own token offsets over the raw string; this
+    operator's contract is token-budgeted TRAINING chunks over the
+    family's canonical tokenization.
+
     Map-side only — tokenize, window-slice, and explode are per-row
     array expressions fused into the scan; output cardinality is
     Σ⌈n_i/stride⌉ rows. No shuffle at any scale.

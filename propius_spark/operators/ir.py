@@ -133,12 +133,23 @@ def bm25_search(
     earlier form re-tokenized the corpus three times (tf, dl, stats
     branches) despite this module's one-scan contract.
     """
-    from ..plans import materialize
+    import re as _re
+
+    from ..functions.text import WS_CHARS
+    from ..plans import persist_big
 
     require_columns(docs, [id_col, text_col], "bm25_search")
-    qtokens = sorted(
-        {t for t in query.strip().lower().split() if t}
-    )
+    # query tokenization MUST mirror the engine-side tokens(): split on
+    # the shared explicit whitespace class, not Python str.split()
+    # (which also splits on U+3000/NBSP/…, so a query pasted verbatim
+    # from a document containing such a character would produce tokens
+    # that can never match that document's own tokens). Python `re`
+    # parses the WS_CHARS escapes identically to Java/RE2. Residual
+    # caveat (documented): .lower() here is Python, the doc side is
+    # JVM — they agree on all ASCII and the overwhelming common case,
+    # diverging only on İ/ẞ-class exotics.
+    _ws = _re.compile("[" + WS_CHARS + "]+")
+    qtokens = sorted({t for t in _ws.split(query.lower()) if t})
     spark = docs.sparkSession
     if not qtokens:
         # schema must match the scoring path for ANY id type — a
@@ -160,7 +171,13 @@ def bm25_search(
         # default) makes F.filter pass the array index into it
         return lambda x: x == F.lit(tok)
 
-    per_doc = materialize(
+    # persist_big, not materialize: per_doc is DOC-cardinality (one row
+    # per corpus document), and materialize's contract is item/pair/
+    # sketch-cardinality only — its eager MEMORY_AND_DISK checkpoint
+    # would pin a corpus-sized block set into executor storage memory.
+    # Lazy DISK_ONLY serves the same two consumers (stats aggregate,
+    # scoring join) with one computation.
+    per_doc = persist_big(
         base.select(
             "doc_id",
             F.size("__t").cast("double").alias("dl"),

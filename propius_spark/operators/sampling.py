@@ -104,9 +104,13 @@ def stratified_sample(
     require_columns(df, [strata_col, key_col], "stratified_sample")
     _require_numeric_key(df, key_col, "stratified_sample")
     spark = df.sparkSession
+    # rate-table key typed from the DATA, not hardcoded string:
+    # df.sampleBy (the stated analogue) accepts integer strata, and a
+    # string-typed rate table would crash createDataFrame on int keys
+    stype = df.schema[strata_col].dataType.simpleString()
     rates = spark.createDataFrame(
         [(s, int(r * SAMPLE_RES)) for s, r in fractions.items()],
-        f"{strata_col} string, __cut long",
+        f"{strata_col} {stype}, __cut long",
     )
     return (
         df.join(F.broadcast(rates), strata_col)
@@ -195,21 +199,37 @@ def mix_sources(
     spark = df.sparkSession
 
     counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    gtype = df.schema[group_col].dataType.simpleString()
     tgt = spark.createDataFrame(
-        list(targets.items()), f"{group_col} string, __t double"
+        list(targets.items()), f"{group_col} {gtype}, __t double"
     )
     joined = materialize(counts.join(F.broadcast(tgt), group_col))
     # A target group absent from the data must ERROR, not silently
     # renormalize: the inner join would drop it and the output mixture
     # would be materially wrong (e.g. 0% of a requested 20% source).
-    # `joined` is |groups| rows and already materialized — the check is
-    # a local set difference, not an extra corpus pass.
-    present = {row[group_col] for row in joined.select(group_col).collect()}
+    # `joined` is |groups| rows and already materialized — the checks
+    # are local arithmetic, not an extra corpus pass.
+    grows = joined.select(group_col, "__n", "__t").collect()
+    present = {row[group_col] for row in grows}
     missing = sorted(set(targets) - present)
     if missing:
         raise ValueError(
             f"mix_sources: target groups absent from the data: {missing} "
             "(refusing to silently renormalize the mixture)"
+        )
+    # S = 0 means some present group has fewer rows than its target
+    # value — only possible when a 'proportion' exceeds 1 (counts
+    # passed instead of fractions). The same loud-error posture as the
+    # missing-group check: an empty mixture is materially wrong, not a
+    # valid degenerate answer. Python float division here is the same
+    # IEEE arithmetic as the in-plan double chain below.
+    if min(r["__n"] / r["__t"] for r in grows) < 1.0:
+        worst = min(grows, key=lambda r: r["__n"] / r["__t"])
+        raise ValueError(
+            "mix_sources: target proportion "
+            f"{worst['__t']} for group {worst[group_col]!r} exceeds its "
+            f"row count {int(worst['__n'])} — targets must be "
+            "proportions (the implied sample size is zero)"
         )
     # S = min_g floor(n_g / t_g): the largest output size no group can
     # exceed its own row count for

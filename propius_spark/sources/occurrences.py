@@ -129,8 +129,20 @@ def occurrences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type is dense-coded to a stable long id by hashing into an
     ordinal via a join against the distinct set — tiny dimension, so the
     join broadcasts.
+
+    NULL event_type is excluded EXPLICITLY (and mirrored in the oracle
+    twin): the inner join would silently drop such rows anyway, but a
+    NULL row in the distinct set would also consume a dense_rank slot
+    — with ENGINE-SPECIFIC placement (Spark sorts NULLS FIRST, DuckDB
+    NULLS LAST), shifting every real item id by one on one side only.
+    With the filter, ids are 0..K−1 over real types and stable whether
+    or not the data carries NULLs.
     """
-    ev = read_events(spark, sf_dir).select("user_id", "event_type")
+    ev = (
+        read_events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
+    )
     types = ev.select("event_type").distinct()
     coded = types.select(
         "event_type",

@@ -137,3 +137,50 @@ def test_features_feed_ann(media):
     assert 0 < len(rows) <= 5
     # unit-norm vectors -> cosine in [-1, 1]
     assert all(-1.000001 <= r.cosine <= 1.000001 for r in rows)
+
+
+def test_fake_pixels_honors_dim_above_digest_size(spark):
+    """Round-4 review fix: extract_features(dim=64) must return
+    64-element vectors — the bare sha256 slice silently capped at 32."""
+    from propius_spark.functions.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    emb = extract_features(
+        media_from_documents(docs), dim=64, fake=True
+    ).collect()
+    assert len(emb) == 1 and len(emb[0].embedding) == 64
+    # tiling: second 32 elements repeat the digest (pre-normalization
+    # ratios preserved)
+    v = emb[0].embedding
+    assert v[:32] == v[32:]
+
+
+def test_resize_images_passes_non_image_rows_through(spark):
+    """Round-4 review fix: audio/video rows in a mixed media table must
+    pass through resize_images byte-identical (payload AND meta) — the
+    kernel previously re-encoded every row and stamped image dimensions
+    into audio meta."""
+    from pyspark.sql import functions as FF
+
+    from propius_spark.functions.multimodal import resize_images
+
+    rows = [
+        (1, "image", b"img-bytes", ("png", 10, 10, None, None)),
+        (2, "audio", b"pcm-bytes", ("wav", None, None, 44100, None)),
+        (3, "video", b"vid-bytes", ("mp4", 64, 64, None, 100)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, modality string, payload binary, "
+        "meta struct<format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int>",
+    )
+    out = {r.media_id: r for r in resize_images(media, 4, 4, fake=True).collect()}
+    assert len(out[1].payload) == 16 and out[1].meta.width == 4
+    assert bytes(out[2].payload) == b"pcm-bytes"
+    assert out[2].meta.sample_rate == 44100 and out[2].meta.width is None
+    assert bytes(out[3].payload) == b"vid-bytes"
+    assert out[3].meta.width == 64 and out[3].meta.n_frames == 100

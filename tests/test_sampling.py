@@ -282,3 +282,34 @@ def test_sampling_rejects_non_numeric_keys(spark):
         shuffle_shards(df, 8, "uid")
     with pytest.raises(ValueError, match="integer column"):
         mix_sources(df, {"web": 1.0}, group_col="source", key_col="uid")
+
+
+def test_stratified_sample_integer_strata_keys(spark):
+    """Round-4 review fix: integer-keyed strata (accepted by
+    df.sampleBy, the stated analogue) must work — the rate table's
+    key type now derives from the data instead of hardcoded string."""
+    from propius_spark.operators import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(200)], "doc_id long, label int"
+    )
+    out = stratified_sample(df, {0: 1.0, 1: 0.0}, "label", "doc_id")
+    rows = out.collect()
+    assert rows and all(r.label == 0 for r in rows)
+    assert len(rows) == 100
+
+
+def test_mix_sources_raises_on_count_like_targets(spark):
+    """Round-4 review fix: a 'proportion' larger than a group's row
+    count implies sample size zero — raise loudly (same posture as the
+    missing-group check) instead of returning an empty mixture."""
+    import pytest
+
+    from propius_spark.operators import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(20)] + [(i + 100, "code") for i in range(20)],
+        "doc_id long, source string",
+    )
+    with pytest.raises(ValueError, match="proportion"):
+        mix_sources(df, {"web": 50.0, "code": 30.0}, "source", "doc_id")
