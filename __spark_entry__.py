@@ -2075,7 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "model_roundtrip_npy": _EVENTS_CANDIDATES_SQL,
         "streaming_cells": """
             SELECT l_partkey AS item_id, l_orderkey AS ctx_id,
-                   COUNT(*) AS cnt
+                   COUNT(*)::DOUBLE AS cnt
             FROM lineitem GROUP BY 1, 2
         """,
         "multimodal_meta": """

@@ -179,4 +179,14 @@ def quality_score(text: Column) -> Column:
     )
     alpha_term = alpha.cast("double") / chars
     score = 0.25 * (len_term + div_term + tlen_term + alpha_term)
-    return F.when(n <= 0, F.lit(0.0)).otherwise(score)
+    # null posture pinned EXPLICITLY, independent of the size() mode:
+    # NULL text scores NULL (the oracle's answer — its CASE n <= 0
+    # never fires on a NULL n), empty/whitespace-only text scores 0.0.
+    # The old bare `n <= 0` guard gave NULL under ANSI (n = NULL skips
+    # it) but 0.0 under legacy sizeOfNull (n = −1 fires it) — the same
+    # row scored differently per session config.
+    return (
+        F.when(text.isNull(), F.lit(None).cast("double"))
+        .when(n <= 0, F.lit(0.0))
+        .otherwise(score)
+    )

@@ -26,9 +26,16 @@ def build_cells(occurrences: DataFrame, ctx_col: str = "reference_id") -> DataFr
     encoding needed — see operators/context.py).
     """
     require_columns(occurrences, ["item_id", ctx_col], "build_cells")
+    # cnt is DOUBLE from birth — the literal twin of the oracle's
+    # COUNT(*)::DOUBLE at the cell CTE. Summing longs downstream and
+    # casting after the aggregate (the old shape) broke the module's
+    # no-64-bit-wrap guarantee: at design-target scale q = Σcnt² can
+    # exceed 2⁶³, where ANSI mode (Spark 4 default) kills the job and
+    # legacy mode silently wraps every correlation. Double partial sums
+    # are the same IEEE arithmetic the oracle uses.
     return (
         occurrences.groupBy(F.col("item_id"), F.col(ctx_col).alias("ctx_id"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )
 
 
@@ -55,7 +62,13 @@ def vstack(
                 f"vstack: offset {offset} <= max item_id {mx} of set A — "
                 "the id spaces would collide; use max(item_id) + 1"
             )
-    shifted = cells_b.withColumn("item_id", (F.col("item_id") + F.lit(offset)).cast("long"))
+    # widen BEFORE adding: an int32 item_id column near 2³¹ plus an
+    # int32-ranged offset overflows in 32-bit under ANSI (job dies) or
+    # wraps negative and collides under legacy — the post-add cast
+    # never sees the correct value
+    shifted = cells_b.withColumn(
+        "item_id", F.col("item_id").cast("long") + F.lit(offset)
+    )
     return cells_a.select("item_id", "ctx_id", "cnt").unionByName(
         shifted.select("item_id", "ctx_id", "cnt")
     )

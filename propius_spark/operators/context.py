@@ -42,11 +42,28 @@ def encode_contexts(occurrences: DataFrame) -> DataFrame:
     silently discarded its rows anyway, so ctx_id 0 never appeared and
     the documented dense-0-based contract broke.
     """
+    from ..plans import bounded_rank
+
     occurrences = occurrences.filter(F.col("reference_id").isNotNull())
     distinct_refs = occurrences.select("reference_id").distinct()
+    # bounded_rank guard: unlike the dict-mode shingle dictionaries
+    # (bounded by vocabulary), context cardinality scales with the
+    # event log — billions at the target scale would funnel through
+    # this one-task sort. The default pipeline doesn't need this op at
+    # all (build_cells correlates on RAW reference_ids, rank-invariant
+    # by the relabeling property test); it exists for reference-parity
+    # dense ids, so past the bound it raises and points at the raw-id
+    # path instead of silently stalling.
     ranked = distinct_refs.select(
         "reference_id",
-        (F.dense_rank().over(Window.orderBy("reference_id")) - 1).cast("long").alias("ctx_id"),
+        bounded_rank(
+            (F.dense_rank().over(Window.orderBy("reference_id")) - 1).cast(
+                "long"
+            ),
+            10_000_000,
+            "encode_contexts (use raw reference_ids — the default — "
+            "at this scale)",
+        ).alias("ctx_id"),
     )
     return occurrences.join(ranked, "reference_id")
 
@@ -57,7 +74,14 @@ def encode_contexts_replay(occurrences: DataFrame, order_col: str) -> DataFrame:
     Mirrors propius/similarity.py:74-78: increment the serial whenever
     the reference_id differs from the previous row, in `order_col`
     order. Single global window — replay/debug tool only.
+
+    NULL reference_ids are dropped first (same policy as
+    encode_contexts): left in, `lag != col` evaluates NULL against a
+    null row, so the null row silently merged into the PREVIOUS run
+    while the row after it always started a new serial — incoherent
+    serials neither the reference nor the dense encoder would produce.
     """
+    occurrences = occurrences.filter(F.col("reference_id").isNotNull())
     w = Window.orderBy(order_col)
     changed = (
         F.when(F.lag("reference_id").over(w).isNull(), F.lit(1))

@@ -295,6 +295,10 @@ def neighbor_stats(
       extremes of the non-cooc set (all non-cooc corrs are −t_i·t_j).
     """
     if stats is None:
+        # mirror corr_pairs: cells feed four consumers here (item
+        # stats, context count, both gram sides) — unpersisted, the
+        # full upstream event-log plan replays once per consumer
+        cells = _persist(cells)
         stats = _persist(valid_item_stats(cells))
     if g is None:
         g = _persist(gram(cells, stats, max_context_degree))

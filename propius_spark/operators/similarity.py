@@ -197,6 +197,11 @@ def similar_items_exact(
             stats.select(F.col("item_id").alias("item_b"), F.col("t").alias("t_b")),
             F.col("t_b") <= -F.col("cut") / F.col("t_a_full"),
         )
+        # the range predicate above is a 1-ulp-inexact REARRANGEMENT of
+        # the contract (−cut/t rounds differently than −t·t_b ≥ cut);
+        # re-filter on the exact form so boundary membership matches
+        # the cooc branch's direct test and the oracle bit-for-bit
+        .filter(-F.col("t_a_full") * F.col("t_b") >= F.col("cut"))
         .filter(F.col("item_a") != F.col("item_b"))
         .join(g.select("item_a", "item_b"), ["item_a", "item_b"], "left_anti")
         .select(

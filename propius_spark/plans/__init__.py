@@ -73,7 +73,17 @@ def materialize(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
+        # persist around the reliable checkpoint: eager checkpoint()
+        # runs one job to compute the plan and a SECOND job to write
+        # the checkpoint files — unpersisted, the second job recomputes
+        # every partition from scratch (Spark's own RDD.checkpoint docs
+        # warn exactly this), doubling the cost this function exists to
+        # remove. The cache is dropped once the files are written.
+        df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=True)
 
 

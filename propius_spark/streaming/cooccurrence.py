@@ -63,7 +63,9 @@ def streaming_cells(occurrences: DataFrame) -> DataFrame:
         occurrences.groupBy(
             F.col("item_id"), F.col("reference_id").alias("ctx_id")
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        # double cnt, matching batch build_cells (and the oracle's
+        # COUNT(*)::DOUBLE) — see cells.py for the overflow rationale
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )
 
 

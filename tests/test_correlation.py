@@ -283,3 +283,47 @@ def test_vstack_validate_catches_collision(spark):
     # valid offset passes and shifts
     rows = {r.item_id for r in vstack(a, b, offset=11, validate=True).collect()}
     assert rows == {10, 14}
+
+
+def test_vstack_int32_ids_widen_before_shift(spark):
+    """Round-4 review fix: an int32 item_id column must widen to long
+    BEFORE the offset add — the 32-bit addition overflowed (ANSI: job
+    dies; legacy: ids wrap negative and collide)."""
+    from propius_spark.operators import vstack
+
+    a = spark.createDataFrame([(1, 1, 1.0)], "item_id int, ctx_id long, cnt double")
+    b = spark.createDataFrame(
+        [(2_000_000_000, 1, 1.0)], "item_id int, ctx_id long, cnt double"
+    )
+    out = vstack(a, b, offset=2_000_000_000).collect()
+    ids = sorted(r.item_id for r in out)
+    assert ids == [1, 4_000_000_000]
+
+
+def test_item_stats_sums_in_double_not_long(spark):
+    """Round-4 review fix: the per-item sums run in double (cnt is
+    double from build_cells, the oracle's COUNT(*)::DOUBLE twin) so
+    q = Σcnt² cannot wrap/overflow 2^63 at scale."""
+    from propius_spark.operators.correlation import item_stats
+
+    big = 3_100_000_000.0  # big² > 2^63: the old long sum overflowed
+    cells = spark.createDataFrame(
+        [(1, 1, big), (1, 2, big)], "item_id long, ctx_id long, cnt double"
+    )
+    row = item_stats(cells).collect()[0]
+    assert row.q == 2 * big * big  # exact in double (< 2^53 ulp range)
+
+
+def test_encode_contexts_replay_drops_null_refs(spark):
+    """Round-4 review fix: NULL reference_ids merged into the previous
+    run AND forced the next row to start a new serial; they are now
+    dropped (same policy as encode_contexts)."""
+    from propius_spark.operators.context import encode_contexts_replay
+
+    df = spark.createDataFrame(
+        [(1, "A", 10), (2, None, 10), (3, "A", 10)],
+        "ord long, reference_id string, item_id long",
+    )
+    out = {r.ord: r.ctx_id for r in encode_contexts_replay(df, "ord").collect()}
+    # with the null dropped, rows 1 and 3 are ONE run
+    assert out == {1: 0, 3: 0}

@@ -480,3 +480,13 @@ def test_vocabulary_rank_guard_raises_past_bound(spark, monkeypatch):
         vocabulary(docs).collect()
     # a LIMIT below the bound keeps the window inside its contract
     assert len(vocabulary(docs, limit=3).collect()) == 3
+
+
+def test_quality_score_null_text_is_null_not_zero(spark):
+    """Round-4 review fix: NULL text scores NULL (the oracle's answer)
+    in EVERY size() mode; empty/whitespace-only text scores 0.0."""
+    df = spark.createDataFrame([(None,), ("",), ("  \n ",)], "text string")
+    vals = [
+        r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert vals[0] is None and vals[1] == 0.0 and vals[2] == 0.0
