@@ -1752,7 +1752,8 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY 1)
             SELECT ds.lang, n_docs, total_tokens,
                    COALESCE(vocab_size, 0) AS vocab_size, avg_chars
-            FROM ds LEFT JOIN vo ON ds.lang = vo.lang
+            FROM ds LEFT JOIN vo
+              ON ds.lang IS NOT DISTINCT FROM vo.lang
         """,
         "cap_per_source": """
             SELECT doc_id, source, n_chars

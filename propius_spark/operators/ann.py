@@ -159,7 +159,11 @@ def embedding_dup_pairs(
             emb, threshold, id_col, vec_col, candidates, max_bucket_vectors
         )
     spark = emb.sparkSession
-    base = emb.select(
+    # NULL embeddings are degenerate (match nothing) — and they MUST
+    # be dropped before the kernel: np.stack raises on a None row,
+    # failing the whole job where the Catalyst twins just emit a NULL
+    # cosine that _finite drops
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias("blk"),
@@ -308,7 +312,8 @@ def _bucketed_dup_pairs(
         F.ceil(F.count(F.lit(1)) / max_bucket_vectors).cast("int").alias("nb")
     )
     rows = (
-        emb.select(
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).cast("long").alias("vid"),
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
@@ -380,8 +385,12 @@ def knn_join(
     import numpy as np
 
     spark = corpus.sparkSession
+    # NULL embeddings dropped on both sides before np.stack (same
+    # kernel-tier posture as embedding_dup_pairs: degenerate rows
+    # match nothing, they must not crash the stack call)
     qrows = (
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).cast("long").alias("qid"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
@@ -433,7 +442,7 @@ def knn_join(
                 {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
             )
 
-    cand = corpus.select(
+    cand = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).mapInPandas(batch_topk, "query_id long, vec_id long, cosine double")
@@ -480,8 +489,10 @@ def ivf_knn_join(
     # corpus-wide seed TakeOrdered — materialize the KB-sized table
     # once (same reasoning as ivf_topk's plan-audited fix)
     cents = materialize(cents)
-    qbase = with_norm(queries, vec_col).select(
-        F.col(id_col).cast("long").alias("qid"), "vec", "norm"
+    qbase = (
+        with_norm(queries, vec_col)
+        .filter(F.col("vec").isNotNull())
+        .select(F.col(id_col).cast("long").alias("qid"), "vec", "norm")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("centroid_id"))
     probes = (
@@ -493,6 +504,7 @@ def ivf_knn_join(
                 "sim"
             ),
         )
+        .transform(lambda d: _finite(d, "sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_probe)
         .select("qid", "centroid_id")
@@ -508,6 +520,10 @@ def ivf_knn_join(
     crows = sorted(
         cents.select("centroid_id", "cvec").collect(), key=lambda r: r["centroid_id"]
     )
+    if not crows:
+        # empty corpus -> no centroids: the sibling knn_join contract
+        # (empty result, not an np.stack crash on [])
+        return spark.createDataFrame([], "query_id long, vec_id long, cosine double")
     cmat = np.stack([np.asarray(r["cvec"], dtype="float64") for r in crows])
     cnorm = np.linalg.norm(cmat, axis=1)
     cpos = {int(r["centroid_id"]): i for i, r in enumerate(crows)}
@@ -557,7 +573,7 @@ def ivf_knn_join(
                 out_c.extend(col[sel][keep].tolist())
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_c})
 
-    cand = corpus.select(
+    cand = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).mapInPandas(batch_topk, "query_id long, vec_id long, cosine double")
@@ -591,7 +607,10 @@ def kmeans_centroids(
     spark = emb.sparkSession
     feat = (
         with_norm(emb, vec_col)
-        .filter(F.col("norm") > 0)
+        # NaN norms PASS `> 0` under Spark's NaN-is-largest comparison
+        # semantics — without the isnan guard a single NaN-component
+        # vector feeds NaN features into KMeans and poisons a centroid
+        .filter((F.col("norm") > 0) & ~F.isnan("norm"))
         .select(
             array_to_vector(
                 F.transform("vec", lambda x: x / F.col("norm"))
@@ -728,8 +747,14 @@ def multi_probe_assignments(
         _cosine(_dot(F.col("vec"), F.col("cvec")), F.col("norm"), F.col("cnorm")).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    # _finite BEFORE the rank window: a NaN-component CENTROID scores
+    # NaN against every vector, and NaN ranks above all doubles — one
+    # bad centroid would capture the entire corpus's assignments
+    # (collapsing IVF pruning into a single all-pairs bucket); a
+    # NaN-component VECTOR likewise joins no list instead of a real one
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        _finite(scored, "sim")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_probe)
         .select("vec_id", "centroid_id")
     )
@@ -771,6 +796,7 @@ def ivf_topk(
                 "sim"
             ),
         )
+        .transform(lambda d: _finite(d, "sim"))
         .orderBy(F.desc("sim"), F.asc("centroid_id"))
         .limit(n_probe)
         .select("centroid_id")
@@ -848,9 +874,13 @@ def hyperplane_lsh_buckets(
     generation is replayable by the SQL oracle — unlike the k-means
     path, no pigeonhole trick is needed for an exact hash match.
 
-    ``dim`` (vector width) is read from the first row when not given —
-    a 1-row driver action; pass it explicitly in pipelines that must
-    stay fully lazy. Rows whose vector is null or shorter than ``dim``
+    ``dim`` (vector width) is read from the data when not given — the
+    MAX vector length via one small aggregate job (deterministic; a
+    first()-row read was partition-order-dependent, and one truncated
+    leading vector would have set dim too small, nulling every
+    well-formed vector's dot and silently emptying ALL candidates
+    corpus-wide). Pass ``dim`` explicitly in pipelines that must stay
+    fully lazy. Rows whose vector is null or shorter than ``dim``
     produce null sign bits → null buckets, which no bucket join
     matches: malformed vectors silently generate no candidates (same
     posture as the kernel paths, which require rectangular input)."""
@@ -859,10 +889,12 @@ def hyperplane_lsh_buckets(
             f"n_bands ({n_bands}) must divide evenly n_planes ({n_planes})"
         )
     if dim is None:
-        first = emb.select(vec_col).first()
-        if first is None or first[0] is None:
+        row = emb.agg(
+            F.max(F.size(F.col(vec_col).cast("array<double>"))).alias("m")
+        ).first()
+        if row is None or row["m"] is None or row["m"] <= 0:
             raise ValueError("hyperplane_lsh_buckets: empty input and no dim given")
-        dim = len(first[0])
+        dim = int(row["m"])
     planes = rademacher_planes(n_planes, dim, seed)
     r = n_planes // n_bands
     vec = F.col(vec_col).cast("array<double>")

@@ -223,8 +223,16 @@ def corpus_summary(
         .groupBy(group_col)
         .agg(F.count_distinct("__tok").alias("vocab_size"))
     )
-    return doc_stats_agg.join(vocab, group_col, "left").select(
-        group_col,
+    # null-SAFE join key: groupBy keeps a NULL group row in BOTH
+    # aggregates, but a plain equi-join can't match NULL = NULL — the
+    # NULL group's vocab_size silently coalesced to 0. eqNullSafe
+    # pairs them (oracle twin: IS NOT DISTINCT FROM).
+    return doc_stats_agg.join(
+        vocab,
+        doc_stats_agg[group_col].eqNullSafe(vocab[group_col]),
+        "left",
+    ).select(
+        doc_stats_agg[group_col],
         "n_docs",
         "total_tokens",
         F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),

@@ -606,3 +606,80 @@ def test_catalyst_topk_excludes_nan_and_null_cosines(spark):
     lsh = lsh_topk(emb, query_id=0, k=10, n_planes=4, n_bands=2).collect()
     assert all(r.vec_id not in (2, 3) for r in lsh)
     assert all(r.cosine is not None and not math.isnan(r.cosine) for r in lsh)
+
+
+def test_nan_centroid_cannot_capture_assignments(spark):
+    """Round-4 review fix: a NaN-component CENTROID scores NaN against
+    every vector, and NaN ranks above all doubles — unfiltered, one
+    bad centroid captured the entire corpus's assignments (collapsing
+    IVF pruning into a single bucket)."""
+    from propius_spark.operators import multi_probe_assignments
+
+    rows = [
+        (0, [float("nan"), 1.0]),  # would-be centroid 0 (smallest id)
+        (1, [1.0, 0.0]),           # centroid 1
+        (2, [0.9, 0.1]),
+        (3, [0.95, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    asg = multi_probe_assignments(emb, n_centroids=2, n_probe=1).collect()
+    got = {r.vec_id: r.centroid_id for r in asg}
+    # every well-formed vector lands on the REAL centroid (id 1),
+    # never the NaN one; the NaN vector itself joins no list
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_kmeans_excludes_nan_component_vectors(spark):
+    """Round-4 review fix: NaN norms pass `> 0` (NaN compares
+    greatest), so NaN vectors poisoned KMeans training."""
+    from propius_spark.operators import kmeans_centroids
+
+    rows = [(0, [float("nan"), 1.0])] + [
+        (i, [1.0 + 0.01 * i, 0.01 * i]) for i in range(1, 9)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(emb, n_centroids=2, seed=7).collect()
+    import math
+
+    for c in cents:
+        assert all(not math.isnan(x) for x in c.cvec)
+        assert not math.isnan(c.cnorm)
+
+
+def test_kernels_skip_null_embedding_rows(spark):
+    """Round-4 review fix: a NULL embedding row reached np.stack as
+    None and crashed the kernel job; it is now dropped up front (the
+    Catalyst twins' posture: degenerate rows match nothing)."""
+    from propius_spark.operators import embedding_dup_pairs, knn_join
+
+    rows = [(0, [1.0, 0.0]), (1, [0.95, 0.05]), (2, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_dup_pairs(emb, threshold=0.5, n_blocks=2).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(0, 1)}
+    kn = knn_join(emb.filter("vec_id = 0"), emb.filter("vec_id != 0"), k=5).collect()
+    assert sorted(r.vec_id for r in kn) == [1]
+
+
+def test_ivf_knn_join_empty_corpus_returns_empty(spark):
+    """Round-4 review fix: empty corpus crashed np.stack on the empty
+    centroid list instead of honoring the knn_join sibling contract."""
+    from propius_spark.operators import ivf_knn_join
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_knn_join(q, empty, k=3, n_centroids=2).collect() == []
+
+
+def test_lsh_dim_inference_uses_max_length(spark):
+    """Round-4 review fix: dim inference from first() was
+    partition-order-dependent — one truncated leading vector set dim
+    too small and silently emptied every candidate corpus-wide. Now
+    the MAX vector length (deterministic)."""
+    from propius_spark.operators import hyperplane_lsh_buckets
+
+    rows = [(0, [1.0]), (1, [1.0, 0.0, 0.5, 0.2]), (2, [1.0, 0.0, 0.5, 0.2])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bk = hyperplane_lsh_buckets(emb, n_planes=4, n_bands=2)
+    got = bk.filter(F.col("bucket").isNotNull()).select("vec_id").distinct()
+    # the two full-length vectors bucket; the short one nulls out
+    assert sorted(r.vec_id for r in got.collect()) == [1, 2]

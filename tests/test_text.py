@@ -490,3 +490,18 @@ def test_quality_score_null_text_is_null_not_zero(spark):
         r.q for r in df.select(quality_score(F.col("text")).alias("q")).collect()
     ]
     assert vals[0] is None and vals[1] == 0.0 and vals[2] == 0.0
+
+
+def test_corpus_summary_null_group_keeps_vocab(spark):
+    """Round-4 review fix: the NULL group row survived both aggregates
+    but the plain equi-join couldn't match NULL = NULL, silently
+    zeroing its vocab_size; the join is now null-safe (oracle: IS NOT
+    DISTINCT FROM)."""
+    from propius_spark.operators import corpus_summary
+
+    docs = spark.createDataFrame(
+        [(None, "hello world hello"), ("en", "a b")], "lang string, text string"
+    )
+    rows = {r.lang: r for r in corpus_summary(docs, group_col="lang").collect()}
+    assert rows[None].vocab_size == 2 and rows[None].total_tokens == 3
+    assert rows["en"].vocab_size == 2
