@@ -1472,8 +1472,10 @@ _EVENTS_CANDIDATES_SQL = """
 # arithmetic, rolling-hash fingerprint) — shared by the text_doc_stats
 # oracle and the corpus_filter oracle that filters over it.
 _TEXT_STATS_SQL = rf"""
-            WITH t0 AS (SELECT doc_id, trim(lower(text)) AS lt,
-                               trim(text) AS tt
+            WITH t0 AS (SELECT doc_id,
+                               regexp_replace(regexp_replace(lower(text),
+                                 '^\s+', ''), '\s+$', '') AS lt,
+                               text AS tt
                         FROM documents),
             tk AS (SELECT doc_id, tt,
                           list_filter(string_split_regex(lt, '\s+'),
@@ -1488,9 +1490,13 @@ _TEXT_STATS_SQL = rf"""
                           length(regexp_replace(tt, '\s+', '', 'g')) AS chars,
                           length(regexp_replace(tt, '[^A-Za-zÀ-ɏ一-鿿]', '',
                                                 'g')) AS alpha,
-                          list_reduce(list_prepend(0::BIGINT, codes),
+                          CASE WHEN tt IS NULL THEN NULL
+                               WHEN len(codes) = 0 OR codes = [-1]
+                                 THEN 0
+                               ELSE list_reduce(
+                                      list_prepend(0::BIGINT, codes),
                                       (acc, c) -> (acc*131 + c)
-                                                  % {MINHASH_PRIME})
+                                                  % {MINHASH_PRIME}) END
                             AS fingerprint,
                           {_STOPWORD_COLS}
                    FROM (SELECT doc_id, tt, toks, codes,
@@ -2493,4 +2499,24 @@ def oracle_sql() -> dict[str, str]:
                 "be corrupted by the WS_CLASS rewrite; spell the "
                 "whitespace characters out explicitly in the class"
             )
-    return {k: v.replace(r"\s", WS_CLASS) for k, v in sql.items()}
+    # Second lock-step rewrite: document-text lowercasing becomes the
+    # engines' shared ASCII-only translate() (functions/text.py
+    # ascii_lower) — full lower() is engine-specific on İ/ẞ/ς-class
+    # code points (JVM context-aware vs utf8proc 1:1), which flipped
+    # fingerprints/vocabulary on hostile corpora (tests/
+    # test_fuzz_parity.py). Only the documents-text call sites are
+    # rewritten; serving's lower(p_name) pairs with an engine-side
+    # F.lower and stays full-Unicode on both sides.
+    _AL = (
+        "translate({}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz')"
+    )
+    out = {}
+    for k, v in sql.items():
+        v = v.replace(r"\s", WS_CLASS)
+        v = v.replace("lower(text)", _AL.format("text"))
+        v = v.replace(
+            "lower(coalesce(text, ''))", _AL.format("coalesce(text, '')")
+        )
+        out[k] = v
+    return out

@@ -30,6 +30,23 @@ from pyspark.sql import functions as F
 WS_CHARS = r" \t\n\x0B\f\r"
 WS_CLASS = "[" + WS_CHARS + "]"
 
+# ASCII-only case folding, shared by engine and oracle. Full lower()
+# is ENGINE-SPECIFIC on a handful of code points (JVM toLowerCase is
+# locale/context-aware: İ → "i̇" two code points, Σ → ς word-finally;
+# DuckDB's utf8proc does simple 1:1 maps) — so any content-bearing
+# path that lowercases (token identity, fingerprints) silently
+# diverges between the engines on such text. translate() is a plain
+# per-code-point substitution, bit-identical everywhere; non-ASCII
+# case pairs simply stay distinct (documented, deterministic).
+# The oracle twin is oracle_sql()'s return-time lower()→translate()
+# rewrite.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWERED = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(c: Column) -> Column:
+    return F.translate(c, ASCII_UPPER, ASCII_LOWERED)
+
 # Small public stopword lists; membership ratio is the classic cheap
 # language-ID heuristic (n-gram models are the heavier path — see
 # simhash/minhash for the n-gram machinery).
@@ -46,7 +63,9 @@ LANGS = list(LANG_STOPWORDS)
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of lowercased text, empty tokens dropped.
+    """Whitespace tokens of ASCII-lowercased text (see ascii_lower —
+    full lower() is engine-specific on İ/ẞ/ς-class code points),
+    empty tokens dropped.
 
     The filter (not a trim) is what makes EVERY boundary case safe:
     `trim` strips ASCII spaces only, so text with leading/trailing
@@ -61,7 +80,7 @@ def tokens(text: Column) -> Column:
     guard here treats both as "no tokens" (>= 0 filters,
     greatest(x, 0), explicit coalesce)."""
     return F.filter(
-        F.split(F.lower(text), WS_CLASS + "+"), lambda x: x != ""
+        F.split(ascii_lower(text), WS_CLASS + "+"), lambda x: x != ""
     )
 
 
@@ -140,11 +159,23 @@ FP_PRIME = 2_147_483_647  # 2³¹ − 1, same modulus family as minhash
 def fingerprint(text: Column) -> Column:
     """Polynomial rolling hash of the normalized text's code points:
     fp = fold(chars, acc ← (acc·131 + code) mod 2³¹−1), over
-    trim+lower+whitespace-collapsed text. Order-sensitive (unlike
+    trim + ASCII-lower + whitespace-collapsed text (ascii_lower: a
+    full lower() would make the fingerprint engine-specific on
+    İ/ẞ/ς-class code points). Order-sensitive (unlike
     minhash/simhash set sketches) — the classic document fingerprint.
     Pure fold over built-in arrays: map-side, codegen'd, and bit-equal
     in the DuckDB oracle (list_reduce over unicode code points)."""
-    norm = F.regexp_replace(F.trim(F.lower(text)), WS_CLASS + "+", " ")
+    # explicit-class edge trim, NOT trim(): Spark's trim strips ASCII
+    # space only while DuckDB's also strips NBSP-class whitespace —
+    # the bare builtin made fingerprints engine-specific on hostile
+    # text (caught by tests/test_fuzz_parity.py)
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            ascii_lower(text), "^" + WS_CLASS + "+|" + WS_CLASS + "+$", ""
+        ),
+        WS_CLASS + "+",
+        " ",
+    )
     codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
     return F.aggregate(
         codes,
@@ -167,10 +198,12 @@ def quality_score(text: Column) -> Column:
     toks = tokens(text)
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
-    chars = F.length(F.regexp_replace(F.trim(text), WS_CLASS + "+", ""))
-    alpha = F.length(
-        F.regexp_replace(F.trim(text), r"[^A-Za-zÀ-ɏ一-鿿]", "")
-    )
+    # no trim(): the inner replaces already delete every whitespace /
+    # non-alpha character wherever it sits, and the builtin trim is
+    # engine-specific at the edges (DuckDB's strips NBSP, Spark's
+    # strips ASCII space only — fuzz-parity find)
+    chars = F.length(F.regexp_replace(text, WS_CLASS + "+", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-zÀ-ɏ一-鿿]", ""))
     mean_tlen = chars.cast("double") / n
     len_term = F.least(F.lit(1.0), n / F.lit(100.0))
     div_term = nd.cast("double") / n

@@ -143,13 +143,16 @@ def bm25_search(
     # the shared explicit whitespace class, not Python str.split()
     # (which also splits on U+3000/NBSP/…, so a query pasted verbatim
     # from a document containing such a character would produce tokens
-    # that can never match that document's own tokens). Python `re`
-    # parses the WS_CHARS escapes identically to Java/RE2. Residual
-    # caveat (documented): .lower() here is Python, the doc side is
-    # JVM — they agree on all ASCII and the overwhelming common case,
-    # diverging only on İ/ẞ-class exotics.
+    # that can never match that document's own tokens), and ASCII-only
+    # case folding (tokens() uses ascii_lower — Python str.lower()
+    # would diverge on the same İ/ẞ/ς-class code points full lower()
+    # does). Python `re` parses the WS_CHARS escapes identically to
+    # Java/RE2.
+    from ..functions.text import ASCII_LOWERED, ASCII_UPPER
+
     _ws = _re.compile("[" + WS_CHARS + "]+")
-    qtokens = sorted({t for t in _ws.split(query.lower()) if t})
+    folded = query.translate(str.maketrans(ASCII_UPPER, ASCII_LOWERED))
+    qtokens = sorted({t for t in _ws.split(folded) if t})
     spark = docs.sparkSession
     if not qtokens:
         # schema must match the scoring path for ANY id type — a

@@ -1,0 +1,166 @@
+"""Randomized cross-engine parity over the documents-only queries.
+
+Round 4's one red driver row (token_estimates) was a divergence the
+gate replica could not see: engine and oracle agreed on the LOCAL
+sf0.01 data and disagreed on the driver's regenerated data. This
+module is the structural answer — run the PRODUCTION queries() entries
+and their verbatim oracle_sql() twins over a seeded HOSTILE corpus
+(cross-engine-divergence-prone unicode, NULL/empty/whitespace-only
+text, NULL group keys, exact and near duplicates), so data-dependent
+engine/oracle drift fails locally before any driver run.
+
+Deterministic (fixed seed): reproducible failures, no flaky CI. The
+corpus is small (~160 docs) so the whole parametrized sweep stays in
+test-suite budget.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import __spark_entry__ as entrymod  # noqa: E402
+
+# documents-only queries whose results depend on text CONTENT — the
+# surface where cross-engine regex/collation/float divergence lives.
+# (Sampling/shard queries depend only on doc_id arithmetic; the model
+# queries read lineitem — both already covered by test_oracle.)
+FUZZ_QUERIES = [
+    "token_estimates",
+    "text_doc_stats",
+    "corpus_filter",
+    "vocabulary",
+    "corpus_summary",
+    "chunk_docs",
+    "pack_docs",
+    "redact_docs",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "doc_repetition",
+    "split_leakage_free",
+    "decontam_docs",
+]
+
+WORDS = [
+    "the", "cat", "sat", "mat", "spark", "table", "row", "scan", "fast",
+    "der", "und", "ist", "von", "katze", "el", "los", "una", "por",
+    "straße", "STRAẞE", "İstanbul", "café", "café", "ΟΔΟΣ", "οδος",
+    "数据", "引擎", "naïve", "Ǆungla",
+]
+HOSTILE_SEPS = [" ", "  ", "\t", "\n", "\x0b", "\f", "\r", " ",
+                "　", " \x0b ", "\n\n"]
+PII = ["a@b.co", "https://x.io/p?q=1", "+1 (555) 123-4567"]
+
+
+def _hostile_corpus() -> list[tuple]:
+    rng = random.Random(0x5EED4)
+    docs: list[tuple] = []
+
+    def text(n_words: int) -> str:
+        parts = []
+        for i in range(n_words):
+            parts.append(rng.choice(WORDS))
+            if rng.random() < 0.05:
+                parts.append(rng.choice(PII))
+        out = ""
+        for p in parts:
+            out += p + rng.choice(HOSTILE_SEPS)
+        return out
+
+    i = 0
+    for _ in range(100):
+        docs.append((i, text(rng.randrange(0, 60)), None, f"src{i % 3}"))
+        i += 1
+    # exact duplicates (dedup families + leakage-free splits)
+    for j in range(0, 30, 3):
+        docs.append((i, docs[j][1], "en", f"src{i % 3}"))
+        i += 1
+    # near duplicates: perturb one word
+    for j in range(1, 30, 3):
+        base = docs[j][1]
+        docs.append((i, base + " extra", "de", f"src{i % 3}"))
+        i += 1
+    # degenerate rows
+    for t in (None, "", "   ", "\x0b", " ", "\n\t\r"):
+        docs.append((i, t, None if i % 2 else "en", f"src{i % 3}"))
+        i += 1
+    return [
+        (d[0], d[1], d[2], d[3], len(d[1]) if d[1] is not None else None)
+        for d in docs
+    ]
+
+
+@pytest.fixture(scope="module")
+def fuzz_sf_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("fuzz_sf")
+    rows = _hostile_corpus()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    return str(out), rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_ddb(fuzz_sf_dir):
+    import pandas as pd
+
+    _, rows = fuzz_sf_dir
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    con.register("documents", pdf)
+    return con
+
+
+def _norm(rows, ncols):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row[:ncols]:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+                    if v == 0:
+                        v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_fuzz_query_matches_oracle(spark, fuzz_sf_dir, fuzz_ddb, name):
+    sf_dir, _ = fuzz_sf_dir
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = [[r[c] for c in scols] for r in sdf.collect()]
+
+    ores = fuzz_ddb.execute(entrymod.oracle_sql()[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert sorted(c.lower() for c in scols) == sorted(
+        c.lower() for c in ocols
+    ), f"{name}: column mismatch"
+    idx = [
+        next(i for i, o in enumerate(ocols) if o.lower() == c.lower())
+        for c in scols
+    ]
+    got = _norm(srows, len(scols))
+    want = _norm([[r[i] for i in idx] for r in orows], len(scols))
+    assert len(got) == len(want), (
+        f"{name}: row count spark={len(got)} oracle={len(want)}"
+    )
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, (
+        f"{name}: {len(mism)} value mismatches on the hostile corpus; "
+        f"first: {mism[:3]}"
+    )
