@@ -740,13 +740,38 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each click gains the value of the user's
     latest purchase at-or-before it (null if none) — one shuffle on
     user_id, no range explosion. Spark lacks a native as-of join; this
-    is the union + last(ignorenulls) window composition."""
+    is the union + last(ignorenulls) window composition.
+
+    Purchases tied on (user, ts) are deduped to the LARGEST event_id
+    first: asof_join picks an arbitrary row among exact ties (its
+    documented contract says to pin a tiebreak upstream), and the
+    oracle's ASOF JOIN is equally unspecified — the explicit rule
+    makes both engines deterministic and identical (fuzz-parity
+    find)."""
+    from pyspark.sql.window import Window as _W
+
     ev = read_events(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    # null-key exclusion pinned in the QUERY (fuzz-parity find): a
+    # click with no timestamp has no "latest purchase before it"
+    # (Spark's NULLS FIRST ordering happens to agree, DuckDB's ASOF
+    # sort does not), and NULL user ids GROUP TOGETHER under Spark's
+    # window partitioning while SQL ASOF equality never matches them —
+    # both sides filter the left keys so the semantics are identical.
+    clicks = ev.filter(
+        (F.col("event_type") == "click")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
     )
     return _r6(
         asof_join(clicks, purchases, on="user_id"), "last_purchase_value"
@@ -1253,16 +1278,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_candidates_events": q_similar_candidates_events,
         "similar_topk_per_item": q_similar_topk_per_item,
         "split_leakage_free": q_split_leakage_free,
-        # streaming_sessions' oracle gained the explicit null-ts
-        # exclusion in the round-4 review pass, so it swaps into the
-        # window for the untouched split_corpus
+        # streaming_sessions' and streaming_windowed_counts' oracles
+        # gained the explicit null-ts exclusions in the round-4 review
+        # and fuzz passes, so they swap into the window for the
+        # untouched split_corpus / cap_per_source
         "streaming_sessions": q_streaming_sessions,
-        "cap_per_source": q_cap_per_source,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
         "mix_sources_docs": q_mix_sources_docs,
         "sample_events_stratified": q_sample_events_stratified,
         "events_props_rollup": q_events_props_rollup,
         # ---- position 50+: r3-gate-green, code and oracle untouched
-        "streaming_windowed_counts": q_streaming_windowed_counts,
+        "cap_per_source": q_cap_per_source,
         "split_corpus": q_split_corpus,
         "weighted_sample_docs": q_weighted_sample_docs,
         "publish_retrieve": q_publish_retrieve,
@@ -1769,12 +1795,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE rn <= 5
         """,
-        # TRY_CAST twin of the engine's try_cast: a present-but-non-
-        # numeric value nulls (skipped by AVG) instead of erroring
+        # TRY_CAST twins of the engine's lax-JSON semantics: the inner
+        # TRY_CAST(props AS JSON) nulls MALFORMED documents (DuckDB's
+        # json_extract throws on them; Spark's get_json_object returns
+        # NULL), the outer one nulls present-but-non-numeric values
         "events_props_rollup": """
             SELECT event_type, COUNT(*) AS n_events,
                    ROUND(SUM(value), 6) AS sum_value,
-                   ROUND(AVG(TRY_CAST(json_extract(props, '$.k')
+                   ROUND(AVG(TRY_CAST(json_extract(
+                                TRY_CAST(props AS JSON), '$.k')
                                       AS BIGINT)), 6)
                      AS avg_field
             FROM events GROUP BY 1
@@ -2258,10 +2287,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 1::BIGINT, 'view', COUNT(t1) FROM s2
             UNION ALL SELECT 2::BIGINT, 'purchase', COUNT(t2) FROM s2
         """,
+        # FLOOR week bucketing, spelled out: DuckDB's integer `//`
+        # TRUNCATES toward zero (verified empirically — unlike its
+        # double division), so the bare `// 86400000000 // 7` would
+        # collapse pre-epoch days −6..6 into one double-width bucket
+        # and diverge from the engine's exact floor arithmetic. The
+        # ((x % d) + d) % d term is pmod; subtracting it makes the
+        # truncating `//` exact — floor ≡ trunc on exact multiples.
         "cohort_retention": """
-            WITH a AS (SELECT DISTINCT user_id,
-                              (epoch_us(ts) // 86400000000) // 7 AS week
-                       FROM events),
+            WITH us AS (SELECT DISTINCT user_id, epoch_us(ts) AS t
+                        FROM events),
+            dy AS (SELECT user_id,
+                          (t - ((t % 86400000000) + 86400000000)
+                               % 86400000000) // 86400000000 AS d
+                   FROM us),
+            a AS (SELECT DISTINCT user_id,
+                         (d - ((d % 7) + 7) % 7) // 7 AS week
+                  FROM dy),
             f AS (SELECT user_id, MIN(week) AS cohort_week
                   FROM a GROUP BY 1)
             SELECT cohort_week, week - cohort_week AS week_offset,
@@ -2301,11 +2343,17 @@ def oracle_sql() -> dict[str, str]:
         # watermark arithmetic mirrors streaming_sessions: floor max
         # event time to ms, subtract the delay; STRICT < matches
         # Spark's eviction predicate (event <= wm − 1µs)
+        # same null-ts exclusion + explicit floor bucketing as the
+        # batch twin (DuckDB integer `//` truncates; see
+        # windowed_event_counts)
         "streaming_windowed_counts": """
-            WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+            WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events
+                       WHERE ts IS NOT NULL),
             wm AS (SELECT ((MAX(t) // 1000) - 600000) * 1000 AS wm_us
                    FROM e),
-            w AS (SELECT (t // 3600000000) * 3600000000 AS ws, event_type
+            w AS (SELECT ((t - ((t % 3600000000) + 3600000000)
+                               % 3600000000) // 3600000000)
+                         * 3600000000 AS ws, event_type
                   FROM e)
             SELECT ws AS window_start_us,
                    ws + 3600000000 AS window_end_us,
@@ -2357,24 +2405,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DuckDB's native ASOF JOIN is the oracle for the engine's
         # union + last(ignorenulls) window composition
+        # the QUALIFY dedupes purchases tied on (user, ts) to the
+        # largest event_id — asof_join picks an ARBITRARY row among
+        # exact ties (documented), so the QUERY pins a deterministic
+        # tie rule identically on both sides
         "asof_click_purchase": """
             SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id,
                    ROUND(r.value, 6) AS last_purchase_value
             FROM (SELECT user_id, ts, event_id FROM events
-                  WHERE event_type = 'click') l
+                  WHERE event_type = 'click'
+                    AND ts IS NOT NULL AND user_id IS NOT NULL) l
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                            WHERE event_type = 'purchase') r
+                            WHERE event_type = 'purchase'
+                            QUALIFY ROW_NUMBER() OVER (
+                              PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) = 1) r
               ON l.user_id = r.user_id AND r.ts <= l.ts
         """,
         # F.window's epoch-aligned 1-hour tumbling buckets ≡ integer
         # bucketing of the micros timeline (UTC session zone)
+        # ts IS NOT NULL mirrors F.window's behavior (a null event time
+        # fails the window predicate and the row vanishes — same
+        # no-time-no-window posture as sessionize); the pmod-subtract
+        # makes the truncating integer `//` a true floor for pre-epoch
+        # times, matching F.window's epoch-aligned bucketing
         "windowed_event_counts": """
-            WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events)
-            SELECT (t // 3600000000) * 3600000000 AS window_start_us,
-                   (t // 3600000000) * 3600000000 + 3600000000
-                     AS window_end_us,
+            WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events
+                       WHERE ts IS NOT NULL),
+            w AS (SELECT (t - ((t % 3600000000) + 3600000000)
+                              % 3600000000) // 3600000000 AS h,
+                         event_type
+                  FROM e)
+            SELECT h * 3600000000 AS window_start_us,
+                   h * 3600000000 + 3600000000 AS window_end_us,
                    event_type, COUNT(*) AS n_events
-            FROM e GROUP BY 1, 2, 3
+            FROM w GROUP BY 1, 2, 3
         """,
         "text_doc_stats": _TEXT_STATS_SQL,
         # subword classes interpolate functions/text.py's SUBWORD_RE —

@@ -44,6 +44,14 @@ def asof_join(
     arbitrarily — give right a deterministic tiebreak column upstream
     if that matters.
 
+    NULL keys/timestamps: Spark's window partitioning GROUPS null keys
+    together, so null-key left rows can receive null-key right values
+    — unlike SQL ASOF JOIN equality, which never matches NULL. A
+    null-ts left row precedes everything under NULLS FIRST and gets no
+    match here, but SQL engines may sort it last and match everything.
+    Callers needing SQL semantics must pre-filter null left keys/times
+    (see q_asof_click_purchase).
+
     Row integrity: all `value_cols` come from the SAME matched right
     row (they travel as one struct carried by a single
     last(ignorenulls)), so a right row whose value column is NULL

@@ -46,6 +46,13 @@ FUZZ_QUERIES = [
     "doc_repetition",
     "split_leakage_free",
     "decontam_docs",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "posting_lists",
+    "bm25_search",
+    "tfidf_docs",
+    "token_distribution",
+    "pipeline_prepare",
 ]
 
 WORDS = [
@@ -162,5 +169,123 @@ def test_fuzz_query_matches_oracle(spark, fuzz_sf_dir, fuzz_ddb, name):
     mism = [(g, w) for g, w in zip(got, want) if g != w]
     assert not mism, (
         f"{name}: {len(mism)} value mismatches on the hostile corpus; "
+        f"first: {mism[:3]}"
+    )
+
+
+# ---------------------------------------------------------------- events
+
+EVENT_QUERIES = [
+    "sessionize_events",
+    "windowed_event_counts",
+    "asof_click_purchase",
+    "funnel_events",
+    "cohort_retention",
+    "rolling_user_counts",
+    "events_props_rollup",
+    "sample_events_stratified",
+    "similar_candidates_events",
+    "similar_topk_per_item",
+]
+
+
+def _hostile_events() -> list[tuple]:
+    from datetime import datetime, timedelta
+
+    rng = random.Random(0xE7E275)
+    t0 = datetime(2024, 5, 1)
+    types = ["click", "view", "purchase", None]
+    props = [
+        '{"k": 4}', '{"k": "abc"}', '{"k": {"x": 1}}', '{"j": 1}',
+        "not json", None, '{"k": -2}',
+    ]
+    rows = []
+    eid = 0
+    for _ in range(350):
+        user = rng.choice([None] + list(range(1, 21)))
+        ts = rng.choice(
+            [
+                None,
+                t0 + timedelta(minutes=rng.randrange(0, 5000)),
+                # pre-epoch: the cohort floor-division edge
+                datetime(1969, 12, 30) + timedelta(hours=rng.randrange(0, 96)),
+                # exact hour boundary (tumbling-window edge)
+                t0 + timedelta(hours=rng.randrange(0, 80)),
+            ]
+        )
+        rows.append(
+            (
+                eid,
+                ts,
+                user,
+                rng.choice(types),
+                rng.choice([None, 0.0, 1.5, -3.25, 100.0]),
+                rng.choice(props),
+            )
+        )
+        eid += 1
+    # duplicate timestamps per user (tie-handling)
+    base = t0 + timedelta(minutes=7)
+    for u in (1, 2):
+        for _ in range(4):
+            rows.append((eid, base, u, "click", 1.0, None))
+            eid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("fuzz_ev")
+    rows = _hostile_events()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    return str(out), rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_ddb(fuzz_events_dir):
+    import pandas as pd
+
+    _, rows = fuzz_events_dir
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    con.register("events", pdf)
+    return con
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_fuzz_events_query_matches_oracle(
+    spark, fuzz_events_dir, fuzz_events_ddb, name
+):
+    sf_dir, _ = fuzz_events_dir
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = [[r[c] for c in scols] for r in sdf.collect()]
+
+    ores = fuzz_events_ddb.execute(entrymod.oracle_sql()[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert sorted(c.lower() for c in scols) == sorted(
+        c.lower() for c in ocols
+    ), f"{name}: column mismatch"
+    idx = [
+        next(i for i, o in enumerate(ocols) if o.lower() == c.lower())
+        for c in scols
+    ]
+    got = _norm(srows, len(scols))
+    want = _norm([[r[i] for i in idx] for r in orows], len(scols))
+    assert len(got) == len(want), (
+        f"{name}: row count spark={len(got)} oracle={len(want)}"
+    )
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, (
+        f"{name}: {len(mism)} value mismatches on the hostile events; "
         f"first: {mism[:3]}"
     )
