@@ -1349,9 +1349,18 @@ _PERM_VALUES = ", ".join(
     f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(16)
 )
 
+# NULL embeddings excluded at the base — the engine's kernel/Catalyst
+# posture (degenerate vectors match nothing), and DuckDB's
+# list_dot_product ERRORS on NULL lists rather than null-propagating
+# (fuzz-parity find). NaN-component vectors stay here and are
+# excluded downstream by the per-path isnan guards.
 _EMB_BASE = """
-base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base)
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE embedding IS NOT NULL),
+nb AS (SELECT vec_id, v, norm FROM (
+         SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+         FROM base)
+       WHERE NOT isnan(norm))
 """
 
 _EXACT_DUP_PAIRS_SQL = f"""
@@ -1390,7 +1399,7 @@ def _lsh_cte(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
     return f"""
             bits AS (SELECT vec_id, v, norm,
                    {bit_cols}
-                     FROM nb),
+                     FROM nb WHERE len(v) = {dim}),
             bk AS (SELECT vec_id, unnest([
                    {bucket_exprs}]) AS bucket FROM bits)"""
 
@@ -1956,7 +1965,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_knn_join": f"""
             WITH {_EMB_BASE},
             cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn
-                      FROM nb WHERE vec_id < 8),
+                      FROM nb WHERE norm > 0
+                      ORDER BY vec_id LIMIT 8),
             qs AS (SELECT vec_id AS query_id, v AS qv, norm AS qn
                    FROM nb WHERE vec_id < 6),
             assign AS (SELECT vec_id, cid FROM (
@@ -1983,20 +1993,25 @@ def oracle_sql() -> dict[str, str]:
                        FROM nb b JOIN assign USING (vec_id)
                        JOIN probes p ON assign.cid = p.cid
                        JOIN qs q ON q.query_id = p.query_id
-                       WHERE b.vec_id <> q.query_id)
+                       WHERE b.vec_id <> q.query_id),
+            fs AS (SELECT * FROM scored
+                   WHERE cosine IS NOT NULL AND NOT isnan(cosine))
             SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, vec_id ASC) AS rn
-                  FROM scored)
+                  FROM fs)
             WHERE rn <= 10
         """,
         "ann_knn_join": f"""
             WITH {_EMB_BASE},
             q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn
                   FROM nb WHERE vec_id < 8),
-            s AS (SELECT q.query_id, b.vec_id,
-                         list_dot_product(b.v, q.qv)/(b.norm*q.qn) AS cosine
-                  FROM nb b, q WHERE b.vec_id <> q.query_id)
+            s AS (SELECT * FROM (
+                    SELECT q.query_id, b.vec_id,
+                           list_dot_product(b.v, q.qv)/(b.norm*q.qn)
+                             AS cosine
+                    FROM nb b, q WHERE b.vec_id <> q.query_id)
+                  WHERE cosine IS NOT NULL AND NOT isnan(cosine))
             SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, vec_id ASC) AS rn
@@ -2034,7 +2049,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_dup_pairs_pruned": f"""
             WITH {_EMB_BASE},
             cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn
-                      FROM nb WHERE vec_id < 8),
+                      FROM nb WHERE norm > 0
+                      ORDER BY vec_id LIMIT 8),
             assign AS (SELECT vec_id, cid FROM (
                          SELECT b.vec_id, c.cid,
                                 ROW_NUMBER() OVER (
@@ -2055,7 +2071,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": f"""
             WITH {_EMB_BASE},
             cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn
-                      FROM nb WHERE vec_id < 8),
+                      FROM nb WHERE norm > 0
+                      ORDER BY vec_id LIMIT 8),
             q AS (SELECT v AS qv, norm AS qn FROM nb WHERE vec_id = 0),
             assign AS (SELECT vec_id, cid FROM (
                          SELECT b.vec_id, c.cid,

@@ -106,6 +106,25 @@ def cosine_topk(
     )
 
 
+def _stack_rect(arrs, where: str):
+    """np.stack with a diagnosable failure: a ragged embedding column
+    (mixed vector lengths) otherwise surfaces as numpy's cryptic
+    'all input arrays must have the same shape' from deep inside an
+    Arrow-batched kernel. Rectangular input is the kernel tier's
+    documented contract — the Catalyst paths null mismatched-width
+    dots instead; filter or pad upstream."""
+    import numpy as np
+
+    try:
+        return np.stack(arrs)
+    except ValueError as e:
+        raise ValueError(
+            f"{where}: ragged embedding column (mixed vector lengths) — "
+            "the BLAS kernel paths require rectangular input; filter or "
+            "pad upstream"
+        ) from e
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -229,8 +248,12 @@ def _block_cosines_kernel(threshold: float):
             return empty
         ids_a = a["vid"].to_numpy()
         ids_b = b["vid"].to_numpy()
-        ma = np.stack(a["vec"].to_numpy())
-        mb = ma if diagonal else np.stack(b["vec"].to_numpy())
+        ma = _stack_rect(a["vec"].to_numpy(), "embedding_dup_pairs")
+        mb = (
+            ma
+            if diagonal
+            else _stack_rect(b["vec"].to_numpy(), "embedding_dup_pairs")
+        )
         with np.errstate(divide="ignore", invalid="ignore"):
             na = np.linalg.norm(ma, axis=1)
             nb_ = na if diagonal else np.linalg.norm(mb, axis=1)
@@ -399,7 +422,9 @@ def knn_join(
     if not qrows:
         return spark.createDataFrame([], "query_id long, vec_id long, cosine double")
     qids = np.array([r["qid"] for r in qrows], dtype="int64")
-    qmat = np.stack([np.asarray(r["qv"], dtype="float64") for r in qrows])
+    qmat = _stack_rect(
+        [np.asarray(r["qv"], dtype="float64") for r in qrows], "knn_join queries"
+    )
     qnorm = np.linalg.norm(qmat, axis=1)
     bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
@@ -412,7 +437,7 @@ def knn_join(
             if pdf.empty:
                 continue
             ids = pdf["vid"].to_numpy()
-            m = np.stack(pdf["vec"].to_numpy())
+            m = _stack_rect(pdf["vec"].to_numpy(), "knn_join corpus")
             norms = np.linalg.norm(m, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 # (batch × Q) cosine submatrix in one BLAS call
@@ -514,7 +539,10 @@ def ivf_knn_join(
     if not qrows:
         return spark.createDataFrame([], "query_id long, vec_id long, cosine double")
     qids = np.array([r["qid"] for r in qrows], dtype="int64")
-    qmat = np.stack([np.asarray(r["vec"], dtype="float64") for r in qrows])
+    qmat = _stack_rect(
+        [np.asarray(r["vec"], dtype="float64") for r in qrows],
+        "ivf_knn_join queries",
+    )
     qnorm = np.linalg.norm(qmat, axis=1)
     qpos = {int(q): j for j, q in enumerate(qids)}
     crows = sorted(
@@ -541,12 +569,17 @@ def ivf_knn_join(
             if pdf.empty:
                 continue
             ids = pdf["vid"].to_numpy()
-            m = np.stack(pdf["vec"].to_numpy())
+            m = _stack_rect(pdf["vec"].to_numpy(), "ivf_knn_join corpus")
             norms = np.linalg.norm(m, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 # per-row centroid: argmax cosine, ties → smaller cid
-                # (cmat rows are cid-ascending, argmax takes the first)
-                ca = np.argmax((m @ b_cmat.T) / np.outer(norms, b_cnorm), axis=1)
+                # (cmat rows are cid-ascending, argmax takes the first).
+                # NaN-sanitize BEFORE argmax: a zero-norm corpus row
+                # scores 0/0 = NaN against every centroid and NaN
+                # propagates as the max — such rows are degenerate and
+                # their query sims are masked below anyway
+                cs = (m @ b_cmat.T) / np.outer(norms, b_cnorm)
+                ca = np.argmax(np.where(np.isnan(cs), -np.inf, cs), axis=1)
                 sims = (m @ b_qmat.T) / np.outer(norms, b_qnorm)
             # degenerate vectors (zero-norm OR NaN components) match
             # nothing — same posture and Arrow-boundary rationale as
@@ -707,11 +740,25 @@ def _seed_centroids(base: DataFrame, n: int) -> DataFrame:
     corpus TakeOrdered at DataFrame-build time). Multi-consumer
     callers materialize the result themselves — ivf_topk does, its
     probe AND assignment branches otherwise each replay the corpus
-    TakeOrdered (plan-audited)."""
-    return base.orderBy("vec_id").limit(n).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
+    TakeOrdered (plan-audited). Degenerate rows — NULL embeddings and
+    NaN norms — are excluded from seeding (fuzz-parity find): a NULL
+    centroid row crashed the driver-side matrix stack in ivf_knn_join,
+    and a NaN centroid column poisons the in-kernel argmax assignment
+    (NaN propagates as the max); the oracle twins' nb base excludes
+    exactly the same rows."""
+    return (
+        base.filter(
+            F.col("vec").isNotNull()
+            & ~F.isnan("norm")
+            & (F.col("norm") > 0)
+        )
+        .orderBy("vec_id")
+        .limit(n)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
     )
 
 

@@ -624,9 +624,12 @@ def test_nan_centroid_cannot_capture_assignments(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     asg = multi_probe_assignments(emb, n_centroids=2, n_probe=1).collect()
     got = {r.vec_id: r.centroid_id for r in asg}
-    # every well-formed vector lands on the REAL centroid (id 1),
-    # never the NaN one; the NaN vector itself joins no list
-    assert got == {1: 1, 2: 1, 3: 1}
+    # the NaN vector is excluded from SEEDING entirely (the 2 smallest
+    # VALID ids — 1 and 2 — become centroids), captures no assignment,
+    # and joins no list itself
+    assert set(got) == {1, 2, 3}          # vec 0 assigned nowhere
+    assert set(got.values()) <= {1, 2}    # vec 0 is not a centroid
+    assert got[1] == 1 and got[2] == 2    # each valid seed owns itself
 
 
 def test_kmeans_excludes_nan_component_vectors(spark):
@@ -683,3 +686,21 @@ def test_lsh_dim_inference_uses_max_length(spark):
     got = bk.filter(F.col("bucket").isNotNull()).select("vec_id").distinct()
     # the two full-length vectors bucket; the short one nulls out
     assert sorted(r.vec_id for r in got.collect()) == [1, 2]
+
+
+def test_kernels_reject_ragged_embeddings_loudly(spark):
+    """Rectangular input is the kernel tier's documented contract —
+    a ragged embedding column must fail with a DIAGNOSABLE message,
+    not numpy's cryptic shape error from inside an Arrow batch (the
+    SQL oracle side refuses ragged dots too, so both engines agree on
+    refusal; the Catalyst paths instead null mismatched-width dots)."""
+    import pytest
+
+    from propius_spark.operators import embedding_dup_pairs, knn_join
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1, 0.5])]  # ragged
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="ragged embedding column"):
+        embedding_dup_pairs(emb, threshold=0.1, n_blocks=1).collect()
+    with pytest.raises(Exception, match="ragged embedding column"):
+        knn_join(emb, emb, k=2).collect()

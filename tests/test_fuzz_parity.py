@@ -289,3 +289,104 @@ def test_fuzz_events_query_matches_oracle(
         f"{name}: {len(mism)} value mismatches on the hostile events; "
         f"first: {mism[:3]}"
     )
+
+
+# ------------------------------------------------------------- embeddings
+
+ANN_QUERIES = [
+    "ann_cosine_topk",
+    "ann_dup_pairs",
+    "ann_dup_pairs_pruned",
+    "ann_dup_clusters",
+    "ann_ivf_topk",
+    "ann_knn_join",
+    "ann_ivf_knn_join",
+    "ann_dup_pairs_lsh",
+    "ann_lsh_topk",
+    "ann_dup_pairs_trained",
+]
+
+
+def _hostile_embeddings(dim: int = 64) -> list[tuple]:
+    """Vectors with every degenerate shape the family claims to
+    exclude identically in both engines: zero-norm, NaN components
+    (one INSIDE the seed-centroid id range), and NULL embeddings.
+    Ragged widths are NOT here: both engines refuse them loudly (the
+    kernels raise a clear error, DuckDB's list_dot_product errors) —
+    rectangular input is the documented contract, pinned by
+    test_kernels_reject_ragged_embeddings; the LSH pair has defined
+    width semantics of its own (engine nulls mismatched dots, oracle
+    filters len(v) = dim), exercised in the LSH unit tests."""
+    rng = random.Random(0xE3B)
+    rows = []
+    for i in range(60):
+        if i == 2:
+            v = [0.0] * dim  # zero norm
+        elif i in (3, 7):  # 7 is inside the vec_id < 8 centroid range
+            v = [float("nan")] + [0.1] * (dim - 1)
+        elif i == 5:
+            v = None  # NULL embedding
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v, i % 3))
+    # near-duplicate pairs so the dup families have real answers
+    for j in range(10, 20):
+        base = rows[j][1]
+        rows.append((60 + j, [x + 0.001 for x in base], j % 3))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_emb_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("fuzz_emb")
+    rows = _hostile_embeddings()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(out / "embeddings.parquet"))
+    return str(out), rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_emb_ddb(fuzz_emb_dir):
+    sf_dir, _ = fuzz_emb_dir
+    con = duckdb.connect()
+    # read the EXACT parquet the Spark side reads (what the driver's
+    # gate does) — a pandas round-trip coerces in-list NaN to NULL
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    chk = con.execute(
+        "SELECT isnan(embedding[1]) FROM embeddings WHERE vec_id = 3"
+    ).fetchone()[0]
+    assert chk is True
+    return con
+
+
+@pytest.mark.parametrize("name", ANN_QUERIES)
+def test_fuzz_ann_query_matches_oracle(spark, fuzz_emb_dir, fuzz_emb_ddb, name):
+    sf_dir, _ = fuzz_emb_dir
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = [[r[c] for c in scols] for r in sdf.collect()]
+
+    ores = fuzz_emb_ddb.execute(entrymod.oracle_sql()[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert sorted(c.lower() for c in scols) == sorted(
+        c.lower() for c in ocols
+    ), f"{name}: column mismatch"
+    idx = [
+        next(i for i, o in enumerate(ocols) if o.lower() == c.lower())
+        for c in scols
+    ]
+    got = _norm(srows, len(scols))
+    want = _norm([[r[i] for i in idx] for r in orows], len(scols))
+    assert len(got) == len(want), (
+        f"{name}: row count spark={len(got)} oracle={len(want)}"
+    )
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, (
+        f"{name}: {len(mism)} value mismatches on hostile embeddings; "
+        f"first: {mism[:3]}"
+    )
