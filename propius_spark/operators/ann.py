@@ -378,6 +378,44 @@ def _bucketed_dup_pairs(
     )
 
 
+def _masked_partial_topk(sims, ids, norms, b_qids, b_qnorm, k):
+    """THE kernel tier's one selection definition, shared by knn_join
+    and ivf_knn_join (round-3/4 reviews kept finding bugs in exactly
+    this class — tie ordering, degenerate masking, keep-filtering —
+    so the semantics live in one place): mask degenerate rows/queries
+    (zero-norm → the Catalyst twins' NULL posture; NaN cosines — which
+    could not survive the Arrow boundary anyway, pandas NaN IS the
+    null sentinel; self-matches), then per query partial-select
+    followed by the exact (cosine desc, id asc) order capped at k.
+    Callers may pre-apply extra -inf masks (ivf's probe mask) — all
+    masking is idempotent. Returns the (query_id, vec_id, cosine)
+    pandas frame for the batch."""
+    import numpy as np
+    import pandas as pd
+
+    sims[norms == 0.0, :] = -np.inf
+    sims[:, b_qnorm == 0.0] = -np.inf
+    sims = np.where(np.isnan(sims), -np.inf, sims)
+    sims[ids[:, None] == b_qids[None, :]] = -np.inf  # self
+    out_q, out_v, out_c = [], [], []
+    kk = min(k, sims.shape[0])
+    for j in range(len(b_qids)):
+        col = sims[:, j]
+        # partial select then exact (cosine desc, id asc) order
+        cand = (
+            np.argpartition(-col, kk - 1)[:kk]
+            if kk < len(col)
+            else np.arange(len(col))
+        )
+        order = np.lexsort((ids[cand], -col[cand]))[:kk]
+        sel = cand[order]
+        keep = col[sel] > -np.inf
+        out_q.extend([b_qids[j]] * int(keep.sum()))
+        out_v.extend(ids[sel][keep].tolist())
+        out_c.extend(col[sel][keep].tolist())
+    return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_c})
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -442,30 +480,8 @@ def knn_join(
             with np.errstate(divide="ignore", invalid="ignore"):
                 # (batch × Q) cosine submatrix in one BLAS call
                 sims = (m @ b_qmat.T) / np.outer(norms, b_qnorm)
-            # degenerate vectors (zero-norm OR NaN components) match
-            # nothing: zero-norm mirrors the Catalyst twin's try_divide
-            # NULL; NaN cosines cannot survive the Arrow boundary
-            # anyway (pandas NaN IS the null sentinel — an emitted NaN
-            # arrives as NULL and would rank nondeterministically)
-            sims[norms == 0.0, :] = -np.inf
-            sims[:, b_qnorm == 0.0] = -np.inf
-            sims = np.where(np.isnan(sims), -np.inf, sims)
-            sims[ids[:, None] == b_qids[None, :]] = -np.inf  # self
-            out_q, out_v, out_c = [], [], []
-            kk = min(k, sims.shape[0])
-            for j in range(len(b_qids)):
-                col = sims[:, j]
-                # partial select then exact (cosine desc, id asc) order
-                cand = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
-                order = np.lexsort((ids[cand], -col[cand]))[:kk]
-                sel = cand[order]
-                keep = col[sel] > -np.inf
-                out_q.extend([b_qids[j]] * int(keep.sum()))
-                out_v.extend(ids[sel][keep].tolist())
-                out_c.extend(col[sel][keep].tolist())
-            yield pd.DataFrame(
-                {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
-            )
+            # masking + selection semantics live in ONE place
+            yield _masked_partial_topk(sims, ids, norms, b_qids, b_qnorm, k)
 
     cand = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("vid"),
@@ -581,30 +597,11 @@ def ivf_knn_join(
                 cs = (m @ b_cmat.T) / np.outer(norms, b_cnorm)
                 ca = np.argmax(np.where(np.isnan(cs), -np.inf, cs), axis=1)
                 sims = (m @ b_qmat.T) / np.outer(norms, b_qnorm)
-            # degenerate vectors (zero-norm OR NaN components) match
-            # nothing — same posture and Arrow-boundary rationale as
-            # the knn_join kernel
-            sims[norms == 0.0, :] = -np.inf
-            sims[:, b_qnorm == 0.0] = -np.inf
-            sims = np.where(np.isnan(sims), -np.inf, sims)
+            # the probe mask is the IVF-specific extra; everything
+            # else (degenerate masking + selection) is the shared
+            # kernel definition
             sims[~b_mask[ca]] = -np.inf  # not in a probed list
-            sims[ids[:, None] == b_qids[None, :]] = -np.inf  # self
-            out_q, out_v, out_c = [], [], []
-            kk = min(k, sims.shape[0])
-            for j in range(len(b_qids)):
-                col = sims[:, j]
-                cand = (
-                    np.argpartition(-col, kk - 1)[:kk]
-                    if kk < len(col)
-                    else np.arange(len(col))
-                )
-                order = np.lexsort((ids[cand], -col[cand]))[:kk]
-                sel = cand[order]
-                keep = col[sel] > -np.inf
-                out_q.extend([b_qids[j]] * int(keep.sum()))
-                out_v.extend(ids[sel][keep].tolist())
-                out_c.extend(col[sel][keep].tolist())
-            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cosine": out_c})
+            yield _masked_partial_topk(sims, ids, norms, b_qids, b_qnorm, k)
 
     cand = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("vid"),
