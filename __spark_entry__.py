@@ -1116,8 +1116,11 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel click→view→purchase within 24 h —
     one user-key shuffle, per-user array expressions for the chained
     earliest-qualifying-step times (no k-way join chain)."""
+    # null-user exclusion pinned in the QUERY (review find, same
+    # class as asof: Spark's window partitioning GROUPS null users
+    # into one funnel while the oracle's equi-join matches none)
     return funnel(
-        read_events(spark, sf_dir),
+        read_events(spark, sf_dir).filter(F.col("user_id").isNotNull()),
         ["click", "view", "purchase"],
         within_minutes=1440,
     )
@@ -2283,9 +2286,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # chained-CTE funnel (the standard SQL formulation) replays the
         # single-shuffle array-expression plan's semantics exactly
+        # user_id IS NOT NULL mirrors the engine query's exclusion (a
+        # null-user "funnel" is meaningless; window-vs-join null
+        # semantics would otherwise diverge)
         "funnel_events": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS et
-                       FROM events),
+                       FROM events WHERE user_id IS NOT NULL),
             s0 AS (SELECT user_id,
                           MIN(CASE WHEN et = 'click' THEN t END) AS t0
                    FROM e GROUP BY 1),
@@ -2331,7 +2337,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_dup_pairs": """
             WITH px AS (SELECT doc_id AS vec_id,
                                list_transform(range(0, 16),
-                                 j -> ('0x' || substr(sha256(text),
+                                 j -> ('0x' || substr(
+                                       sha256(coalesce(text, '')),
                                        j*2+1, 2))::INT)::DOUBLE[] AS v
                         FROM documents),
             nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm

@@ -95,7 +95,12 @@ def main() -> None:
         clear_materialized(spark)
     print(json.dumps({"sf_dir": SF_DIR, "plans": out, "failed": failed}))
     spark.stop()
+    # nonzero when any query failed to even build its plan — an audit
+    # with missing rows must not read as green to a pre-commit routine
+    # that checks the exit status (same posture as the unknown-name
+    # SystemExit above)
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

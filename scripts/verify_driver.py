@@ -11,7 +11,6 @@ Usage: python scripts/verify_driver.py [query ...]   (default: all)
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import traceback
@@ -43,21 +42,7 @@ def _pandas_canon(cols, rows):
     return df
 
 
-def _norm(rows, ncols):
-    out = []
-    for row in rows:
-        vals = []
-        for v in row[:ncols]:
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-                    if v == 0:
-                        v = 0.0
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=repr)
+from gate_compare import compare  # noqa: E402  (one shared definition)
 
 
 def main() -> int:
@@ -99,37 +84,13 @@ def main() -> int:
             orows = ores.fetchall()
             _pandas_canon(scols, srows)
             _pandas_canon(ocols, orows)
-            # column check FIRST: building `order` on mismatched
-            # columns raised StopIteration into the broad except,
-            # burying this purpose-built diagnostic under an ERR
-            ok_cols = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
-            if not ok_cols:
-                print(f"{name}: FAIL cols spark={scols} oracle={ocols}")
-                n_fail += 1
-                continue
-            order = [ocols.index(next(o for o in ocols if o.lower() == c.lower()))
-                     for c in sorted(scols, key=str.lower)]
-            sorder = [scols.index(c) for c in sorted(scols, key=str.lower)]
-            got = _norm([[r[i] for i in sorder] for r in srows], len(scols))
-            want = _norm([[r[i] for i in order] for r in orows], len(scols))
-            # driver also compares types via the value hash: surface
-            # python-type mismatches explicitly
-            type_mism = [
-                (g, w) for g, w in zip(got, want)
-                if tuple(type(x) for x in g) != tuple(type(x) for x in w)
-            ]
-            if len(got) != len(want):
-                print(f"{name}: FAIL rows spark={len(got)} oracle={len(want)}")
-                n_fail += 1
-            elif got != want:
-                mism = [(g, w) for g, w in zip(got, want) if g != w]
-                print(f"{name}: FAIL {len(mism)} value mismatches; first {mism[:2]}")
-                n_fail += 1
-            elif type_mism:
-                print(f"{name}: FAIL type mismatch; first {type_mism[:2]}")
+            fails = compare(name, scols, srows, ocols, orows)
+            if fails:
+                for f in fails:
+                    print(f"FAIL {f}")
                 n_fail += 1
             else:
-                print(f"{name}: OK ({len(got)} rows)")
+                print(f"{name}: OK ({len(srows)} rows)")
         except Exception:
             print(f"{name}: ERR\n{traceback.format_exc()}")
             n_fail += 1

@@ -16,7 +16,6 @@ test-suite budget.
 
 from __future__ import annotations
 
-import math
 import random
 import sys
 from pathlib import Path
@@ -25,7 +24,9 @@ import duckdb
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 import __spark_entry__ as entrymod  # noqa: E402
+from gate_compare import compare  # noqa: E402  (the ONE engine-oracle compare)
 
 # documents-only queries whose results depend on text CONTENT — the
 # surface where cross-engine regex/collation/float divergence lives.
@@ -53,6 +54,12 @@ FUZZ_QUERIES = [
     "tfidf_docs",
     "token_distribution",
     "pipeline_prepare",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_dup_pairs",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_search",
 ]
 
 WORDS = [
@@ -116,61 +123,38 @@ def fuzz_sf_dir(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def fuzz_ddb(fuzz_sf_dir):
-    import pandas as pd
-
-    _, rows = fuzz_sf_dir
+    sf_dir, _ = fuzz_sf_dir
     con = duckdb.connect()
-    pdf = pd.DataFrame(
-        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    # read the EXACT parquet the Spark side reads (what the driver's
+    # gate does): a pandas round-trip coerces nullable int columns to
+    # float64, which the shared compare's type check rightly rejects
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
     )
-    con.register("documents", pdf)
     return con
 
 
-def _norm(rows, ncols):
-    out = []
-    for row in rows:
-        vals = []
-        for v in row[:ncols]:
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-                    if v == 0:
-                        v = 0.0
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=repr)
+def _assert_parity(spark, con, name, sf_dir):
+    """Run the production query + verbatim oracle and compare through
+    the SAME canonicalization the gate replica uses (scripts/
+    gate_compare — incl. the python-type check the old local copies
+    lacked: a type-only drift passes value equality but fails the
+    driver's hash)."""
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    scols = list(sdf.columns)
+    srows = [tuple(r) for r in sdf.collect()]
+    ores = con.execute(entrymod.oracle_sql()[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    fails = compare(name, scols, srows, ocols, orows)
+    assert not fails, fails
 
 
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
 def test_fuzz_query_matches_oracle(spark, fuzz_sf_dir, fuzz_ddb, name):
     sf_dir, _ = fuzz_sf_dir
-    sdf = entrymod.queries()[name](spark, sf_dir)
-    scols = sorted(sdf.columns)
-    srows = [[r[c] for c in scols] for r in sdf.collect()]
-
-    ores = fuzz_ddb.execute(entrymod.oracle_sql()[name])
-    ocols = [d[0] for d in ores.description]
-    orows = ores.fetchall()
-    assert sorted(c.lower() for c in scols) == sorted(
-        c.lower() for c in ocols
-    ), f"{name}: column mismatch"
-    idx = [
-        next(i for i, o in enumerate(ocols) if o.lower() == c.lower())
-        for c in scols
-    ]
-    got = _norm(srows, len(scols))
-    want = _norm([[r[i] for i in idx] for r in orows], len(scols))
-    assert len(got) == len(want), (
-        f"{name}: row count spark={len(got)} oracle={len(want)}"
-    )
-    mism = [(g, w) for g, w in zip(got, want) if g != w]
-    assert not mism, (
-        f"{name}: {len(mism)} value mismatches on the hostile corpus; "
-        f"first: {mism[:3]}"
-    )
+    _assert_parity(spark, fuzz_ddb, name, sf_dir)
 
 
 # ---------------------------------------------------------------- events
@@ -247,16 +231,12 @@ def fuzz_events_dir(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def fuzz_events_ddb(fuzz_events_dir):
-    import pandas as pd
-
-    _, rows = fuzz_events_dir
+    sf_dir, _ = fuzz_events_dir
     con = duckdb.connect()
-    pdf = pd.DataFrame(
-        rows,
-        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
     )
-    pdf["ts"] = pd.to_datetime(pdf["ts"])
-    con.register("events", pdf)
     return con
 
 
@@ -265,30 +245,7 @@ def test_fuzz_events_query_matches_oracle(
     spark, fuzz_events_dir, fuzz_events_ddb, name
 ):
     sf_dir, _ = fuzz_events_dir
-    sdf = entrymod.queries()[name](spark, sf_dir)
-    scols = sorted(sdf.columns)
-    srows = [[r[c] for c in scols] for r in sdf.collect()]
-
-    ores = fuzz_events_ddb.execute(entrymod.oracle_sql()[name])
-    ocols = [d[0] for d in ores.description]
-    orows = ores.fetchall()
-    assert sorted(c.lower() for c in scols) == sorted(
-        c.lower() for c in ocols
-    ), f"{name}: column mismatch"
-    idx = [
-        next(i for i, o in enumerate(ocols) if o.lower() == c.lower())
-        for c in scols
-    ]
-    got = _norm(srows, len(scols))
-    want = _norm([[r[i] for i in idx] for r in orows], len(scols))
-    assert len(got) == len(want), (
-        f"{name}: row count spark={len(got)} oracle={len(want)}"
-    )
-    mism = [(g, w) for g, w in zip(got, want) if g != w]
-    assert not mism, (
-        f"{name}: {len(mism)} value mismatches on the hostile events; "
-        f"first: {mism[:3]}"
-    )
+    _assert_parity(spark, fuzz_events_ddb, name, sf_dir)
 
 
 # ------------------------------------------------------------- embeddings
@@ -366,27 +323,4 @@ def fuzz_emb_ddb(fuzz_emb_dir):
 @pytest.mark.parametrize("name", ANN_QUERIES)
 def test_fuzz_ann_query_matches_oracle(spark, fuzz_emb_dir, fuzz_emb_ddb, name):
     sf_dir, _ = fuzz_emb_dir
-    sdf = entrymod.queries()[name](spark, sf_dir)
-    scols = sorted(sdf.columns)
-    srows = [[r[c] for c in scols] for r in sdf.collect()]
-
-    ores = fuzz_emb_ddb.execute(entrymod.oracle_sql()[name])
-    ocols = [d[0] for d in ores.description]
-    orows = ores.fetchall()
-    assert sorted(c.lower() for c in scols) == sorted(
-        c.lower() for c in ocols
-    ), f"{name}: column mismatch"
-    idx = [
-        next(i for i, o in enumerate(ocols) if o.lower() == c.lower())
-        for c in scols
-    ]
-    got = _norm(srows, len(scols))
-    want = _norm([[r[i] for i in idx] for r in orows], len(scols))
-    assert len(got) == len(want), (
-        f"{name}: row count spark={len(got)} oracle={len(want)}"
-    )
-    mism = [(g, w) for g, w in zip(got, want) if g != w]
-    assert not mism, (
-        f"{name}: {len(mism)} value mismatches on hostile embeddings; "
-        f"first: {mism[:3]}"
-    )
+    _assert_parity(spark, fuzz_emb_ddb, name, sf_dir)
