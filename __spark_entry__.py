@@ -1317,6 +1317,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles
 
+
+def _pm(expr: str, m: int) -> str:
+    """Spell out pmod for an oracle body: DuckDB's `%` keeps the
+    DIVIDEND's sign (like Spark's `%`), but every engine-side key
+    reduction is F.pmod â€” non-negative on the full signed-64 domain.
+    A bare `expr % m` in an oracle silently diverges on negative keys
+    (hashed-id pipelines produce them); fuzz-parity caught exactly
+    this on 7 queries (negative/huge doc_ids)."""
+    return f"((({expr}) % {m} + {m}) % {m})"
+
 # Shared CTE fragments for the documents-table oracles. Tokenization is
 # split-on-whitespace over lower(text) with empty tokens FILTERED in BOTH
 # engines (robust to leading/trailing tabs/newlines); shingle
@@ -1454,8 +1464,13 @@ len(list_intersect(dt, ['çš„','æ˜¯','åœ¨','äº†','å’Œ','æœ‰','æˆ‘','ä¸','äºº','è
 
 # Shared model CTEs over lineitem: cells â†’ n â†’ per-item stats â†’ valid
 # stats (denÂ² = nÂ·q âˆ’ sÂ² > 0) â†’ gram (co-occurring pair dots).
+# Null item/context ids are dropped where the matrix is born â€” the
+# engine's build_cells posture (reference ids live in int32 COO
+# arrays; see operators/cells.py) â€” otherwise a NULL item group leaks
+# into the separable neighbor-stats sums on one side only.
 _MODEL = """
-WITH occ AS (SELECT l_orderkey AS ref, l_partkey AS item FROM lineitem),
+WITH occ AS (SELECT l_orderkey AS ref, l_partkey AS item FROM lineitem
+             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
 cells AS (SELECT item, ref, COUNT(*)::DOUBLE AS cnt FROM occ GROUP BY 1, 2),
 nn AS (SELECT COUNT(DISTINCT ref)::DOUBLE AS n FROM cells),
 st AS (SELECT item, SUM(cnt) AS s, SUM(cnt*cnt) AS q FROM cells GROUP BY 1),
@@ -1485,7 +1500,8 @@ _EVENTS_CANDIDATES_SQL = """
                    FROM (SELECT DISTINCT event_type FROM events
                          WHERE event_type IS NOT NULL)),
     occ AS (SELECT e.user_id AS ref, c.item_id AS item
-            FROM events e JOIN coded c USING (event_type)),
+            FROM events e JOIN coded c USING (event_type)
+            WHERE e.user_id IS NOT NULL),
     cells AS (SELECT item, ref, COUNT(*)::DOUBLE AS cnt
               FROM occ GROUP BY 1, 2),
     nn AS (SELECT COUNT(DISTINCT ref)::DOUBLE AS n FROM cells),
@@ -1669,12 +1685,20 @@ def oracle_sql() -> dict[str, str]:
                    NULL::VARCHAR AS human_label
             FROM part WHERE p_partkey = 42
         """,
+        # ASCII-only fold (translate), the engine's search_items_by_name
+        # posture: SQLite LIKE â€” the reference behavior â€” folds A-Z and
+        # nothing else, and full lower() is engine-specific on Ä°-class
+        # code points (JVM 'Ä°'â†’'i'+U+0307 vs utf8proc 'Ä°'â†’'i')
         "search_items": """
             SELECT p_partkey AS id, p_name AS key,
                    NULL::VARCHAR AS human_label
             FROM part
-            WHERE lower(p_name) LIKE '%widget%'
-               OR lower(NULL) LIKE '%widget%'
+            WHERE translate(p_name, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz')
+                    LIKE '%widget%'
+               OR translate(NULL, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz')
+                    LIKE '%widget%'
             ORDER BY p_name ASC, p_partkey ASC LIMIT 10
         """,
         "db_stats": """
@@ -1711,17 +1735,21 @@ def oracle_sql() -> dict[str, str]:
                      AS text
             FROM documents
         """,
-        "split_corpus": """
+        # the key pre-reduction is spelled as pmod (_pm): the engine's
+        # F.pmod is non-negative where a bare SQL % keeps the key's
+        # sign â€” negative/huge ids otherwise land in different buckets
+        "split_corpus": f"""
             SELECT doc_id,
                    CASE WHEN b < 800000 THEN 'train'
                         WHEN b < 900000 THEN 'val'
                         ELSE 'test' END AS split
             FROM (SELECT doc_id,
-                         ((2654435761 * (doc_id % 2147483647) + 1013904223) % 2147483647)
+                         ((2654435761 * {_pm("doc_id", 2147483647)}
+                           + 1013904223) % 2147483647)
                            % 1000000 AS b
                   FROM documents)
         """,
-        "split_leakage_free": """
+        "split_leakage_free": f"""
             WITH k AS (SELECT doc_id,
                               MIN(doc_id) OVER
                                 (PARTITION BY coalesce(text, ''))
@@ -1732,7 +1760,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 900000 THEN 'val'
                         ELSE 'test' END AS split
             FROM (SELECT doc_id, keeper_id,
-                         ((2654435761 * (keeper_id % 2147483647)
+                         ((2654435761 * {_pm("keeper_id", 2147483647)}
                            + 1013904223) % 2147483647) % 1000000 AS b
                   FROM k)
         """,
@@ -1769,7 +1797,8 @@ def oracle_sql() -> dict[str, str]:
                                         lower(text), '\s+'), x -> x <> '')
                                    AS t
                           FROM documents),
-            nt AS (SELECT doc_id, doc_id % 8 AS shard,
+            nt AS (SELECT doc_id,
+                          ((doc_id % 8 + 8) % 8) AS shard,
                           len(t)::BIGINT AS n_tokens
                    FROM toks WHERE len(t) > 0),
             c AS (SELECT shard, doc_id, n_tokens,
@@ -2103,9 +2132,13 @@ def oracle_sql() -> dict[str, str]:
             WITH mo AS (SELECT MAX(l_partkey) + 1 AS off FROM lineitem),
             occ AS (SELECT l_orderkey AS ref, l_partkey AS item
                          FROM lineitem
+                         WHERE l_orderkey IS NOT NULL
+                           AND l_partkey IS NOT NULL
                          UNION ALL
                          SELECT l_orderkey, l_suppkey + (SELECT off FROM mo)
-                         FROM lineitem),
+                         FROM lineitem
+                         WHERE l_orderkey IS NOT NULL
+                           AND l_suppkey IS NOT NULL),
             cells AS (SELECT item, ref, COUNT(*)::DOUBLE AS cnt
                       FROM occ GROUP BY 1, 2),
             nn AS (SELECT COUNT(DISTINCT ref)::DOUBLE AS n FROM cells),
@@ -2129,10 +2162,13 @@ def oracle_sql() -> dict[str, str]:
         # oracle is exactly the candidates query the model was built by
         "model_roundtrip": _EVENTS_CANDIDATES_SQL,
         "model_roundtrip_npy": _EVENTS_CANDIDATES_SQL,
+        # null ids dropped where the matrix is born (see _MODEL note)
         "streaming_cells": """
             SELECT l_partkey AS item_id, l_orderkey AS ctx_id,
                    COUNT(*)::DOUBLE AS cnt
-            FROM lineitem GROUP BY 1, 2
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_orderkey IS NOT NULL
+            GROUP BY 1, 2
         """,
         "multimodal_meta": """
             SELECT doc_id AS media_id, 'image' AS modality,
@@ -2193,12 +2229,14 @@ def oracle_sql() -> dict[str, str]:
                    upper(sha256(coalesce(text, '') || ':' || fi))
                      AS frame_hex
             FROM documents,
-                 LATERAL unnest(range(0, 1 + doc_id % 12, 4)) AS t(fi)
+                 LATERAL unnest(range(0, 1 + ((doc_id % 12 + 12) % 12), 4))
+                   AS t(fi)
         """,
-        "weighted_sample_docs": """
+        "weighted_sample_docs": f"""
             SELECT doc_id, source, n_chars
             FROM (SELECT doc_id, source, n_chars,
-                         ((2654435761 * (doc_id % 2147483647) + 1013904223) % 2147483647)
+                         ((2654435761 * {_pm("doc_id", 2147483647)}
+                           + 1013904223) % 2147483647)
                            % 1000000 AS b,
                          LEAST(1.0, GREATEST(0.0,
                            0.5 * (n_chars / 200.0))) AS p
@@ -2370,9 +2408,15 @@ def oracle_sql() -> dict[str, str]:
         # same null-ts exclusion + explicit floor bucketing as the
         # batch twin (DuckDB integer `//` truncates; see
         # windowed_event_counts)
+        # t >= 0: Spark's event-time watermark INITIALIZES AT EPOCH 0,
+        # so a pre-epoch event is already late in the first batch and
+        # its (epoch-aligned) window â€” end <= 0 <= watermark â€” is
+        # never created; the batch twin keeps such rows (fuzz-parity
+        # find on pre-epoch times; t = 0 itself survives, pinned by
+        # the boundary rows in the fuzz corpus)
         "streaming_windowed_counts": """
             WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events
-                       WHERE ts IS NOT NULL),
+                       WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
             wm AS (SELECT ((MAX(t) // 1000) - 600000) * 1000 AS wm_us
                    FROM e),
             w AS (SELECT ((t - ((t % 3600000000) + 3600000000)
@@ -2390,9 +2434,16 @@ def oracle_sql() -> dict[str, str]:
         # engine's explicit null-time exclusion (an event with no time
         # belongs to no session; NULLS FIRST/LAST conventions would
         # otherwise attach it to a different session per engine)
+        # t > 0 mirrors the initial-watermark exclusion for the STATE
+        # KERNEL: Spark's watermark starts at epoch 0 and
+        # applyInPandasWithState drops late rows with ts <= watermark
+        # (streaming/sessions.py close-rule comment; pinned by the
+        # fuzz corpus' t = 0 / t = âˆ’1Âµs boundary rows) â€” note the
+        # boundary differs from windowed aggregation, which drops on
+        # window END <= watermark and therefore KEEPS a t = 0 event
         "streaming_sessions": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
-                       WHERE ts IS NOT NULL),
+                       WHERE ts IS NOT NULL AND epoch_us(ts) > 0),
             wm AS (SELECT ((MAX(t) // 1000) - 3600000) * 1000 AS wm_us
                    FROM e),
             m AS (SELECT user_id, t,
@@ -2518,19 +2569,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # selection is pure key arithmetic (operators/sampling.py) â€”
         # the oracle replays the identical sample
-        "sample_events_stratified": """
+        "sample_events_stratified": f"""
             SELECT e.event_id, e.user_id, e.event_type
             FROM events e
             JOIN (VALUES ('click', 500000), ('view', 250000),
                          ('purchase', 1000000)) v(event_type, cut)
               ON e.event_type = v.event_type
-            WHERE ((2654435761 * (e.event_id % 2147483647) + 1013904223) % 2147483647)
+            WHERE ((2654435761 * {_pm("e.event_id", 2147483647)}
+                    + 1013904223) % 2147483647)
                   % 1000000 < v.cut
         """,
         # mixture resampling: keep-rates derive from the group counts by
         # the same floor arithmetic as operators/sampling.py::mix_sources
         # (IEEE doubles in both engines), selection by the shared LCG
-        "mix_sources_docs": """
+        "mix_sources_docs": f"""
             WITH counts AS (
                 SELECT source, COUNT(*)::DOUBLE AS n FROM documents
                 WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
@@ -2545,20 +2597,21 @@ def oracle_sql() -> dict[str, str]:
                       FROM j, s)
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN rates r ON d.source = r.source
-            WHERE ((2654435761 * (d.doc_id % 2147483647) + 1013904223) % 2147483647)
+            WHERE ((2654435761 * {_pm("d.doc_id", 2147483647)}
+                    + 1013904223) % 2147483647)
                   % 1000000 < r.cut
         """,
         # two decorrelated LCG lanes: shard from the sample lane,
         # within-shard order from the Borland lane (+ key tiebreak)
-        "shuffle_shards_docs": """
+        "shuffle_shards_docs": f"""
             SELECT doc_id, source, shard::INT AS shard,
                    (ROW_NUMBER() OVER (PARTITION BY shard
                                        ORDER BY ord, doc_id) - 1)::INT
                      AS pos
             FROM (SELECT doc_id, source,
-                         ((1103515245 * (doc_id % 2147483647) + 12345)
+                         ((1103515245 * {_pm("doc_id", 2147483647)} + 12345)
                            % 2147483647) % 8 AS shard,
-                         (22695477 * (doc_id % 2147483647) + 1)
+                         (22695477 * {_pm("doc_id", 2147483647)} + 1)
                            % 2147483647 AS ord
                   FROM documents)
         """,

@@ -33,8 +33,21 @@ def build_cells(occurrences: DataFrame, ctx_col: str = "reference_id") -> DataFr
     # exceed 2⁶³, where ANSI mode (Spark 4 default) kills the job and
     # legacy mode silently wraps every correlation. Double partial sums
     # are the same IEEE arithmetic the oracle uses.
+    #
+    # NULL ids are NOT data: the reference's matrix build assigns ids
+    # into int32 COO arrays (propius/similarity.py:63-89), where a NaN
+    # id cannot exist (the assignment raises) — null item/context ids
+    # are outside its domain entirely. Spark's groupBy instead KEEPS a
+    # null group — which can never equi-join (gram drops it) yet WOULD
+    # leak into the separable global sums (V, Σt, Σt²) that
+    # neighbor_stats uses, silently shifting every item's
+    # mean/σ/extremes on null-bearing data (fuzz-parity find). Drop
+    # both up front, once, where the matrix is born.
     return (
-        occurrences.groupBy(F.col("item_id"), F.col(ctx_col).alias("ctx_id"))
+        occurrences.filter(
+            F.col("item_id").isNotNull() & F.col(ctx_col).isNotNull()
+        )
+        .groupBy(F.col("item_id"), F.col(ctx_col).alias("ctx_id"))
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )
 

@@ -91,14 +91,24 @@ def get_item_info(correlated_items: DataFrame, item_id: int) -> DataFrame:
 
 def search_items_by_name(correlated_items: DataFrame, term: str, limit: int = 10) -> DataFrame:
     """Case-insensitive substring search on key/human_label
-    (propius/data.py:281-313 — SQLite LIKE is ASCII-case-insensitive,
-    so we lower() both sides). The search term is passed as a literal
-    (no pattern assembly/injection, unlike data.py:305's f-string).
+    (propius/data.py:281-313). The fold is ASCII-ONLY — exactly the
+    reference's semantics (SQLite LIKE folds A-Z and nothing else) and
+    the only fold that is engine-portable: full lower() is
+    context-aware on the JVM ('İ' → 'i' + combining dot) but 1:1 in
+    DuckDB's utf8proc ('İ' → 'i'), so 'WİDGET' matches '%widget%' on
+    one engine and not the other (fuzz-parity find). The search term
+    is passed as a literal (no pattern assembly/injection, unlike
+    data.py:305's f-string).
     """
-    t = F.lower(F.lit(term))
+    from ..functions.text import ASCII_LOWERED, ASCII_UPPER, ascii_lower
+
+    # fold the term with the SAME ASCII-only mapping (str.lower() on a
+    # non-ASCII term would fold what the column side does not)
+    t = term.translate(str.maketrans(ASCII_UPPER, ASCII_LOWERED))
     return (
         correlated_items.filter(
-            F.lower(F.col("key")).contains(t) | F.lower(F.col("human_label")).contains(t)
+            ascii_lower(F.col("key")).contains(F.lit(t))
+            | ascii_lower(F.col("human_label")).contains(F.lit(t))
         )
         .select("id", "key", "human_label")
         .orderBy(F.asc("key"), F.asc("id"))

@@ -60,9 +60,13 @@ def streaming_cells(occurrences: DataFrame) -> DataFrame:
     operators/cells.build_cells, maintained by the state store."""
     require_columns(occurrences, ["item_id", "reference_id"], "streaming_cells")
     return (
-        occurrences.groupBy(
-            F.col("item_id"), F.col("reference_id").alias("ctx_id")
+        # null item/context ids dropped, matching batch build_cells
+        # (see its null-posture comment) — the streaming and batch
+        # cell tables must stay interchangeable
+        occurrences.filter(
+            F.col("item_id").isNotNull() & F.col("reference_id").isNotNull()
         )
+        .groupBy(F.col("item_id"), F.col("reference_id").alias("ctx_id"))
         # double cnt, matching batch build_cells (and the oracle's
         # COUNT(*)::DOUBLE) — see cells.py for the overflow rationale
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))

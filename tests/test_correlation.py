@@ -127,6 +127,24 @@ def test_duplicate_pairs_sum(spark):
     assert len(cells) == 1 and cells[0]["cnt"] == 3
 
 
+def test_build_cells_drops_null_ids(spark):
+    """NULL item/context ids never enter the matrix (the reference's
+    int32 COO arrays cannot hold them — similarity.py:63-89). Spark's
+    groupBy would otherwise KEEP a null group that can never equi-join
+    into gram yet leaks into neighbor_stats' global sums (V, Σt, Σt²),
+    shifting every item's mean/σ/extremes (fuzz-parity find on the
+    hostile lineitem corpus)."""
+    df = spark.createDataFrame(
+        [("r1", 1), ("r1", 2), (None, 1), ("r2", None), (None, None), ("r2", 2)],
+        "reference_id string, item_id long",
+    )
+    got = build_cells(df).collect()
+    assert all(r["item_id"] is not None and r["ctx_id"] is not None for r in got)
+    assert {(r["ctx_id"], r["item_id"]) for r in got} == {
+        ("r1", 1), ("r1", 2), ("r2", 2)
+    }
+
+
 def test_zero_variance_items_dropped(spark):
     """An item present in every context with equal counts has zero
     variance → NaN row in the reference → excluded from valid stats."""

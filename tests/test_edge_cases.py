@@ -127,6 +127,26 @@ def test_round2_text_ops_empty_and_degenerate(spark):
     assert sorted(steps) == [(0, 0), (1, 0)]
 
 
+def test_search_fold_is_ascii_only(spark):
+    """search_items_by_name folds A-Z ONLY — the reference's SQLite
+    LIKE semantics and the only engine-portable fold: JVM lower('İ')
+    is 'i' + combining dot while DuckDB's utf8proc gives 'i', so a
+    full-lower() search matches 'WİDGET' on one engine and not the
+    other (fuzz-parity find)."""
+    from propius_spark.serving import search_items_by_name
+
+    dim = spark.createDataFrame(
+        [
+            (1, "WIDGET plain", None),
+            (2, "WİDGET dotted capital", None),
+            (3, "nothing here", None),
+        ],
+        "id long, key string, human_label string",
+    )
+    got = [r["id"] for r in search_items_by_name(dim, "WIDGET", limit=10).collect()]
+    assert got == [1]  # ASCII case-pair folds; İ stays distinct
+
+
 def test_clear_materialized_releases_df_caches(spark):
     """persist_big uses DataFrame-level caching (CacheManager), which
     getPersistentRDDs does not list — clear_materialized must release

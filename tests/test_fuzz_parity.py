@@ -17,6 +17,7 @@ test-suite budget.
 from __future__ import annotations
 
 import random
+import shutil
 import sys
 from pathlib import Path
 
@@ -28,11 +29,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 import __spark_entry__ as entrymod  # noqa: E402
 from gate_compare import compare  # noqa: E402  (the ONE engine-oracle compare)
 
-# documents-only queries whose results depend on text CONTENT — the
-# surface where cross-engine regex/collation/float divergence lives.
-# (Sampling/shard queries depend only on doc_id arithmetic; the model
-# queries read lineitem — both already covered by test_oracle.)
+# documents-table queries: the text-content surface (cross-engine
+# regex/collation/float divergence) PLUS the key-arithmetic surface
+# (sampling/shard/split queries) — the corpus carries negative and
+# huge doc_ids, where Spark's pmod and a bare SQL `%` (sign of
+# dividend in DuckDB) silently part ways.
 FUZZ_QUERIES = [
+    "split_corpus",
+    "weighted_sample_docs",
+    "shuffle_shards_docs",
+    "mix_sources_docs",
+    "cap_per_source",
+    "dedup_incremental",
+    "dedup_lsh_capped",
     "token_estimates",
     "text_doc_stats",
     "corpus_filter",
@@ -105,10 +114,31 @@ def _hostile_corpus() -> list[tuple]:
     for t in (None, "", "   ", "\x0b", " ", "\n\t\r"):
         docs.append((i, t, None if i % 2 else "en", f"src{i % 3}"))
         i += 1
+    # hostile KEYS: negative and huge doc_ids (hashed-id pipelines) —
+    # the LCG/bucket/shard arithmetic must agree between Spark's pmod
+    # and the oracle's spelled-out modulus on the full signed-64 domain
+    for k in (-7, -1, -(2**61) - 9, 2**61 + 3, 2**62 + 11):
+        docs.append((k, text(10), "en", f"src{abs(k) % 3}"))
     return [
         (d[0], d[1], d[2], d[3], len(d[1]) if d[1] is not None else None)
         for d in docs
     ]
+
+
+def _write_single_parquet(df, out_dir: Path, name: str) -> None:
+    """Write a table as ONE parquet FILE named like the driver's
+    testdata (`events.parquet` is a file, not a Spark directory):
+    the streaming queries watch the sf dir with a pathGlobFilter on
+    the table name, which matches LEAF FILE names — a Spark-written
+    directory's part-*.parquet leaves match nothing and the stream
+    silently reads zero rows (found by the streaming fuzz sweep).
+    The bytes stay Spark-written (the gate reads Spark-written
+    parquet; a pandas round-trip coerces nullable ints)."""
+    tmp = out_dir / f"__{name}.tmp"
+    df.coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+    part.rename(out_dir / name)
+    shutil.rmtree(tmp)
 
 
 @pytest.fixture(scope="module")
@@ -170,6 +200,18 @@ EVENT_QUERIES = [
     "sample_events_stratified",
     "similar_candidates_events",
     "similar_topk_per_item",
+    # the model CSV/npy round trips run over the same events fixture
+    # (occurrences_from_events → corr), so hostile users/types flow
+    # through the persisted-matrix path too
+    "model_roundtrip",
+    "model_roundtrip_npy",
+    # streaming twins: the applyInPandasWithState / watermark /
+    # dropDuplicatesWithinWatermark code paths are DISTINCT from their
+    # batch siblings — hostile times (null, pre-epoch, ties) must not
+    # diverge from the batch-derived oracles
+    "streaming_sessions",
+    "streaming_windowed_counts",
+    "streaming_dedup",
 ]
 
 
@@ -214,6 +256,18 @@ def _hostile_events() -> list[tuple]:
         for _ in range(4):
             rows.append((eid, base, u, "click", 1.0, None))
             eid += 1
+    # hostile KEYS: negative/huge event_ids (the stratified-sample LCG
+    # key) and a huge user_id (grouping/window key)
+    rows.append((-13, base, 3, "click", 2.0, None))
+    rows.append((-(2**61) - 3, base, 4, "view", 0.5, '{"k": 9}'))
+    rows.append((2**61 + 7, base, 2**60 + 1, "purchase", 7.25, None))
+    # the epoch boundary EXACTLY: Spark's event-time watermark starts
+    # at 0, so t = −1µs is permanently late in every watermarked
+    # stateful operator while t = 0 survives — these two rows pin the
+    # streaming oracles' initial-watermark exclusion at the boundary
+    epoch = datetime(1970, 1, 1)
+    rows.append((9001, epoch, 19, "click", 1.0, None))
+    rows.append((9002, epoch - timedelta(microseconds=1), 19, "click", 1.0, None))
     return rows
 
 
@@ -221,11 +275,15 @@ def _hostile_events() -> list[tuple]:
 def fuzz_events_dir(spark, tmp_path_factory):
     out = tmp_path_factory.mktemp("fuzz_ev")
     rows = _hostile_events()
-    spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string",
-    ).coalesce(1).write.parquet(str(out / "events.parquet"))
+    _write_single_parquet(
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ),
+        out,
+        "events.parquet",
+    )
     return str(out), rows
 
 
@@ -235,7 +293,7 @@ def fuzz_events_ddb(fuzz_events_dir):
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+        f"read_parquet('{sf_dir}/events.parquet')"
     )
     return con
 
@@ -324,3 +382,123 @@ def fuzz_emb_ddb(fuzz_emb_dir):
 def test_fuzz_ann_query_matches_oracle(spark, fuzz_emb_dir, fuzz_emb_ddb, name):
     sf_dir, _ = fuzz_emb_dir
     _assert_parity(spark, fuzz_emb_ddb, name, sf_dir)
+
+
+# ---------------------------------------------------------- lineitem/part
+
+# The correlation-model core + publish/serving family, over a hostile
+# occurrence log and item dictionary: NULL context/item/supplier keys,
+# duplicate lineitems (cnt > 1 cells), a hot context holding every
+# item, single-item contexts, an item in exactly one context, a
+# zero-variance item (den² = 0 exclusion parity), duplicate part
+# names (publication min-id dedup), NULL/empty part names, and
+# case-fold-hostile names (İ/ẞ/NBSP) through the search path.
+LINEITEM_QUERIES = [
+    "corr_pairs_parts",
+    "corr_pairs_capped",
+    "corr_pairs_cross_set",
+    "similar_one_part",
+    "similar_exact_parts",
+    "retrieve_topk_part",
+    "retrieve_topk_batch",
+    "publish_retrieve",
+    "item_info",
+    "search_items",
+    "db_stats",
+    "streaming_cells",
+]
+
+
+def _hostile_lineitem() -> list[tuple]:
+    rng = random.Random(0x11E111)
+    rows: list[tuple] = []
+    # 28 ordinary orders over items 0..19; ~25% duplicated lines
+    for o in range(28):
+        for it in rng.sample(range(20), rng.randrange(2, 7)):
+            rows.append((o, it, rng.randrange(8)))
+            if rng.random() < 0.25:
+                rows.append((o, it, rng.randrange(8)))
+    # flagship items 1..3 co-occur across several orders
+    for o in range(0, 14, 2):
+        rows += [(o, 1, 0), (o, 2, 1)]
+    for o in range(1, 14, 4):
+        rows.append((o, 3, 2))
+    rows += [(100, it, it % 8) for it in range(20)]  # hot order: all items
+    rows.append((101, 5, 0))  # single-item order
+    rows.append((102, 30, 1))  # item in exactly one order
+    # zero-variance item: exactly once in EVERY non-null context that
+    # will exist → n·q − s² = 0, excluded by den² > 0 in both engines
+    all_orders = sorted({r[0] for r in rows} | {103, 104})
+    rows += [(o, 31, 3) for o in all_orders]
+    # null keys
+    rows.append((None, 4, 0))  # null context
+    rows.append((103, None, 1))  # null item
+    rows.append((None, None, None))
+    rows.append((104, 6, None))  # null supplier (cross-set vstack)
+    return rows
+
+
+def _hostile_parts() -> list[tuple]:
+    names: dict[int, str | None] = {
+        0: "plain widget base",
+        1: "WIDGET flagship",
+        2: "Widget runner-up",
+        3: "wIdGeT third",
+        4: "WİDGET dotted capital",  # İ: JVM vs utf8proc lower()
+        5: "w idget nbsp",
+        6: None,  # null name; co-occurs with the flagship item
+        7: None,  # second null-name part
+        8: "STRAẞE widget ẞ",  # capital sharp s
+        9: "gadget ς final sigma",
+        10: "super-widgetry compound",
+        11: "duplicate name",
+        12: "duplicate name",  # same name, two ids → min-id dedup
+        13: "",
+        14: "  widget padded  ",
+        15: "Ǆungla widget",  # title-case digraph DŽ
+        16: "widget\nnewline",
+        17: 'widget "quoted", comma',
+        18: "数据 widget 引擎",
+        # 19 deliberately MISSING: a fact item with no dim row
+        30: "one-order widget",
+        31: "constant item",
+        42: "the info item 42",
+    }
+    for k in range(50, 56):  # dim-only rows, no facts
+        names[k] = f"spare part {k}"
+    return sorted(names.items())
+
+
+@pytest.fixture(scope="module")
+def fuzz_li_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("fuzz_li")
+    _write_single_parquet(
+        spark.createDataFrame(
+            _hostile_lineitem(),
+            "l_orderkey long, l_partkey long, l_suppkey long",
+        ),
+        out,
+        "lineitem.parquet",
+    )
+    _write_single_parquet(
+        spark.createDataFrame(_hostile_parts(), "p_partkey long, p_name string"),
+        out,
+        "part.parquet",
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def fuzz_li_ddb(fuzz_li_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{fuzz_li_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", LINEITEM_QUERIES)
+def test_fuzz_lineitem_query_matches_oracle(spark, fuzz_li_dir, fuzz_li_ddb, name):
+    _assert_parity(spark, fuzz_li_ddb, name, fuzz_li_dir)
