@@ -1791,14 +1791,14 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, LATERAL unnest(range(0, len(t), 24)) AS s(s)
             WHERE len(t) > 0 AND (s.s = 0 OR s.s < len(t) - 8)
         """,
-        "pack_docs": r"""
+        "pack_docs": rf"""
             WITH toks AS (SELECT doc_id,
                                  list_filter(string_split_regex(
                                         lower(text), '\s+'), x -> x <> '')
                                    AS t
                           FROM documents),
             nt AS (SELECT doc_id,
-                          ((doc_id % 8 + 8) % 8) AS shard,
+                          {_pm("doc_id", 8)} AS shard,
                           len(t)::BIGINT AS n_tokens
                    FROM toks WHERE len(t) > 0),
             c AS (SELECT shard, doc_id, n_tokens,
@@ -2223,13 +2223,13 @@ def oracle_sql() -> dict[str, str]:
                      b.vec_id ASC
             LIMIT 10
         """,
-        "multimodal_frames": """
+        "multimodal_frames": f"""
             SELECT doc_id AS media_id, fi::INT AS frame_idx,
                    'image' AS modality, 32::INT AS n_bytes,
                    upper(sha256(coalesce(text, '') || ':' || fi))
                      AS frame_hex
             FROM documents,
-                 LATERAL unnest(range(0, 1 + ((doc_id % 12 + 12) % 12), 4))
+                 LATERAL unnest(range(0, 1 + {_pm("doc_id", 12)}, 4))
                    AS t(fi)
         """,
         "weighted_sample_docs": f"""
@@ -2399,8 +2399,15 @@ def oracle_sql() -> dict[str, str]:
         # the payload), so plain DISTINCT is the oracle; watermark
         # eviction cannot re-admit a key inside one availableNow run
         # over a single file (one micro-batch)
+        # ts IS NULL OR t > 0: dropDuplicatesWithinWatermark passes
+        # null-event-time rows through but drops rows with
+        # ts <= watermark — and the watermark initializes at epoch 0,
+        # so pre-epoch AND exactly-epoch rows are permanently late
+        # (verified empirically; same ts <= wm boundary as the
+        # sessions kernel, pinned by singleton-payload fuzz rows)
         "streaming_dedup": """
             SELECT DISTINCT props AS text FROM events
+            WHERE ts IS NULL OR epoch_us(ts) > 0
         """,
         # watermark arithmetic mirrors streaming_sessions: floor max
         # event time to ms, subtract the delay; STRICT < matches

@@ -42,6 +42,10 @@ WS_CLASS = "[" + WS_CHARS + "]"
 # rewrite.
 ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 ASCII_LOWERED = "abcdefghijklmnopqrstuvwxyz"
+# Python-side twin of ascii_lower, for folding driver-side strings
+# (search terms, query tokens) with the IDENTICAL mapping — str.lower()
+# would fold non-ASCII case pairs the column side does not
+ASCII_FOLD_TABLE = str.maketrans(ASCII_UPPER, ASCII_LOWERED)
 
 
 def ascii_lower(c: Column) -> Column:

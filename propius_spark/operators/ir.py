@@ -148,10 +148,10 @@ def bm25_search(
     # would diverge on the same İ/ẞ/ς-class code points full lower()
     # does). Python `re` parses the WS_CHARS escapes identically to
     # Java/RE2.
-    from ..functions.text import ASCII_LOWERED, ASCII_UPPER
+    from ..functions.text import ASCII_FOLD_TABLE
 
     _ws = _re.compile("[" + WS_CHARS + "]+")
-    folded = query.translate(str.maketrans(ASCII_UPPER, ASCII_LOWERED))
+    folded = query.translate(ASCII_FOLD_TABLE)
     qtokens = sorted({t for t in _ws.split(folded) if t})
     spark = docs.sparkSession
     if not qtokens:

@@ -100,11 +100,11 @@ def search_items_by_name(correlated_items: DataFrame, term: str, limit: int = 10
     is passed as a literal (no pattern assembly/injection, unlike
     data.py:305's f-string).
     """
-    from ..functions.text import ASCII_LOWERED, ASCII_UPPER, ascii_lower
+    from ..functions.text import ASCII_FOLD_TABLE, ascii_lower
 
     # fold the term with the SAME ASCII-only mapping (str.lower() on a
     # non-ASCII term would fold what the column side does not)
-    t = term.translate(str.maketrans(ASCII_UPPER, ASCII_LOWERED))
+    t = term.translate(ASCII_FOLD_TABLE)
     return (
         correlated_items.filter(
             ascii_lower(F.col("key")).contains(F.lit(t))

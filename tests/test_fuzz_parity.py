@@ -263,11 +263,20 @@ def _hostile_events() -> list[tuple]:
     rows.append((2**61 + 7, base, 2**60 + 1, "purchase", 7.25, None))
     # the epoch boundary EXACTLY: Spark's event-time watermark starts
     # at 0, so t = −1µs is permanently late in every watermarked
-    # stateful operator while t = 0 survives — these two rows pin the
-    # streaming oracles' initial-watermark exclusion at the boundary
+    # stateful operator while t = 0 survives windowed aggregation
+    # (drop is on window END <= wm) but NOT the row-level ts <= wm
+    # operators — these rows pin each oracle's initial-watermark
+    # exclusion at the boundary
     epoch = datetime(1970, 1, 1)
     rows.append((9001, epoch, 19, "click", 1.0, None))
     rows.append((9002, epoch - timedelta(microseconds=1), 19, "click", 1.0, None))
+    # SINGLETON payloads for streaming_dedup: each props value below
+    # appears on exactly one row, so the emitted distinct-payload set
+    # discriminates the drop boundary (a shared payload would survive
+    # via its post-epoch twin and mask the divergence)
+    rows.append((9003, epoch - timedelta(microseconds=1), 20, "click", 1.0, '{"pre_epoch_only": 1}'))
+    rows.append((9004, epoch, 20, "click", 1.0, '{"epoch_zero_only": 1}'))
+    rows.append((9005, None, 20, "click", 1.0, '{"null_ts_only": 1}'))
     return rows
 
 
