@@ -511,3 +511,19 @@ def fuzz_li_ddb(fuzz_li_dir):
 @pytest.mark.parametrize("name", LINEITEM_QUERIES)
 def test_fuzz_lineitem_query_matches_oracle(spark, fuzz_li_dir, fuzz_li_ddb, name):
     _assert_parity(spark, fuzz_li_ddb, name, fuzz_li_dir)
+
+
+def test_fuzz_net_covers_every_declared_query():
+    """The four hand-maintained suite lists must partition queries()
+    EXACTLY: a new queries() entry that joins no fuzz suite would
+    silently skip the hostile-corpus net (the round-4 red row was
+    precisely a query whose hostile behavior nothing exercised), and
+    a stale name here would fuzz nothing."""
+    suites = [FUZZ_QUERIES, EVENT_QUERIES, LINEITEM_QUERIES, ANN_QUERIES]
+    fuzzed = [n for s in suites for n in s]
+    assert len(fuzzed) == len(set(fuzzed)), "duplicate fuzz entries"
+    declared = set(entrymod.queries())
+    assert set(fuzzed) == declared, (
+        sorted(declared - set(fuzzed)),
+        sorted(set(fuzzed) - declared),
+    )
