@@ -1373,8 +1373,14 @@ base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 nb AS (SELECT vec_id, v, norm FROM (
          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
          FROM base)
-       WHERE NOT isnan(norm))
+       WHERE isfinite(norm))
 """
+# isfinite, not just NOT isnan: an Inf-COMPONENT vector has an Inf
+# norm that passes the NaN check, and its NaN "cosines" then PASS
+# DuckDB's `NaN >= τ` threshold (NaN compares greatest) — the oracle
+# over-included pairs the engine rightly drops (every engine cosine
+# involving such a vector is NaN → _finite/threshold-excluded).
+# Inf-vector fuzz rows pin this (test_fuzz_parity.py).
 
 _EXACT_DUP_PAIRS_SQL = f"""
             WITH {_EMB_BASE}

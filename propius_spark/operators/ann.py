@@ -639,8 +639,16 @@ def kmeans_centroids(
         with_norm(emb, vec_col)
         # NaN norms PASS `> 0` under Spark's NaN-is-largest comparison
         # semantics — without the isnan guard a single NaN-component
-        # vector feeds NaN features into KMeans and poisons a centroid
-        .filter((F.col("norm") > 0) & ~F.isnan("norm"))
+        # vector feeds NaN features into KMeans and poisons a centroid.
+        # Inf norms pass BOTH checks and normalize to NaN features
+        # (inf/inf), which MLlib rejects with a hard job failure
+        # ("Vector values MUST NOT be NaN or Infinity") — the finite
+        # bound completes the degenerate-vector exclusion
+        .filter(
+            (F.col("norm") > 0)
+            & ~F.isnan("norm")
+            & (F.col("norm") < F.lit(float("inf")))
+        )
         .select(
             array_to_vector(
                 F.transform("vec", lambda x: x / F.col("norm"))
@@ -737,17 +745,21 @@ def _seed_centroids(base: DataFrame, n: int) -> DataFrame:
     corpus TakeOrdered at DataFrame-build time). Multi-consumer
     callers materialize the result themselves — ivf_topk does, its
     probe AND assignment branches otherwise each replay the corpus
-    TakeOrdered (plan-audited). Degenerate rows — NULL embeddings and
-    NaN norms — are excluded from seeding (fuzz-parity find): a NULL
-    centroid row crashed the driver-side matrix stack in ivf_knn_join,
-    and a NaN centroid column poisons the in-kernel argmax assignment
-    (NaN propagates as the max); the oracle twins' nb base excludes
-    exactly the same rows."""
+    TakeOrdered (plan-audited). Degenerate rows — NULL embeddings,
+    NaN norms, and Inf norms — are excluded from seeding (fuzz-parity
+    finds): a NULL centroid row crashed the driver-side matrix stack
+    in ivf_knn_join, a NaN centroid column poisons the in-kernel
+    argmax assignment (NaN propagates as the max), and an
+    Inf-component seed is a DEAD centroid (every cosine against it is
+    NaN → it absorbs nothing) that displaces the n-th valid seed the
+    oracle's isfinite-filtered nb base elects; the oracle twins
+    exclude exactly the same rows."""
     return (
         base.filter(
             F.col("vec").isNotNull()
             & ~F.isnan("norm")
             & (F.col("norm") > 0)
+            & (F.col("norm") < F.lit(float("inf")))
         )
         .orderBy("vec_id")
         .limit(n)

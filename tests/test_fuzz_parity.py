@@ -277,6 +277,12 @@ def _hostile_events() -> list[tuple]:
     rows.append((9003, epoch - timedelta(microseconds=1), 20, "click", 1.0, '{"pre_epoch_only": 1}'))
     rows.append((9004, epoch, 20, "click", 1.0, '{"epoch_zero_only": 1}'))
     rows.append((9005, None, 20, "click", 1.0, '{"null_ts_only": 1}'))
+    # NaN/Inf value doubles (aggregate/asof payloads — both engines
+    # propagate them identically through SUM/AVG/round; pinned here)
+    t1 = t0 + timedelta(days=1)
+    rows.append((8001, t1, 5, "purchase", float("nan"), None))
+    rows.append((8002, t1, 6, "purchase", float("inf"), None))
+    rows.append((8003, t1, 6, "click", float("-inf"), None))
     return rows
 
 
@@ -334,7 +340,10 @@ ANN_QUERIES = [
 def _hostile_embeddings(dim: int = 64) -> list[tuple]:
     """Vectors with every degenerate shape the family claims to
     exclude identically in both engines: zero-norm, NaN components
-    (one INSIDE the seed-centroid id range), and NULL embeddings.
+    (one INSIDE the seed-centroid id range), NULL embeddings, and
+    ±Inf components (Inf norm passes a NaN-only check, its NaN
+    cosines pass DuckDB's `NaN >= τ`, its normalized features crash
+    MLlib, and an Inf seed is a dead centroid displacing a valid one).
     Ragged widths are NOT here: both engines refuse them loudly (the
     kernels raise a clear error, DuckDB's list_dot_product errors) —
     rectangular input is the documented contract, pinned by
@@ -357,6 +366,12 @@ def _hostile_embeddings(dim: int = 64) -> list[tuple]:
     for j in range(10, 20):
         base = rows[j][1]
         rows.append((60 + j, [x + 0.001 for x in base], j % 3))
+    # ±Inf components (one pair-capable, one inside nothing): norms
+    # are +Inf (passes `NOT isnan`) or NaN (mixed signs) — excluded
+    # as degenerate by BOTH engines (isfinite posture)
+    rows.append((90, [float("inf")] + [0.1] * (dim - 1), 0))
+    rows.append((91, [float("-inf")] + [0.2] * (dim - 1), 1))
+    rows.append((92, [float("inf"), float("-inf")] + [0.3] * (dim - 2), 2))
     return rows
 
 
