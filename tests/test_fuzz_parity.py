@@ -12,10 +12,19 @@ engine/oracle drift fails locally before any driver run.
 Deterministic (fixed seed): reproducible failures, no flaky CI. The
 corpus is small (~160 docs) so the whole parametrized sweep stays in
 test-suite budget.
+
+Seed-robustness mode: set PROPIUS_FUZZ_SEED_SHIFT=<int> to regenerate
+every hostile corpus under shifted seeds and re-run the full sweep —
+the committed probe that twice confirmed 71/71 green on reseeded data
+(ROUND4.md session-close note). Default 0 keeps the committed sweep
+byte-deterministic; the hand-placed boundary rows (epoch-exact times,
+singleton payloads, ±Inf vectors, hostile keys) are seed-independent,
+so every pinned edge case survives any shift.
 """
 
 from __future__ import annotations
 
+import os
 import random
 import shutil
 import sys
@@ -28,6 +37,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 import __spark_entry__ as entrymod  # noqa: E402
 from gate_compare import compare  # noqa: E402  (the ONE engine-oracle compare)
+
+# 0 = the committed deterministic corpora; any other value reseeds all
+# four generators for a robustness sweep (module docstring)
+SEED_SHIFT = int(os.environ.get("PROPIUS_FUZZ_SEED_SHIFT", "0"))
 
 # documents-table queries: the text-content surface (cross-engine
 # regex/collation/float divergence) PLUS the key-arithmetic surface
@@ -83,7 +96,7 @@ PII = ["a@b.co", "https://x.io/p?q=1", "+1 (555) 123-4567"]
 
 
 def _hostile_corpus() -> list[tuple]:
-    rng = random.Random(0x5EED4)
+    rng = random.Random(0x5EED4 + SEED_SHIFT)
     docs: list[tuple] = []
 
     def text(n_words: int) -> str:
@@ -218,7 +231,7 @@ EVENT_QUERIES = [
 def _hostile_events() -> list[tuple]:
     from datetime import datetime, timedelta
 
-    rng = random.Random(0xE7E275)
+    rng = random.Random(0xE7E275 + SEED_SHIFT)
     t0 = datetime(2024, 5, 1)
     types = ["click", "view", "purchase", None]
     props = [
@@ -350,7 +363,7 @@ def _hostile_embeddings(dim: int = 64) -> list[tuple]:
     test_kernels_reject_ragged_embeddings; the LSH pair has defined
     width semantics of its own (engine nulls mismatched dots, oracle
     filters len(v) = dim), exercised in the LSH unit tests."""
-    rng = random.Random(0xE3B)
+    rng = random.Random(0xE3B + SEED_SHIFT)
     rows = []
     for i in range(60):
         if i == 2:
@@ -434,7 +447,7 @@ LINEITEM_QUERIES = [
 
 
 def _hostile_lineitem() -> list[tuple]:
-    rng = random.Random(0x11E111)
+    rng = random.Random(0x11E111 + SEED_SHIFT)
     rows: list[tuple] = []
     # 28 ordinary orders over items 0..19; ~25% duplicated lines
     for o in range(28):
