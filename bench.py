@@ -31,6 +31,48 @@ import __spark_entry__ as entrymod  # noqa: E402
 from propius_spark.session import clear_materialized, get_spark  # noqa: E402
 
 
+def _host_calibration() -> float:
+    """Fixed single-core pure-Python workload (~1-2 s on an idle host).
+
+    The suite totals on this box swing 1.5-2× between host windows with
+    NO code change (BASELINE.md variance bands; the round-4 close saw
+    same-code totals of 101.5 s and 151 s with uniform per-query
+    inflation). This canary, run before the first pass and after the
+    last, gives BENCH_r{N}.json readers a code-independent host-speed
+    anchor: divide suite totals by the calibration ratio before
+    comparing across rounds/windows. Pure Python + integer ops so the
+    number reflects CPU speed and steal only — no BLAS threads, no JVM,
+    no disk.
+    """
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc = (acc * 1103515245 + i) & 0x7FFFFFFFFFFFFFFF
+    assert acc >= 0
+    return round(time.perf_counter() - t0, 3)
+
+
+def _disk_calibration(path: str = "/tmp") -> float:
+    """Write+fsync 256 MB to the Spark-temp filesystem, report MB/s.
+
+    The round-4 close measured a window where the CPU canary moved <5%
+    while checkpoint/write-heavy queries (dedup_clusters,
+    publish_retrieve) inflated 3-8× — shared-backing-store I/O
+    contention, invisible to a CPU-only probe. This pins the disk
+    dimension next to the CPU one.
+    """
+    import tempfile
+
+    buf = b"\xa5" * (8 << 20)  # 8 MB
+    t0 = time.perf_counter()
+    with tempfile.NamedTemporaryFile(dir=path) as f:
+        for _ in range(32):  # 256 MB total
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    return round(256 / (time.perf_counter() - t0), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -109,6 +151,8 @@ def main() -> None:
     # estimator for a cold external disturbance; both raw totals are
     # kept in `runs` for transparency.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    calib_before = _host_calibration()
+    disk_before = _disk_calibration()
     failures: dict[str, str] = {}
     passes = [run_suite(sf_dir, failures) for _ in range(max(1, n_runs))]
     # min over the passes a query SUCCEEDED in (a query that failed
@@ -142,6 +186,10 @@ def main() -> None:
         }
         if sec_failures:
             result["secondary"]["failures"] = sec_failures
+    # [before-suite, after-suite] probes: code-independent host-speed
+    # anchors for cross-window comparisons (docstrings above)
+    result["host_calib_sec"] = [calib_before, _host_calibration()]
+    result["host_disk_mbps"] = [disk_before, _disk_calibration()]
     print(json.dumps(result))
     spark.stop()
 
