@@ -980,10 +980,12 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + tumbling-window aggregation in APPEND mode
     (streaming/cooccurrence.py::windowed_event_counts) over the events
     stream, availableNow trigger, memory sink. A window row is emitted
-    exactly when the watermark STRICTLY passes its end (Spark's
-    eviction predicate is event ≤ wm − 1µs), so the final sink equals
-    the batch tumbling-window counts restricted to
-    window_end < max(ts) − 10min (floor-ms watermark arithmetic) —
+    exactly when the watermark REACHES its end — the emission
+    predicate is window_end <= wm, INCLUSIVE, pinned empirically on
+    both sides of the boundary (a watermark exactly on the window end
+    emits it; 1 ms short does not) — so the final sink equals the
+    batch tumbling-window counts restricted to
+    window_end <= max(ts) − 10min (floor-ms watermark arithmetic) —
     which is the oracle. Late-window rows still in state at stream end
     are NOT emitted; that is the append-mode contract, not data loss
     (a durable pipeline keeps the checkpoint and emits them on the
@@ -2416,8 +2418,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts IS NULL OR epoch_us(ts) > 0
         """,
         # watermark arithmetic mirrors streaming_sessions: floor max
-        # event time to ms, subtract the delay; STRICT < matches
-        # Spark's eviction predicate (event <= wm − 1µs)
+        # event time to ms, subtract the delay; emission is
+        # window_end <= wm INCLUSIVE — pinned empirically both ways
+        # (wm exactly ON the end emits; wm 1 ms short does not); a
+        # strict < here lost the end-==-wm window (10th-seed fuzz
+        # find: minute-granularity times make max ≡ 10 min (mod 1 h)
+        # about one seed in sixty)
         # same null-ts exclusion + explicit floor bucketing as the
         # batch twin (DuckDB integer `//` truncates; see
         # windowed_event_counts)
@@ -2441,7 +2447,7 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events
             FROM w, wm
             GROUP BY ws, event_type, wm_us
-            HAVING ws + 3600000000 < wm_us
+            HAVING ws + 3600000000 <= wm_us
         """,
         # `ts IS NOT NULL` in both sessionize oracles mirrors the
         # engine's explicit null-time exclusion (an event with no time

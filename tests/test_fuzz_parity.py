@@ -290,6 +290,17 @@ def _hostile_events() -> list[tuple]:
     rows.append((9003, epoch - timedelta(microseconds=1), 20, "click", 1.0, '{"pre_epoch_only": 1}'))
     rows.append((9004, epoch, 20, "click", 1.0, '{"epoch_zero_only": 1}'))
     rows.append((9005, None, 20, "click", 1.0, '{"null_ts_only": 1}'))
+    # watermark-EXACTLY-on-window-end boundary (seed-independent): the
+    # corpus max is pinned at t0 + 84h10m — 10 min past an hour, past
+    # every random row (minute lane caps at 4999 min = 83h19m, hour
+    # lane at 79h) — so the final watermark lands EXACTLY on the end
+    # of [t0+83h, t0+84h), which the 83h30m row populates. Spark's
+    # append-mode emission is window_end <= wm INCLUSIVE; the strict-<
+    # oracle this pins against was a 10th-seed fuzz find (emitted one
+    # fewer window whenever max ≡ 10 min mod 1 h — ~1 seed in 60 on
+    # minute-granularity times)
+    rows.append((9101, t0 + timedelta(hours=83, minutes=30), 7, "view", 1.0, None))
+    rows.append((9102, t0 + timedelta(hours=84, minutes=10), 7, "view", 1.0, None))
     # NaN/Inf value doubles (aggregate/asof payloads — both engines
     # propagate them identically through SUM/AVG/round; pinned here)
     t1 = t0 + timedelta(days=1)
