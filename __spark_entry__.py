@@ -34,7 +34,7 @@ from propius_spark.functions import (
     subword_token_count,
     token_count,
 )
-from propius_spark.functions.text import SUBWORD_RE, WS_CLASS
+from propius_spark.functions.text import WS_CLASS, token_count_cp
 from propius_spark.operators import (
     asof_join,
     assign_centroids,
@@ -621,20 +621,93 @@ def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both token counters from the brief's checklist side by side:
-    whitespace tokens and the BPE-ish estimate (GPT-2 pre-tokenizer
-    classes, ceil(len/4) per piece — functions/text.py). Map-side
-    only; the cost model for chunking/packing budgets. NULL text
-    counts 0 under BOTH counters in BOTH engines (the engine's raw
-    size() is NULL under ANSI / -1 under legacy sizeOfNull, the
-    oracle's len() is NULL — every variant lands on the same 0 via
-    greatest/coalesce)."""
+    whitespace tokens and the BPE-ish estimate (ceil(len/4) per GPT-2
+    pre-tokenizer piece). Map-side only; the cost model for chunking/
+    packing budgets. Round 5: BOTH columns are code-point-arithmetic
+    folds (functions/text.py token_count_cp / subword_token_count) —
+    the regex construction hashed red on the driver's DuckDB build in
+    r3 AND r4 while green on every local replica/fuzz/multi-SF run, so
+    VERDICT r4 prescribes removing the divergence surface entirely:
+    no regex engine, no lower(), no list-aggregate type promotion on
+    either side, only the split→unicode-code-point→integer-fold
+    primitives that fingerprint proved driver-green. NULL text counts
+    0 under BOTH counters in BOTH engines (token_count_cp keeps
+    token_count's NULL→NULL posture; greatest(·, 0) lands it on 0,
+    mirroring the oracle's COALESCE)."""
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.greatest(
-            token_count(F.col("text")).cast("long"), F.lit(0).cast("long")
+            token_count_cp(F.col("text")), F.lit(0).cast("long")
         ).alias("n_tokens"),
         subword_token_count(F.col("text")).alias("n_subword"),
     )
+
+
+# Fixed hostile probe string for diag_tokenizer: every WS code, ASCII
+# letters + punctuation runs, ×/÷ (inside the À-ɏ code-point range →
+# letters), boundary letters (192/591 edges), ẞ (out-of-range letter →
+# other), digit runs, astral emoji (surrogate-pair split risk), CJK,
+# and a 28-char letter run for the ceil-chunk arithmetic.
+DIAG_TEXT = (
+    " \t\n\x0b\f\r"
+    "Hello, WORLD!!  ×÷"
+    "ÀɏɐÁȀ"
+    "ẞ straße"
+    "12345678901 2026"
+    "\U0001f600\U0001f600"
+    "一二三"
+    "antidisestablishmentarianism"
+)
+
+
+def _diag_expected_counts(text: str) -> tuple[int, int]:
+    """Python reference of the code-point token counters — the SPEC
+    both engines' folds must match (functions/text.py token_count_cp /
+    subword_token_count; same class table, same run arithmetic)."""
+    ws = {32, 9, 10, 11, 12, 13}
+
+    def klass(cp: int) -> int:
+        if cp in ws:
+            return 0
+        if 65 <= cp <= 90 or 97 <= cp <= 122 or 192 <= cp <= 591:
+            return 1
+        if 48 <= cp <= 57:
+            return 2
+        return 3
+
+    nt = ns = 0
+    prev_ws = True
+    prev_k = 0
+    run = 0
+    for ch in text:
+        k = klass(ord(ch))
+        if k != 0 and prev_ws:
+            nt += 1
+        prev_ws = k == 0
+        if k == 0 or k == 3:
+            run = 0
+            if k == 3:
+                ns += 1
+        else:
+            run = (run + 1) % 4 if prev_k == k else 0
+            if run == 0:
+                ns += 1
+        prev_k = k
+    return nt, ns
+
+
+def q_diag_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-divergence probe (VERDICT r4 next-round item 6): the
+    ORACLE computes both code-point token counters over the fixed
+    hostile literal DIAG_TEXT on the DRIVER's DuckDB and emits
+    n_tokens·1000 + n_subword as its ROW COUNT; the engine emits the
+    Python-reference expectation the same way. If any future
+    environment diverges on these folds, CORRECTNESS_r{{N}}.json's
+    spark_rows vs oracle_rows columns become a READABLE diff of the
+    two engines' computed counts instead of an opaque hash mismatch.
+    Green = rows equal = driver DuckDB agrees with the spec."""
+    nt, ns = _diag_expected_counts(DIAG_TEXT)
+    return spark.range(nt * 1000 + ns).select(F.col("id").alias("i"))
 
 
 def q_similar_topk_per_item(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,28 +1291,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering rule: the driver's CORRECTNESS gate covers the FIRST 50
-    # entries only (verified rounds 2-3), and new/fragile queries go
-    # first so a driver-side canonicalization error on one row cannot
-    # shadow the rows after it (round-2 lesson). Round-4 rotation, per
-    # the r3 verdict: (a) the 5 rows never driver-checked in any round,
-    # (b) the round-4 fix + the 2 new capped-mode rows, (c) the 14 rows
-    # last checked in r2, (d) every row whose oracle body or engine
-    # code changed this round (the \s/lower() rewrite touched the whole
-    # text family), (e) fill with rows sharing touched code paths. The
-    # 21 rows past position 49 are all r3-gate-green with code AND
-    # oracle untouched since.
+    # entries only, and new/fragile queries go first so a driver-side
+    # canonicalization error on one row cannot shadow the rows after it
+    # (round-2 lesson). Round-5 rotation, executing ROUND4.md's handoff
+    # plan: (a) this round's changes first — the token_estimates
+    # code-point rewrite + its diag probe, and the three rows whose
+    # threshold boundary is now 6-dp-rounded on both sides; (b) the 21
+    # rows that sat past position 49 in round 4 (r3-gate-green, ~8 with
+    # oracle bodies changed in r4's equal-by-construction class — the
+    # driver has never confirmed those bodies); (c) fill to 50 with the
+    # shallowest-history rows (checked once ever, in r4) plus this
+    # round's dedup_clusters cadence change and the token-adjacent text
+    # family. The 22 rows past position 49 are all r4-gate-green with
+    # code AND oracle untouched this round.
     return {
-        # (a) never driver-checked before round 4
+        # (a) round-5 changes
+        "token_estimates": q_token_estimates,
+        "diag_tokenizer": q_diag_tokenizer,
+        "similar_one_part": q_similar_one_part,
+        "similar_exact_parts": q_similar_exact_parts,
+        "publish_retrieve": q_publish_retrieve,
+        # (b) the 21 rotated-in rows — changed-oracle (r4) rows first
+        "dedup_exact": q_dedup_exact,
+        "streaming_dedup": q_streaming_dedup,
+        "retrieve_topk_part": q_retrieve_topk_part,
+        "retrieve_topk_batch": q_retrieve_topk_batch,
+        "item_info": q_item_info,
+        "search_items": q_search_items,
+        "db_stats": q_db_stats,
+        "corr_pairs_parts": q_corr_pairs_parts,
+        "dedup_incremental": q_dedup_incremental,
+        "ann_dup_pairs": q_ann_dup_pairs,
+        "ann_dup_pairs_pruned": q_ann_dup_pairs_pruned,
+        "ann_dup_clusters": q_ann_dup_clusters,
+        "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
+        "ann_knn_join": q_ann_knn_join,
+        "ann_ivf_knn_join": q_ann_ivf_knn_join,
+        "cap_per_source": q_cap_per_source,
+        "split_corpus": q_split_corpus,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        # (c) shallowest history: first driver row ever was r4
         "shuffle_shards_docs": q_shuffle_shards_docs,
         "model_roundtrip_npy": q_model_roundtrip_npy,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_search": q_multimodal_search,
-        # (b) round-4 red-row fix + new capped-mode rows
-        "token_estimates": q_token_estimates,
         "corr_pairs_capped": q_corr_pairs_capped,
         "dedup_lsh_capped": q_dedup_lsh_capped,
-        # (c) last checked in round 2
+        # (c) two driver rows (r2 + r4)
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
         "asof_click_purchase": q_asof_click_purchase,
@@ -1254,66 +1353,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_distribution": q_token_distribution,
         "rolling_user_counts": q_rolling_user_counts,
         "tfidf_docs": q_tfidf_docs,
-        # (d) oracle/engine text touched by the round-4 \s rewrite
+        # (c) this round's cadence change + token-adjacent text family
+        "dedup_clusters": q_dedup_clusters,
         "text_doc_stats": q_text_doc_stats,
         "corpus_filter": q_corpus_filter,
         "pipeline_prepare": q_pipeline_prepare,
-        "redact_docs": q_redact_docs,
-        "vocabulary": q_vocabulary,
         "chunk_docs": q_chunk_docs,
-        "pack_docs": q_pack_docs,
         "corpus_summary": q_corpus_summary,
+        # ---- position 50+: r4-gate-green, code and oracle untouched
+        # this round
+        "vocabulary": q_vocabulary,
+        "redact_docs": q_redact_docs,
+        "pack_docs": q_pack_docs,
         "decontam_docs": q_decontam_docs,
         "doc_repetition": q_doc_repetition,
         "dedup_jaccard": q_dedup_jaccard,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "bm25_search": q_bm25_search,
         "posting_lists": q_posting_lists,
-        # (e) shares round-4-touched code paths (ann nan-guard, corpus)
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
-        # the events-coding oracle CTE gained the explicit
-        # null-event_type exclusion in the round-4 review pass; its two
-        # remaining consumers swap into the window for two untouched
-        # r3-green rows (dedup_exact, streaming_dedup)
         "similar_candidates_events": q_similar_candidates_events,
         "similar_topk_per_item": q_similar_topk_per_item,
         "split_leakage_free": q_split_leakage_free,
-        # streaming_sessions' and streaming_windowed_counts' oracles
-        # gained the explicit null-ts exclusions in the round-4 review
-        # and fuzz passes, so they swap into the window for the
-        # untouched split_corpus / cap_per_source
         "streaming_sessions": q_streaming_sessions,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "mix_sources_docs": q_mix_sources_docs,
         "sample_events_stratified": q_sample_events_stratified,
         "events_props_rollup": q_events_props_rollup,
-        # ---- position 50+: r3-gate-green, code and oracle untouched
-        "cap_per_source": q_cap_per_source,
-        "split_corpus": q_split_corpus,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "publish_retrieve": q_publish_retrieve,
-        "corr_pairs_parts": q_corr_pairs_parts,
-        "similar_one_part": q_similar_one_part,
-        "similar_exact_parts": q_similar_exact_parts,
-        "dedup_exact": q_dedup_exact,
-        "streaming_dedup": q_streaming_dedup,
-        "retrieve_topk_part": q_retrieve_topk_part,
-        "retrieve_topk_batch": q_retrieve_topk_batch,
-        "item_info": q_item_info,
-        "search_items": q_search_items,
-        "db_stats": q_db_stats,
-        "dedup_incremental": q_dedup_incremental,
-        "ann_dup_pairs": q_ann_dup_pairs,
-        "ann_dup_pairs_pruned": q_ann_dup_pairs_pruned,
-        "ann_dup_clusters": q_ann_dup_clusters,
-        "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
-        "ann_knn_join": q_ann_knn_join,
-        "ann_ivf_knn_join": q_ann_ivf_knn_join,
     }
 
 
@@ -1586,6 +1656,49 @@ _TEXT_STATS_SQL = rf"""
                    fingerprint
             FROM st
 """
+
+
+# Shared DuckDB fragments for the code-point token counters — the
+# exact integer-fold twins of functions/text.py token_count_cp /
+# subword_token_count (same class table, same BIGINT state encoding:
+# tokens = count*2 + prev-nonws-bit; subword = count*16 + prev_class*4
+# + run-position-mod-4). token_estimates runs them over documents;
+# diag_tokenizer runs them over a fixed hostile literal so the
+# driver's DuckDB behavior is readable from its row count alone.
+_CP_KS = """list_transform(
+                       list_transform(string_split({col}, ''),
+                                      c -> unicode(c)::BIGINT),
+                       cp -> CASE
+                               WHEN cp IN (32, 9, 10, 11, 12, 13) THEN 0
+                               WHEN (cp BETWEEN 65 AND 90)
+                                 OR (cp BETWEEN 97 AND 122)
+                                 OR (cp BETWEEN 192 AND 591) THEN 1
+                               WHEN cp BETWEEN 48 AND 57 THEN 2
+                               ELSE 3 END)"""
+
+_CP_NT_FOLD = """(list_reduce(list_prepend(0::BIGINT, ks),
+                        (s, k) -> CASE
+                          WHEN k = 0 THEN (s >> 1) * 2
+                          ELSE ((s >> 1) + CASE WHEN (s & 1) = 0
+                                                THEN 1 ELSE 0 END) * 2 + 1
+                        END) >> 1)"""
+
+_CP_NS_FOLD = """(list_reduce(list_prepend(0::BIGINT, ks),
+                        (s, k) -> CASE
+                          WHEN k = 0 THEN (s >> 4) * 16
+                          WHEN k = 3 THEN ((s >> 4) + 1) * 16 + 12
+                          WHEN ((s >> 2) & 3) = k
+                            THEN ((s >> 4)
+                                  + CASE WHEN ((s + 1) & 3) = 0
+                                         THEN 1 ELSE 0 END) * 16
+                                 + k * 4 + ((s + 1) & 3)
+                          ELSE ((s >> 4) + 1) * 16 + k * 4
+                        END) >> 4)"""
+
+# DIAG_TEXT as a DuckDB string literal (no single quotes inside by
+# construction; control/astral chars embed raw — the oracle string is
+# executed in-process, never re-escaped)
+_DIAG_LIT = "'" + DIAG_TEXT + "'"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2536,22 +2649,42 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY 1, 2, 3
         """,
         "text_doc_stats": _TEXT_STATS_SQL,
-        # subword classes interpolate functions/text.py's SUBWORD_RE —
-        # ONE definition for engine and oracle. The subword match runs
-        # over RAW text (no lower()): JVM vs utf8proc lower() diverge
-        # on İ/ẞ/ς-class code points, which shifted letter-run lengths
-        # and flipped the r3 driver hash (SUBWORD_RE is case-complete
-        # by class instead).
+        # Code-point-arithmetic twins of token_count_cp /
+        # subword_token_count (functions/text.py): per-char unicode()
+        # codes → numeric class (0 ws / 1 letter / 2 digit / 3 other)
+        # → one integer fold per counter, state encoded in a BIGINT
+        # exactly as the engine encodes it (shared fragments _CP_KS /
+        # _CP_NT_FOLD / _CP_NS_FOLD — the diag_tokenizer probe runs the
+        # SAME fragments over a fixed literal). Nothing engine-version-
+        # dependent remains: no regex, no lower(), no list_sum
+        # promotion (VERDICT r4 prescription for the one red row).
+        # Empty text guards length = 0 because string_split('','')
+        # yields [''] whose sentinel code differs per engine
+        # (unicode('') = -1, Spark ascii('') = 0); NULL text falls to
+        # the COALESCE like the engine's greatest(·, 0) / 0-guard.
         "token_estimates": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     CASE WHEN len(text) = 0 THEN 0
+                          ELSE NULL END AS empty0,
+                     {_CP_KS.format(col="text")} AS ks
+              FROM documents)
             SELECT doc_id,
-                   COALESCE(len(list_filter(
-                       string_split_regex(lower(text), '\\s+'),
-                       t -> t <> '')), 0) AS n_tokens,
-                   COALESCE(list_sum(list_transform(
-                       regexp_extract_all(text, '{SUBWORD_RE}'),
-                       p -> CAST(ceil(len(p)/4.0) AS BIGINT))), 0)
+                   COALESCE(empty0, {_CP_NT_FOLD}::BIGINT, 0)::BIGINT
+                     AS n_tokens,
+                   COALESCE(empty0, {_CP_NS_FOLD}::BIGINT, 0)::BIGINT
                      AS n_subword
-            FROM documents
+            FROM k
+        """,
+        # the tokenizer-divergence probe (q_diag_tokenizer docstring):
+        # the driver's OWN DuckDB runs the same fold fragments over the
+        # fixed hostile literal and reports its counts as the row
+        # count, so a future divergence is readable in oracle_rows
+        "diag_tokenizer": f"""
+            WITH k AS (SELECT {_CP_KS.format(col=_DIAG_LIT)} AS ks),
+            n AS (SELECT ({_CP_NT_FOLD} * 1000 + {_CP_NS_FOLD})::BIGINT
+                    AS cnt FROM k)
+            SELECT CAST(unnest(range(0, cnt)) AS BIGINT) AS i FROM n
         """,
         # same stats pipeline, filter pushed on the rounded quality —
         # thresholds in filter_corpus compare 6-dp-rounded values so

@@ -23,7 +23,9 @@ from .text import (
     quality_score,
     subword_token_count,
     subword_tokens,
+    text_codes,
     token_count,
+    token_count_cp,
     tokens,
 )
 
@@ -38,6 +40,8 @@ __all__ = [
     "LANG_STOPWORDS",
     "tokens",
     "token_count",
+    "token_count_cp",
+    "text_codes",
     "lang_scores",
     "lang_id",
     "quality_score",

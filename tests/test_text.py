@@ -403,6 +403,14 @@ HOSTILE_TEXTS = [
     "\x0b",  # vertical tab: the Java-vs-RE2 \s divergence char
     "a\x0bb",
     " a \x0b b\t\nc ",
+    "a\U0001F600b \U0001F600\U0001F600",  # astral: surrogate-pair split risk
+    "À×ɏ÷Ȁ",  # ×/÷ sit INSIDE the À-ɏ code-point range (letters here)
+    "Ɏɐɐɏɠ",  # letters straddling the 591 boundary
+    "ẞẞ straße",  # letter OUTSIDE the class range (→ other)
+    "word" * 25,  # 100-char letter run: ceil-chunk arithmetic
+    "1234567890123",  # 13-digit run
+    "a1!b2?c3.",  # tight class alternation
+    "...///:::",  # punctuation runs: one piece per char
     " ",  # NBSP: non-whitespace in BOTH engines' classes
     "foo bar",
     "İstanbul Iı İİ",  # dotted capital I
@@ -414,6 +422,64 @@ HOSTILE_TEXTS = [
     " line seps",  # LS/PS: not in either \s
     "tabs\tand\x0bvtabs\x0band\fff",
 ]
+
+
+def test_token_count_cp_equals_token_count(spark):
+    """token_count_cp (the code-point fold shipped in token_estimates)
+    is value-identical to token_count (the regex-split counter every
+    other gate-green consumer uses) on the hostile corpus, including
+    the NULL→NULL posture — so swapping constructions inside
+    token_estimates cannot move it relative to text_doc_stats."""
+    import random
+
+    from propius_spark.functions.text import token_count_cp
+
+    rng = random.Random(0xBEEF)
+    alphabet = list(" \t\n\x0b\f\r") + list("abzXYZ09.,!İıẞßςΣ́éÀɏ一") + ["\U0001F600"]
+    texts = HOSTILE_TEXTS + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 50)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("a"),
+        token_count_cp(F.col("text")).alias("b"),
+    ).collect()
+    bad = [(r.doc_id, texts[r.doc_id], r.a, r.b) for r in rows if r.a != r.b]
+    assert not bad, bad
+
+
+def test_subword_count_equals_regex_pieces(spark):
+    """subword_token_count (code-point fold) ≡ Σ ceil(len/4) over the
+    regex pieces (subword_tokens) — the fold replaced the regex in the
+    PLAN, not in semantics."""
+    import random
+
+    from propius_spark.functions import subword_token_count, subword_tokens
+
+    rng = random.Random(0xFACE)
+    alphabet = list(" \t\n\x0b\f\r") + list("abzXYZ09.,!İıẞßςΣ́éÀɏ×÷一") + ["\U0001F600"]
+    texts = [t for t in HOSTILE_TEXTS if t is not None] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 50)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        subword_token_count(F.col("text")).alias("a"),
+        F.aggregate(
+            subword_tokens(F.col("text")),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("long"),
+        ).alias("b"),
+    ).collect()
+    bad = [(r.doc_id, texts[r.doc_id], r.a, r.b) for r in rows if r.a != r.b]
+    assert not bad, bad
 
 
 def test_token_counters_match_duckdb_on_hostile_unicode(spark):
