@@ -1711,11 +1711,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN vs a ON g.item_a = a.item
             JOIN vs b ON g.item_b = b.item, nn n
         """,
+        # boundary membership on the 6-dp-ROUNDED corr vs ROUNDED cut
+        # (engine twin: similarity.py get_similar_items) — a raw
+        # comparison makes a pair sitting exactly on mean+2σ
+        # engine-specific in the last ulp (BACKLOG round-4 item 3)
         "similar_one_part": f"""
             {_ONE_ROW},
             cut AS (SELECT AVG(corr) + 2.0*STDDEV_SAMP(corr) AS v FROM row_)
             SELECT item_b, ROUND(corr, 6) AS corr
-            FROM row_, cut WHERE corr >= cut.v
+            FROM row_, cut WHERE ROUND(corr, 6) >= ROUND(cut.v, 6)
         """,
         "similar_exact_parts": f"""
             {_MODEL},
@@ -1733,7 +1737,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT item_a, item_b, ROUND(corr, 6) AS corr,
                    ROUND(CASE WHEN mx = mn THEN 0.0
                               ELSE (corr - mn)/(mx - mn) END, 6) AS scaled_score
-            FROM w WHERE corr >= mean_ + 2.0*std_
+            FROM w WHERE ROUND(corr, 6) >= ROUND(mean_ + 2.0*std_, 6)
         """,
         # publish → serve round trip: the similar_exact pipeline
         # pre-filtered to the flagship item's partition (the window
@@ -1756,7 +1760,8 @@ def oracle_sql() -> dict[str, str]:
             fact AS (SELECT item_a, item_b, corr,
                             CASE WHEN mx = mn THEN 0.0
                                  ELSE (corr - mn)/(mx - mn) END AS sc
-                     FROM w WHERE corr >= mean_ + 2.0*std_),
+                     FROM w
+                     WHERE ROUND(corr, 6) >= ROUND(mean_ + 2.0*std_, 6)),
             dim AS (SELECT p_partkey AS id, p_name AS key FROM part
                     QUALIFY p_name IS NULL
                             OR ROW_NUMBER() OVER (PARTITION BY p_name

@@ -79,7 +79,17 @@ def get_similar_items(
         th = row.agg(
             (F.avg("corr") + F.lit(threshold_value) * F.stddev_samp("corr")).alias("cut")
         )
-        out = row.crossJoin(F.broadcast(th)).filter(F.col("corr") >= F.col("cut")).drop("cut")
+        # boundary membership compares 6-dp-ROUNDED corr against the
+        # 6-dp-ROUNDED cut (the repo's _r6 idiom): raw mean+k·σ can
+        # differ between engines in the last ulp, so a raw comparison
+        # makes membership of a pair sitting exactly on the cut
+        # engine-specific (BACKLOG round-4 item 3; oracle twin rounds
+        # identically)
+        out = (
+            row.crossJoin(F.broadcast(th))
+            .filter(F.round(F.col("corr"), 6) >= F.round(F.col("cut"), 6))
+            .drop("cut")
+        )
     else:  # absolute threshold (any non-"std_dev" method, per the reference)
         out = row.filter(F.col("corr") >= F.lit(threshold_value))
     return out.orderBy(F.desc("corr"), F.asc("item_b"))
@@ -126,8 +136,11 @@ def similar_items_candidates(
         st = pairs.groupBy("item_a").agg(
             (F.avg("corr") + F.lit(threshold_value) * F.stddev_samp("corr")).alias("cut")
         )
-        return pairs.join(st, "item_a").filter(F.col("corr") >= F.col("cut")).select(
-            "item_a", "item_b", "corr"
+        # 6-dp-rounded boundary, same rationale as get_similar_items
+        return (
+            pairs.join(st, "item_a")
+            .filter(F.round(F.col("corr"), 6) >= F.round(F.col("cut"), 6))
+            .select("item_a", "item_b", "corr")
         )
     return pairs.filter(F.col("corr") >= F.lit(threshold_value)).select(
         "item_a", "item_b", "corr"
@@ -179,29 +192,42 @@ def similar_items_exact(
         )
     )
 
+    # Boundary membership compares 6-dp-ROUNDED corr against the
+    # 6-dp-ROUNDED cut (the repo's _r6 idiom): raw mean+k·σ can differ
+    # between engines in the last ulp, making membership of a pair
+    # sitting exactly on the cut engine-specific (BACKLOG round-4
+    # item 3; the similar_exact_parts / publish_retrieve oracle twins
+    # round identically).
     cooc = (
         g.join(F.broadcast(_stats_as(stats, "a")), "item_a")
         .join(F.broadcast(_stats_as(stats, "b")), "item_b")
         .crossJoin(F.broadcast(n1))
         .withColumn("corr", F.expr(CORR_EXPR))
         .join(F.broadcast(cuts), "item_a")
-        .filter(F.col("corr") >= F.col("cut"))
+        .filter(F.round(F.col("corr"), 6) >= F.round(F.col("cut"), 6))
         .select("item_a", "item_b", "corr", "mn", "mx")
     )
 
     # neg is almost always empty/tiny — broadcast it so the theta join
     # (range predicate on t_b) plans as a cheap broadcast-nested-loop.
-    neg = F.broadcast(cuts.filter(F.col("cut") < 0))
+    # cut < 1e-6, not < 0: a noncooc corr (strictly negative) can clear
+    # the ROUNDED test against a cut in [0, 1e-6) (both round to 0), so
+    # the prefilter must keep those items for the superset to be one.
+    neg = F.broadcast(cuts.filter(F.col("cut") < F.lit(1e-6)))
     noncooc = (
         neg.join(
             stats.select(F.col("item_id").alias("item_b"), F.col("t").alias("t_b")),
-            F.col("t_b") <= -F.col("cut") / F.col("t_a_full"),
+            # candidate SUPERSET: loosened by 1e-6 so no pair the
+            # 6-dp-rounded membership test accepts can be pruned here
+            # (round(x,6) ≥ round(cut,6) implies x > cut − 1e-6)
+            F.col("t_b") <= (F.lit(1e-6) - F.col("cut")) / F.col("t_a_full"),
         )
-        # the range predicate above is a 1-ulp-inexact REARRANGEMENT of
-        # the contract (−cut/t rounds differently than −t·t_b ≥ cut);
-        # re-filter on the exact form so boundary membership matches
-        # the cooc branch's direct test and the oracle bit-for-bit
-        .filter(-F.col("t_a_full") * F.col("t_b") >= F.col("cut"))
+        # exact membership on the rounded form, matching the cooc
+        # branch's test and the oracle bit-for-bit
+        .filter(
+            F.round(-F.col("t_a_full") * F.col("t_b"), 6)
+            >= F.round(F.col("cut"), 6)
+        )
         .filter(F.col("item_a") != F.col("item_b"))
         .join(g.select("item_a", "item_b"), ["item_a", "item_b"], "left_anti")
         .select(
