@@ -52,8 +52,27 @@ def _host_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _disk_calibration(path: str = "/tmp") -> float:
-    """Write+fsync 256 MB to the Spark-temp filesystem, report MB/s.
+def _spark_local_dir() -> str:
+    """The filesystem Spark actually spills/shuffles to: first entry of
+    SPARK_LOCAL_DIRS if set (the only Spark-temp override in play on
+    this harness; spark.local.dir would be visible in get_spark's confs
+    and is not set), else the platform temp dir — so the disk canary
+    probes the device whose contention inflates checkpoint-heavy
+    queries (ADVICE r4: a hardcoded /tmp would misattribute host-window
+    diagnoses whenever the Spark temp lives elsewhere)."""
+    import tempfile
+
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        first = env.split(",")[0].strip()
+        if first and os.path.isdir(first):
+            return first
+    return tempfile.gettempdir()
+
+
+def _disk_calibration(path: str | None = None) -> float:
+    """Write+fsync 256 MB to the Spark-temp filesystem (resolved by
+    _spark_local_dir), report MB/s.
 
     The round-4 close measured a window where the CPU canary moved <5%
     while checkpoint/write-heavy queries (dedup_clusters,
@@ -63,6 +82,7 @@ def _disk_calibration(path: str = "/tmp") -> float:
     """
     import tempfile
 
+    path = path or _spark_local_dir()
     buf = b"\xa5" * (8 << 20)  # 8 MB
     t0 = time.perf_counter()
     with tempfile.NamedTemporaryFile(dir=path) as f:

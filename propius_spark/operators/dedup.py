@@ -365,12 +365,33 @@ def _edge_fingerprint(e: DataFrame) -> tuple:
     64-bit collision. One map-side aggregate over an already-
     materialized table — equal sets always produce equal fingerprints,
     so inequality is PROOF of change (the cheap direction the
-    convergence loop needs every round)."""
+    convergence loop needs)."""
     row = e.select(
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(xxhash64(u, v))").alias("h"),
     ).first()
     return (row["n"], row["h"])
+
+
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff the (u, v) edge set is a star forest: every u has
+    exactly one edge and no u also appears as a root (v side). Star
+    forests are exactly the fixed points of the large-star/small-star
+    map (one more round maps a star forest to itself), so this is a
+    STRUCTURAL convergence proof — sound regardless of how many rounds
+    apart the compared snapshots are, unlike set-equality between
+    consecutive rounds. One shuffle job over the (small, shrinking)
+    edge set; partial aggregation keeps the shuffle at node-cardinality."""
+    return (
+        e.select(F.col("u"), F.lit(1).alias("c"), F.lit(0).alias("r"))
+        .unionAll(
+            e.select(F.col("v").alias("u"), F.lit(0).alias("c"), F.lit(1).alias("r"))
+        )
+        .groupBy("u")
+        .agg(F.sum("c").alias("c"), F.max("r").alias("r"))
+        .filter((F.col("c") > 1) | ((F.col("c") >= 1) & (F.col("r") == 1)))
+        .isEmpty()
+    )
 
 
 def dup_clusters(
@@ -404,7 +425,8 @@ def dup_clusters(
         .distinct()
     )
     fp = _edge_fingerprint(e)
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         # large-star: for each u, connect every LARGER neighbor v to
         # m = min(N(u) ∪ {u})
         nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -430,24 +452,36 @@ def dup_clusters(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        e_new = materialize(small)
-        # convergence test in two tiers: a map-side fingerprint
-        # (count + order-invariant hash sum over the materialized
-        # edges) each round — equal sets ⇒ equal fingerprint, so a
-        # CHANGED fingerprint proves non-convergence with zero
-        # shuffles; only when fingerprints match (normally once, at
-        # the fixed point) does the full symmetric-difference job
-        # confirm, guarding the 2⁻⁶⁴-ish hash-sum collision. At scale
-        # this removes two corpus-cardinality exceptAll shuffles from
-        # every non-final round.
-        fp_new = _edge_fingerprint(e_new)
-        converged = fp_new == fp and (
-            e_new.exceptAll(e).unionAll(e.exceptAll(e_new)).isEmpty()
-        )
-        e, fp = e_new, fp_new
-        if converged:
-            break
-    else:
+        # Checkpoint + convergence check every SECOND round (BACKLOG
+        # round-4 item 4): the per-round localCheckpoint write + probe
+        # job were the suite's most I/O-stall-sensitive spot, and a
+        # skipped round only folds one more round of operators into the
+        # next plan (bounded 2-round lineage — far below the AQE
+        # replanning pathology plans.materialize documents, and the
+        # identical .distinct() exchanges inside the folded round are
+        # deduplicated by Spark's exchange reuse).
+        if (i + 1) % 2 == 0 or i + 1 == max_iter:
+            e_new = materialize(small)
+            # convergence test in two tiers: a map-side fingerprint
+            # (count + order-invariant XOR over the materialized edges)
+            # per check — equal sets ⇒ equal fingerprint, so a CHANGED
+            # fingerprint proves non-convergence with zero shuffles;
+            # only when fingerprints match does the structural confirm
+            # run. The confirm is _is_star_forest, NOT set-equality:
+            # snapshots here are two rounds apart, and "is a fixed
+            # point" (star forests are exactly the fixed points of the
+            # round map) stays sound at any check distance where
+            # equality-between-snapshots would not (it also guards the
+            # 2⁻⁶⁴-ish XOR collision).
+            fp_new = _edge_fingerprint(e_new)
+            if fp_new == fp and _is_star_forest(e_new):
+                e = e_new
+                converged = True
+                break
+            e, fp = e_new, fp_new
+        else:
+            e = small
+    if not converged:
         raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
     # converged edge set is a star forest: (node, root). Roots appear
     # only on the v side and label themselves.

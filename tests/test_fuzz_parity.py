@@ -56,6 +56,9 @@ FUZZ_QUERIES = [
     "dedup_incremental",
     "dedup_lsh_capped",
     "token_estimates",
+    # corpus-independent (fixed hostile literal), but the parity run
+    # pins the engine-range vs oracle-fold agreement on every sweep
+    "diag_tokenizer",
     "text_doc_stats",
     "corpus_filter",
     "vocabulary",
