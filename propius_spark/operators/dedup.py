@@ -394,11 +394,28 @@ def _is_star_forest(e: DataFrame) -> bool:
     )
 
 
+# Checkpoint/convergence-probe cadence for dup_clusters. BACKLOG r4
+# item 4 proposed 2 (halve the localCheckpoint writes + probe jobs,
+# folding odd rounds lazily into the next plan); the round-5 interleaved
+# A/B at sf0.01 on a healthy-CPU window measured that variant ~2×
+# SLOWER (4.2-5.8 s vs 2.1-2.4 s warm): without the checkpoint, the
+# folded round's subtree is consumed 4× by the next round (nbrs = e ∪
+# swap(e), then mins + join both read nbrs) and exchange reuse only
+# shares the shuffle write, not the post-shuffle work — recompute costs
+# more than the skipped checkpoint saves at any scale where the edge
+# set fits the executors. Default 1 (per-round checkpoint, the r4
+# behavior); the knob stays for re-evaluation on genuinely
+# I/O-starved clusters where a checkpoint write is the scarcer
+# resource.
+CLUSTERS_CHECK_EVERY = 1
+
+
 def dup_clusters(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    check_every: int | None = None,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph:
     (doc_id, cluster_id) for every doc appearing in `pairs`, where
@@ -425,6 +442,7 @@ def dup_clusters(
         .distinct()
     )
     fp = _edge_fingerprint(e)
+    check_every = check_every or CLUSTERS_CHECK_EVERY
     converged = False
     for i in range(max_iter):
         # large-star: for each u, connect every LARGER neighbor v to
@@ -460,7 +478,7 @@ def dup_clusters(
         # replanning pathology plans.materialize documents, and the
         # identical .distinct() exchanges inside the folded round are
         # deduplicated by Spark's exchange reuse).
-        if (i + 1) % 2 == 0 or i + 1 == max_iter:
+        if (i + 1) % check_every == 0 or i + 1 == max_iter:
             e_new = materialize(small)
             # convergence test in two tiers: a map-side fingerprint
             # (count + order-invariant XOR over the materialized edges)
