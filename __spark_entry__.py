@@ -31,10 +31,13 @@ from propius_spark.functions import (
     media_from_documents,
     resize_images,
     sample_frames,
-    subword_token_count,
-    token_count,
 )
-from propius_spark.functions.text import WS_CLASS, token_count_cp
+from propius_spark.functions.text import (
+    WS_CLASS,
+    cp_classes,
+    subword_count_from_classes,
+    token_count_from_classes,
+)
 from propius_spark.operators import (
     asof_join,
     assign_centroids,
@@ -631,15 +634,29 @@ def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     no regex engine, no lower(), no list-aggregate type promotion on
     either side, only the split→unicode-code-point→integer-fold
     primitives that fingerprint proved driver-green. NULL text counts
-    0 under BOTH counters in BOTH engines (token_count_cp keeps
-    token_count's NULL→NULL posture; greatest(·, 0) lands it on 0,
-    mirroring the oracle's COALESCE)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.greatest(
-            token_count_cp(F.col("text")), F.lit(0).cast("long")
-        ).alias("n_tokens"),
-        subword_token_count(F.col("text")).alias("n_subword"),
+    0 under BOTH counters in BOTH engines (greatest(·, 0) /
+    length-guard land NULL/empty on 0, mirroring the oracle's
+    COALESCE + empty0 guard). The class array is computed ONCE as a
+    named column and both folds read it — the same shape as the
+    oracle's ks CTE feeding its two list_reduce calls (and half the
+    per-row map work of two independent split+classify trees)."""
+    empty0 = F.when(F.length("text") == 0, F.lit(0).cast("long"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", cp_classes(F.col("text")).alias("ks"))
+        .select(
+            "doc_id",
+            F.coalesce(
+                empty0,
+                F.greatest(
+                    token_count_from_classes(F.col("ks")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("n_tokens"),
+            F.coalesce(
+                empty0, subword_count_from_classes(F.col("ks")), F.lit(0).cast("long")
+            ).alias("n_subword"),
+        )
     )
 
 

@@ -17,15 +17,18 @@ from .multimodal import (
 )
 from .text import (
     LANG_STOPWORDS,
+    cp_classes,
     fingerprint,
     lang_scores,
     lang_id,
     quality_score,
+    subword_count_from_classes,
     subword_token_count,
     subword_tokens,
     text_codes,
     token_count,
     token_count_cp,
+    token_count_from_classes,
     tokens,
 )
 
@@ -41,6 +44,9 @@ __all__ = [
     "tokens",
     "token_count",
     "token_count_cp",
+    "token_count_from_classes",
+    "subword_count_from_classes",
+    "cp_classes",
     "text_codes",
     "lang_scores",
     "lang_id",

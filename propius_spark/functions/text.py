@@ -166,45 +166,43 @@ def _cp_class(cp: Column) -> Column:
     )
 
 
-def token_count_cp(text: Column) -> Column:
-    """Whitespace-token count as a code-point fold: the number of
-    WS→non-WS transitions, i.e. size(tokens(text)) computed without a
-    regex engine. State encoding in one BIGINT: count*2 + (previous
-    char was non-WS). NULL text → NULL (same posture as token_count);
-    empty text → 0. Value-identical to token_count on every input —
-    property-pinned by tests/test_text.py::test_token_count_cp_equals
-    — but with nothing engine-version-dependent in its plan."""
+def cp_classes(text: Column) -> Column:
+    """Per-character pre-tokenizer class array of text (the `ks` column
+    of the DuckDB twin). Both counters fold over THIS array — a query
+    that needs both should compute it once as a named column and pass
+    it to the *_from_classes folds, exactly as the oracle's ks CTE
+    feeds its two list_reduce calls (q_token_estimates does)."""
+    return F.transform(text_codes(text), _cp_class)
 
-    def step(s: Column, cp: Column) -> Column:
+
+def token_count_from_classes(ks: Column) -> Column:
+    """Whitespace-token count folded over a cp_classes array: the
+    number of WS→non-WS transitions. State in one BIGINT: count*2 +
+    (previous char was non-WS). NULL array → NULL; callers owning the
+    text column must guard empty text (see token_count_cp)."""
+
+    def step(s: Column, k: Column) -> Column:
         acc = F.shiftright(s, 1)
         prev_nonws = s.bitwiseAND(F.lit(1))
         started = F.when(prev_nonws == 0, F.lit(1)).otherwise(F.lit(0))
         return (
-            F.when(cp.isin(*WS_CODES), acc * 2)
-            .otherwise((acc + started) * 2 + 1)
+            F.when(k == 0, acc * 2).otherwise((acc + started) * 2 + 1)
         ).cast("long")
 
-    state = F.aggregate(text_codes(text), F.lit(0).cast("long"), step)
-    return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(
-        F.shiftright(state, 1).cast("long")
-    )
+    return F.shiftright(
+        F.aggregate(ks, F.lit(0).cast("long"), step), 1
+    ).cast("long")
 
 
-def subword_token_count(text: Column) -> Column:
-    """BPE-ish token-count estimate: letter runs and digit runs cost
-    ceil(len/4) each (SUBWORD_CHUNK — the ~4-chars-per-BPE-token budget
-    rule), every other non-whitespace character costs 1. Same value as
-    Σ ceil(len/4) over subword_tokens pieces, but computed as a single
-    code-point fold so no regex engine (and no list-aggregate type
-    promotion) is in the plan — the construction VERDICT r4 prescribes
-    after the regex form hashed red on the driver's DuckDB build while
-    green on every local one. State in one BIGINT: count*16 +
-    prev_class*4 + (position-in-run mod 4); a run position ≡ 0 (mod 4)
-    starts a new ceil-chunk and increments the count. Map-side,
-    deterministic, exact SQL twin. NULL/empty text → 0."""
+def subword_count_from_classes(ks: Column) -> Column:
+    """BPE-ish token-count estimate folded over a cp_classes array:
+    letter runs and digit runs cost ceil(len/4) each (SUBWORD_CHUNK),
+    every other non-whitespace character costs 1. State in one BIGINT:
+    count*16 + prev_class*4 + (position-in-run mod 4); a run position
+    ≡ 0 (mod 4) starts a new ceil-chunk and increments the count.
+    NULL array → NULL; callers guard empty text."""
 
-    def step(s: Column, cp: Column) -> Column:
-        k = _cp_class(cp)
+    def step(s: Column, k: Column) -> Column:
         acc = F.shiftright(s, 4)
         prev = F.shiftright(s, 2).bitwiseAND(F.lit(3))
         run = s.bitwiseAND(F.lit(3))
@@ -217,10 +215,32 @@ def subword_token_count(text: Column) -> Column:
             .otherwise((acc + chunk_start) * 16 + k * 4 + run_new)
         ).cast("long")
 
-    state = F.aggregate(text_codes(text), F.lit(0).cast("long"), step)
+    return F.shiftright(
+        F.aggregate(ks, F.lit(0).cast("long"), step), 4
+    ).cast("long")
+
+
+def token_count_cp(text: Column) -> Column:
+    """Whitespace-token count as a code-point fold — size(tokens(text))
+    computed without a regex engine. NULL text → NULL (same posture as
+    token_count); empty text → 0. Value-identical to token_count on
+    every input — property-pinned by tests/test_text.py — but with
+    nothing engine-version-dependent in its plan (VERDICT r4 item 1)."""
+    n = token_count_from_classes(cp_classes(text))
+    return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(n)
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish token-count estimate: same value as Σ ceil(len/4) over
+    subword_tokens pieces, but computed as a code-point fold so no
+    regex engine (and no list-aggregate type promotion) is in the
+    plan — the construction VERDICT r4 prescribes after the regex form
+    hashed red on the driver's DuckDB build while green on every local
+    one. Map-side, deterministic, exact SQL twin. NULL/empty → 0."""
+    n = subword_count_from_classes(cp_classes(text))
     return F.when(
         text.isNull() | (F.length(text) == 0), F.lit(0).cast("long")
-    ).otherwise(F.shiftright(state, 4).cast("long"))
+    ).otherwise(n)
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
