@@ -482,6 +482,55 @@ def test_subword_count_equals_regex_pieces(spark):
     assert not bad, bad
 
 
+def test_token_fold_kernels_match_python_spec_property(spark):
+    """Hypothesis property: the engine's code-point fold kernels agree
+    with the Python reference (__spark_entry__._diag_expected_counts —
+    the same spec the diag_tokenizer probe pins on the driver's DuckDB)
+    on arbitrary unicode text, including astral chars, combining marks,
+    every WS code, class-boundary letters, and NULL/empty rows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import __spark_entry__ as entrymod
+    from propius_spark.functions.text import token_count_cp, subword_token_count
+
+    alphabet = st.sampled_from(
+        list(" \t\n\x0b\f\r") + list("aZ«9.×÷Àɏɐɏẞß一é́") + ["\U0001f600"]
+    )
+    texts = st.lists(
+        st.one_of(st.none(), st.text(alphabet, max_size=30)),
+        min_size=1,
+        max_size=25,
+    )
+
+    def spec(t):
+        if t is None or t == "":
+            return (0, 0)
+        return entrymod._diag_expected_counts(t)
+
+    @given(texts)
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(ts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ts)], "doc_id long, text string"
+        )
+        rows = df.select(
+            "doc_id",
+            F.greatest(
+                token_count_cp(F.col("text")), F.lit(0).cast("long")
+            ).alias("nt"),
+            subword_token_count(F.col("text")).alias("ns"),
+        ).collect()
+        got = {r.doc_id: (r.nt, r.ns) for r in rows}
+        want = {i: spec(t) for i, t in enumerate(ts)}
+        assert got == want, {
+            i: (ts[i], got[i], want[i]) for i in want if got[i] != want[i]
+        }
+
+    run()
+
+
 def test_token_counters_match_duckdb_on_hostile_unicode(spark):
     import random
 
