@@ -470,14 +470,11 @@ def dup_clusters(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # Checkpoint + convergence check every SECOND round (BACKLOG
-        # round-4 item 4): the per-round localCheckpoint write + probe
-        # job were the suite's most I/O-stall-sensitive spot, and a
-        # skipped round only folds one more round of operators into the
-        # next plan (bounded 2-round lineage — far below the AQE
-        # replanning pathology plans.materialize documents, and the
-        # identical .distinct() exchanges inside the folded round are
-        # deduplicated by Spark's exchange reuse).
+        # Checkpoint + convergence check every `check_every` rounds
+        # (default 1 = per round — see CLUSTERS_CHECK_EVERY for why the
+        # proposed skip-odd-rounds cadence measured 2× slower and was
+        # reverted). A skipped round folds its operators lazily into
+        # the next plan, trading checkpoint I/O for recompute.
         if (i + 1) % check_every == 0 or i + 1 == max_iter:
             e_new = materialize(small)
             # convergence test in two tiers: a map-side fingerprint
