@@ -482,6 +482,23 @@ def test_subword_count_equals_regex_pieces(spark):
     assert not bad, bad
 
 
+def test_diag_text_triangle(spark):
+    """Close the diag triangle: the Spark folds over DIAG_TEXT itself
+    equal the Python spec (_diag_expected_counts). With the fuzz/
+    replica parity (oracle folds ≡ engine) and the probe (oracle folds
+    ≡ spec on the driver's DuckDB), all three implementations are
+    pinned pairwise on the same hostile literal."""
+    import __spark_entry__ as entrymod
+    from propius_spark.functions.text import token_count_cp, subword_token_count
+
+    df = spark.createDataFrame([(entrymod.DIAG_TEXT,)], "text string")
+    r = df.select(
+        token_count_cp(F.col("text")).alias("nt"),
+        subword_token_count(F.col("text")).alias("ns"),
+    ).first()
+    assert (r.nt, r.ns) == entrymod._diag_expected_counts(entrymod.DIAG_TEXT)
+
+
 def test_token_fold_kernels_match_python_spec_property(spark):
     """Hypothesis property: the engine's code-point fold kernels agree
     with the Python reference (__spark_entry__._diag_expected_counts —
