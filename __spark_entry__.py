@@ -724,6 +724,13 @@ def q_diag_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     two engines' computed counts instead of an opaque hash mismatch.
     Green = rows equal = driver DuckDB agrees with the spec."""
     nt, ns = _diag_expected_counts(DIAG_TEXT)
+    # Encoding guards (ADVICE r5): the nt*1000+ns packing silently
+    # collides if ns ever reaches 1000 (a longer future DIAG_TEXT),
+    # and a non-positive total would yield an empty range that reads
+    # as nt=ns=0 instead of an obviously-bad value. Fail loudly here
+    # so a literal edit cannot alias two divergences to one row count.
+    assert 0 <= ns < 1000, f"diag encoding overflow: ns={ns} must be < 1000"
+    assert nt * 1000 + ns > 0, f"diag encoding degenerate: nt={nt} ns={ns}"
     return spark.range(nt * 1000 + ns).select(F.col("id").alias("i"))
 
 

@@ -236,7 +236,13 @@ def subword_token_count(text: Column) -> Column:
     regex engine (and no list-aggregate type promotion) is in the
     plan — the construction VERDICT r4 prescribes after the regex form
     hashed red on the driver's DuckDB build while green on every local
-    one. Map-side, deterministic, exact SQL twin. NULL/empty → 0."""
+    one. Map-side, deterministic, exact SQL twin. NULL/empty → 0.
+
+    Accepts a Column or a column-name str, like every sibling counter
+    (token_count, token_count_cp) — ADVICE r5 flagged the .isNull()
+    call as silently Column-only."""
+    if isinstance(text, str):
+        text = F.col(text)
     n = subword_count_from_classes(cp_classes(text))
     return F.when(
         text.isNull() | (F.length(text) == 0), F.lit(0).cast("long")

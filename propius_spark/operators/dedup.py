@@ -374,16 +374,28 @@ def _edge_fingerprint(e: DataFrame) -> tuple:
 
 
 def _is_star_forest(e: DataFrame) -> bool:
-    """True iff the (u, v) edge set is a star forest: every u has
-    exactly one edge and no u also appears as a root (v side). Star
+    """True iff the (u, v) edge set is a DOWNWARD star forest: every
+    edge points at a smaller root (v < u), every u has exactly one
+    edge, and no u also appears as a root (v side). Downward star
     forests are exactly the fixed points of the large-star/small-star
-    map (one more round maps a star forest to itself), so this is a
-    STRUCTURAL convergence proof — sound regardless of how many rounds
-    apart the compared snapshots are, unlike set-equality between
-    consecutive rounds. One shuffle job over the (small, shrinking)
-    edge set; partial aggregation keeps the shuffle at node-cardinality."""
+    map (one more round maps one to itself), so this is a STRUCTURAL
+    convergence proof — sound regardless of how many rounds apart the
+    compared snapshots are, unlike set-equality between consecutive
+    rounds. The orientation term matters (ADVICE r5): an UPWARD edge
+    like (1, 5) is NOT a fixed point — small-star would rewrite it —
+    so without `v < u` the claim only held for small-star output,
+    where v is always the neighborhood minimum by construction. The
+    defensive check keeps the predicate correct at any call site. One
+    shuffle job over the (small, shrinking) edge set — the orientation
+    term rides the same pass (an upward edge contributes weight 2, so
+    it trips the same `c > 1` violation); partial aggregation keeps
+    the shuffle at node-cardinality."""
     return (
-        e.select(F.col("u"), F.lit(1).alias("c"), F.lit(0).alias("r"))
+        e.select(
+            F.col("u"),
+            F.when(F.col("v") >= F.col("u"), 2).otherwise(1).alias("c"),
+            F.lit(0).alias("r"),
+        )
         .unionAll(
             e.select(F.col("v").alias("u"), F.lit(0).alias("c"), F.lit(1).alias("r"))
         )

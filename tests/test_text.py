@@ -637,3 +637,22 @@ def test_corpus_summary_null_group_keeps_vocab(spark):
     rows = {r.lang: r for r in corpus_summary(docs, group_col="lang").collect()}
     assert rows[None].vocab_size == 2 and rows[None].total_tokens == 3
     assert rows["en"].vocab_size == 2
+
+
+def test_subword_token_count_accepts_str_name(spark):
+    """ADVICE r5: subword_token_count regressed to Column-only when it
+    grew a .isNull() call; every sibling counter accepts a plain
+    column-name string. Pin str/Column equivalence."""
+    from pyspark.sql import functions as F
+
+    from propius_spark.functions import subword_token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "abc123 Zz")],
+        "doc_id long, text string",
+    )
+    got = df.select(
+        subword_token_count("text").alias("by_name"),
+        subword_token_count(F.col("text")).alias("by_col"),
+    ).collect()
+    assert all(r.by_name == r.by_col for r in got)
