@@ -165,6 +165,21 @@ def q_corr_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(pairs.select("item_a", "item_b", "corr"), "corr")
 
 
+def q_corr_pairs_cap_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `max_context_degree` cap with the cap BINDING (VERDICT r5
+    next-round item 3): cap 5 on the lineitem context degrees (which
+    run 1–13 on the gate SFs) drops every context holding more than 5
+    distinct valid parts — ~45% of all co-occurrence mass at sf0.01
+    (231,458 exact pairs → 102,682). The oracle replays the drop with
+    the same degree aggregate over the same valid-item-pruned cells, so
+    this row driver-pins the DROPPING semantics itself, not just the
+    plumbing (`corr_pairs_capped` pins the no-drop path). Stats (s,
+    den, n) stay computed over the FULL cell table — the cap is a
+    documented approximation of the Gram term only."""
+    pairs = corr_pairs(_lineitem_cells(spark, sf_dir), max_context_degree=5)
+    return _r6(pairs.select("item_a", "item_b", "corr"), "corr")
+
+
 def q_similar_one_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 ops 22/23/24/34: one item's exact full correlation
     row (zero-dot neighbors included), mean+2σ threshold."""
@@ -386,6 +401,30 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.5,
             id_mode="dict",
             max_bucket_size=1_000_000,
+        ),
+        "jaccard",
+    )
+
+
+def q_dedup_lsh_cap_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`max_bucket_size` with the cap BINDING (VERDICT r5 next-round
+    item 3): cap 2 on the band buckets (natural sizes reach 3–4 on the
+    gate SFs) drops the hot buckets before the pair expansion, and the
+    dropped buckets carry pairs no other band recovers — the final
+    pair set genuinely shrinks (sf0.01: 25 → 23; sf0.001: 28 → 19).
+    The oracle replays the drop with the same HAVING COUNT(*) <= 2
+    over the same (band, sig) table, so the DROPPING semantics — not
+    just the plumbing — gets a driver row (`dedup_lsh_capped` pins the
+    no-drop path)."""
+    return _r6(
+        minhash_lsh_pairs(
+            _docs(spark, sf_dir),
+            k=3,
+            num_perm=16,
+            bands=4,
+            threshold=0.5,
+            id_mode="dict",
+            max_bucket_size=2,
         ),
         "jaccard",
     )
@@ -1317,75 +1356,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering rule: the driver's CORRECTNESS gate covers the FIRST 50
     # entries only, and new/fragile queries go first so a driver-side
     # canonicalization error on one row cannot shadow the rows after it
-    # (round-2 lesson). Round-5 rotation, executing ROUND4.md's handoff
-    # plan: (a) this round's changes first — the token_estimates
-    # code-point rewrite + its diag probe, and the three rows whose
-    # threshold boundary is now 6-dp-rounded on both sides; (b) the 21
-    # rows that sat past position 49 in round 4 (r3-gate-green, ~8 with
-    # oracle bodies changed in r4's equal-by-construction class — the
-    # driver has never confirmed those bodies); (c) fill to 50 with the
-    # shallowest-history rows (checked once ever, in r4) plus this
-    # round's dedup_clusters cadence change and the token-adjacent text
-    # family. The 22 rows past position 49 are all r4-gate-green with
-    # code AND oracle untouched this round.
+    # (round-2 lesson). Round-6 rotation, executing VERDICT r5's
+    # next-round plan: (a) this round's NEW rows (the two cap-DROP
+    # pins) plus every row whose code path was touched this round
+    # (_is_star_forest orientation term -> the two cluster rows;
+    # get_similar_items hot-item guard -> the two one-item rows;
+    # subword_token_count str-compat + the diag encoding asserts ->
+    # the token rows); (b) the 22 rows that sat past position 49 in
+    # round 5 (r3+r4-gate-green, untouched since) — after this
+    # rotation every query has a driver row within the r5+r6 pair;
+    # (c) fill to 50 with the shallowest-history rows (first driver
+    # row r4 or r5). The 24 rows past position 49 are all r5-gate-
+    # green with code and oracle untouched this round.
     return {
-        # (a) round-5 changes
-        "token_estimates": q_token_estimates,
+        # (a) round-6 new + code-touched
+        "corr_pairs_cap_drop": q_corr_pairs_cap_drop,
+        "dedup_lsh_cap_drop": q_dedup_lsh_cap_drop,
         "diag_tokenizer": q_diag_tokenizer,
+        "token_estimates": q_token_estimates,
         "similar_one_part": q_similar_one_part,
-        "similar_exact_parts": q_similar_exact_parts,
-        "publish_retrieve": q_publish_retrieve,
-        # (b) the 21 rotated-in rows — changed-oracle (r4) rows first
-        "dedup_exact": q_dedup_exact,
-        "streaming_dedup": q_streaming_dedup,
         "retrieve_topk_part": q_retrieve_topk_part,
-        "retrieve_topk_batch": q_retrieve_topk_batch,
-        "item_info": q_item_info,
-        "search_items": q_search_items,
-        "db_stats": q_db_stats,
-        "corr_pairs_parts": q_corr_pairs_parts,
-        "dedup_incremental": q_dedup_incremental,
-        "ann_dup_pairs": q_ann_dup_pairs,
-        "ann_dup_pairs_pruned": q_ann_dup_pairs_pruned,
-        "ann_dup_clusters": q_ann_dup_clusters,
-        "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
-        "ann_knn_join": q_ann_knn_join,
-        "ann_ivf_knn_join": q_ann_ivf_knn_join,
-        "cap_per_source": q_cap_per_source,
-        "split_corpus": q_split_corpus,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        # (c) shallowest history: first driver row ever was r4
-        "shuffle_shards_docs": q_shuffle_shards_docs,
-        "model_roundtrip_npy": q_model_roundtrip_npy,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_search": q_multimodal_search,
-        "corr_pairs_capped": q_corr_pairs_capped,
-        "dedup_lsh_capped": q_dedup_lsh_capped,
-        # (c) two driver rows (r2 + r4)
-        "sessionize_events": q_sessionize_events,
-        "windowed_event_counts": q_windowed_event_counts,
-        "asof_click_purchase": q_asof_click_purchase,
-        "corr_pairs_cross_set": q_corr_pairs_cross_set,
-        "model_roundtrip": q_model_roundtrip,
-        "streaming_cells": q_streaming_cells,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_dup_pairs": q_multimodal_dup_pairs,
-        "funnel_events": q_funnel_events,
-        "cohort_retention": q_cohort_retention,
-        "token_distribution": q_token_distribution,
-        "rolling_user_counts": q_rolling_user_counts,
-        "tfidf_docs": q_tfidf_docs,
-        # (c) this round's cadence change + token-adjacent text family
         "dedup_clusters": q_dedup_clusters,
-        "text_doc_stats": q_text_doc_stats,
-        "corpus_filter": q_corpus_filter,
-        "pipeline_prepare": q_pipeline_prepare,
-        "chunk_docs": q_chunk_docs,
-        "corpus_summary": q_corpus_summary,
-        # ---- position 50+: r4-gate-green, code and oracle untouched
-        # this round
+        "ann_dup_clusters": q_ann_dup_clusters,
+        # (b) the 22 rotated-in rows (positions 50+ in rounds 4-5)
         "vocabulary": q_vocabulary,
         "redact_docs": q_redact_docs,
         "pack_docs": q_pack_docs,
@@ -1408,6 +1401,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources_docs": q_mix_sources_docs,
         "sample_events_stratified": q_sample_events_stratified,
         "events_props_rollup": q_events_props_rollup,
+        # (c) shallowest history: first driver row r4, second r5
+        "shuffle_shards_docs": q_shuffle_shards_docs,
+        "model_roundtrip_npy": q_model_roundtrip_npy,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_search": q_multimodal_search,
+        "corr_pairs_capped": q_corr_pairs_capped,
+        "dedup_lsh_capped": q_dedup_lsh_capped,
+        # (c) two prior rows (r2/r3 + r5)
+        "sessionize_events": q_sessionize_events,
+        "windowed_event_counts": q_windowed_event_counts,
+        "asof_click_purchase": q_asof_click_purchase,
+        "corr_pairs_cross_set": q_corr_pairs_cross_set,
+        "model_roundtrip": q_model_roundtrip,
+        "streaming_cells": q_streaming_cells,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_dup_pairs": q_multimodal_dup_pairs,
+        "funnel_events": q_funnel_events,
+        "cohort_retention": q_cohort_retention,
+        "token_distribution": q_token_distribution,
+        "rolling_user_counts": q_rolling_user_counts,
+        # ---- position 50+: r5-gate-green, code and oracle untouched
+        # this round
+        "tfidf_docs": q_tfidf_docs,
+        "text_doc_stats": q_text_doc_stats,
+        "corpus_filter": q_corpus_filter,
+        "pipeline_prepare": q_pipeline_prepare,
+        "chunk_docs": q_chunk_docs,
+        "corpus_summary": q_corpus_summary,
+        "similar_exact_parts": q_similar_exact_parts,
+        "publish_retrieve": q_publish_retrieve,
+        "dedup_exact": q_dedup_exact,
+        "streaming_dedup": q_streaming_dedup,
+        "retrieve_topk_batch": q_retrieve_topk_batch,
+        "item_info": q_item_info,
+        "search_items": q_search_items,
+        "db_stats": q_db_stats,
+        "corr_pairs_parts": q_corr_pairs_parts,
+        "dedup_incremental": q_dedup_incremental,
+        "ann_dup_pairs": q_ann_dup_pairs,
+        "ann_dup_pairs_pruned": q_ann_dup_pairs_pruned,
+        "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
+        "ann_knn_join": q_ann_knn_join,
+        "ann_ivf_knn_join": q_ann_ivf_knn_join,
+        "cap_per_source": q_cap_per_source,
+        "split_corpus": q_split_corpus,
+        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
@@ -2804,6 +2845,46 @@ def oracle_sql() -> dict[str, str]:
     # docstrings).
     sql["corr_pairs_capped"] = sql["corr_pairs_parts"]
     sql["dedup_lsh_capped"] = sql["dedup_minhash_lsh"]
+    # The cap-DROP rows replay the binding caps (engine twins:
+    # q_corr_pairs_cap_drop / q_dedup_lsh_cap_drop). The corr drop:
+    # contexts whose valid-item degree exceeds 5 leave the Gram term
+    # (and ONLY the Gram term — stats stay full-table, exactly like
+    # gram()'s pruned-cells degree filter).
+    sql["corr_pairs_cap_drop"] = f"""
+        {_MODEL},
+        pruned AS (SELECT c.* FROM cells c JOIN vs v ON c.item = v.item),
+        okctx AS (SELECT ref FROM pruned GROUP BY ref HAVING COUNT(*) <= 5),
+        cap AS (SELECT p.* FROM pruned p JOIN okctx USING (ref)),
+        gramc AS (SELECT a.item AS item_a, b.item AS item_b,
+                         SUM(a.cnt*b.cnt) AS dot
+                  FROM cap a JOIN cap b
+                    ON a.ref = b.ref AND a.item <> b.item
+                  GROUP BY 1, 2)
+        SELECT g.item_a, g.item_b,
+               ROUND((n.n*g.dot - a.s*b.s)/(a.den*b.den), 6) AS corr
+        FROM gramc g
+        JOIN vs a ON g.item_a = a.item
+        JOIN vs b ON g.item_b = b.item, nn n
+    """
+    # The LSH drop is the same banded body with buckets of size > 2
+    # removed before the candidate self-join — built by surgery on the
+    # shared body so the shingle/perm/verify CTE chain has ONE source
+    # of truth; both anchors are asserted so a future edit to the
+    # uncapped body cannot silently detach this twin.
+    _lsh = sql["dedup_minhash_lsh"]
+    _cand_anchor = "cand AS (SELECT DISTINCT a.doc_id AS doc_a"
+    _join_anchor = "FROM bands a JOIN bands b"
+    assert _cand_anchor in _lsh and _join_anchor in _lsh, (
+        "dedup_minhash_lsh body changed; re-anchor dedup_lsh_cap_drop"
+    )
+    sql["dedup_lsh_cap_drop"] = _lsh.replace(
+        _cand_anchor,
+        "okb AS (SELECT band, sig FROM bands\n"
+        "                    GROUP BY band, sig HAVING COUNT(*) <= 2),\n"
+        "            bands2 AS (SELECT b.* FROM bands b JOIN okb"
+        " USING (band, sig)),\n"
+        "            " + _cand_anchor,
+    ).replace(_join_anchor, "FROM bands2 a JOIN bands2 b")
     # Rewrite the readable `\s` in every oracle regex to the explicit
     # whitespace class shared with the engine (functions/text.py
     # WS_CLASS): RE2's \s lacks \x0B while Java's includes it, so the

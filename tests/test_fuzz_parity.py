@@ -55,6 +55,7 @@ FUZZ_QUERIES = [
     "cap_per_source",
     "dedup_incremental",
     "dedup_lsh_capped",
+    "dedup_lsh_cap_drop",
     "token_estimates",
     # corpus-independent (fixed hostile literal), but the parity run
     # pins the engine-range vs oracle-fold agreement on every sweep
@@ -447,6 +448,7 @@ def test_fuzz_ann_query_matches_oracle(spark, fuzz_emb_dir, fuzz_emb_ddb, name):
 LINEITEM_QUERIES = [
     "corr_pairs_parts",
     "corr_pairs_capped",
+    "corr_pairs_cap_drop",
     "corr_pairs_cross_set",
     "similar_one_part",
     "similar_exact_parts",

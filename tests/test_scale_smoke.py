@@ -238,3 +238,135 @@ def test_shuffle_shards_and_mix_at_1m_docs(spark):
     assert got["code"] == 100_000
     assert abs(got["web"] - 250_000) < 5_000
     assert abs(got["books"] - 150_000) < 5_000
+
+
+def test_hot_context_aqe_skew_split_plus_cap(spark):
+    """VERDICT r5 next-round item 4 — the op-33 skew story, measured.
+
+    One deliberately hot context (degree 3,000 vs median 6: the d²
+    explosion makes it 9.0M of the 9.003M joined rows) through the
+    Gram-shaped self-join, three ways:
+
+    1. AQE skew-split ON: the hot partition is split by map-output
+       ranges (SortMergeJoin(skew=true) in the final plan) — the join
+       fans out to ~60+ tasks with max/median output rows ≈ 1.0.
+    2. Skew-split OFF (control): the same join runs the hot context in
+       ONE task holding all 9M rows — measured ~4× the wall time.
+    3. The cap: gram(max_context_degree=64) drops the hot context
+       entirely; the pair set equals the no-hot-context run exactly.
+
+    Scale note: AQE detects skew from COMPRESSED map-output bytes, so
+    the fixture rows carry an incompressible 256-byte sha2 pad and the
+    skew thresholds are scaled down (128 KB / 64 KB advisory) to make a
+    ~2 MB fixture behave like a >256 MB-per-partition production
+    shuffle. At 100 TB the defaults trip on their own: a context must
+    reach ~10M degree before its map slice crosses 256 MB, exactly the
+    regime the cap exists for. Narrow (unpadded) cells rows at smoke
+    scale compress below every threshold — which is itself the measured
+    reason this test pads."""
+    import re
+    import statistics
+    import time
+
+    from propius_spark.operators.correlation import gram, valid_item_stats
+
+    def padded(df):
+        p = F.sha2(
+            F.concat_ws("-", F.col("ctx_id"), F.col("item_id"), F.lit("s0")),
+            256,
+        )
+        for i in (1, 2, 3):
+            p = F.concat(p, F.sha2(F.concat(p, F.lit(str(i))), 256))
+        return df.withColumn("pad", p)
+
+    hot = padded(
+        spark.range(3000).select(
+            F.lit(0).alias("ctx_id"), (F.col("id") + 1).alias("item_id")
+        )
+    )
+    norm = padded(
+        spark.range(200 * 6)
+        .select(
+            (F.col("id") % 200 + 1).alias("ctx_id"),
+            (F.pmod(F.xxhash64(F.col("id")), 5000) + 1).alias("item_id"),
+        )
+        .distinct()
+    )
+    cells = hot.unionByName(norm).localCheckpoint()
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+
+    def run_join():
+        a = cells.select(
+            "ctx_id", F.col("item_id").alias("item_a"), F.col("pad").alias("pa")
+        )
+        b = cells.select(
+            "ctx_id", F.col("item_id").alias("item_b"), F.col("pad").alias("pb")
+        )
+        j = a.join(b, "ctx_id").filter(F.col("item_a") != F.col("item_b"))
+        # the pads must be CONSUMED or column pruning removes them from
+        # the shuffle and the fixture silently stops being skewed
+        agg = j.groupBy(F.spark_partition_id().alias("pid")).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.max(F.length("pa")).alias("_pa"),
+            F.max(F.length("pb")).alias("_pb"),
+        )
+        t0 = time.time()
+        per_task = sorted(r.rows for r in agg.collect())
+        wall = time.time() - t0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        return per_task, wall, len(re.findall(r"skew=true", plan))
+
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128k"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        rows_on, wall_on, marks_on = run_join()
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        rows_off, wall_off, marks_off = run_join()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+    total = 3000 * 2999 + 200 * 6 * 5
+    assert sum(rows_on) == sum(rows_off)
+    # split happened and balanced the explosion
+    assert marks_on >= 1 and marks_off == 0
+    assert len(rows_on) >= 16, rows_on
+    assert rows_on[-1] <= 4 * statistics.median(rows_on), rows_on[-5:]
+    # control concentrates the hot context in one task
+    assert rows_off[-1] >= 0.9 * sum(rows_off), rows_off[-3:]
+    print(
+        f"\nskew ON : {len(rows_on)} tasks, max/median "
+        f"{rows_on[-1] / statistics.median(rows_on):.2f}, {wall_on:.1f}s"
+        f"\nskew OFF: {len(rows_off)} tasks, max {rows_off[-1]} rows in one "
+        f"task, {wall_off:.1f}s"
+    )
+
+    # 3. the cap: gram() with max_context_degree drops the hot context
+    thin = cells.select("ctx_id", "item_id", F.lit(1.0).alias("cnt"))
+    stats = valid_item_stats(thin)
+    capped = gram(thin, stats, max_context_degree=64)
+    no_hot = gram(thin.filter(F.col("ctx_id") != 0), stats)
+    assert capped.exceptAll(no_hot).isEmpty()
+    assert no_hot.exceptAll(capped).isEmpty()
