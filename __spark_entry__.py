@@ -1416,8 +1416,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_pairs_cross_set": q_corr_pairs_cross_set,
         "model_roundtrip": q_model_roundtrip,
         "streaming_cells": q_streaming_cells,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
+        # (a, late round 6) the rank-gap-extremes rewrite (one
+        # un-replicated taken set, two sorts over one exchange —
+        # correlation.py:_rank_gap_extremes) touches the code path of
+        # similar_exact_parts and publish_retrieve, so both rotate into
+        # the gate window; multimodal_meta/decode (r5-green, untouched
+        # this round) take their places past position 49
+        "similar_exact_parts": q_similar_exact_parts,
+        "publish_retrieve": q_publish_retrieve,
         "multimodal_dup_pairs": q_multimodal_dup_pairs,
         "funnel_events": q_funnel_events,
         "cohort_retention": q_cohort_retention,
@@ -1431,8 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_prepare": q_pipeline_prepare,
         "chunk_docs": q_chunk_docs,
         "corpus_summary": q_corpus_summary,
-        "similar_exact_parts": q_similar_exact_parts,
-        "publish_retrieve": q_publish_retrieve,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
         "dedup_exact": q_dedup_exact,
         "streaming_dedup": q_streaming_dedup,
         "retrieve_topk_batch": q_retrieve_topk_batch,

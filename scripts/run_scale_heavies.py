@@ -1,0 +1,90 @@
+"""One-decade scale run: the five heavy queries at sf1.0.
+
+Runs the declared queries() entries for the heavies against the
+synthetic sf1.0 dir built by scripts/make_scale_data.py, with the same
+noop-write timing protocol and host canaries as bench.py, and prints
+one JSON line for SCALE.md. Each query runs twice (best-of-2, bench.py
+methodology) after an untimed warmup action.
+
+Usage:
+    python scripts/make_scale_data.py            # once
+    python scripts/run_scale_heavies.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+HEAVIES = [
+    "corr_pairs_parts",
+    "similar_exact_parts",
+    "publish_retrieve",
+    "dedup_clusters",
+    "ann_dup_pairs_lsh",
+]
+
+
+def main() -> None:
+    repo = Path(__file__).resolve().parent.parent
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(repo / ".scratch" / "sf1.0")
+    names = sys.argv[2:] or HEAVIES
+
+    import bench  # repo-root bench.py: canaries + session config
+    import __spark_entry__ as entrymod
+    from propius_spark.session import clear_materialized, get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("propius_scale_heavies", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed JVM warmup (same surfaces bench.py warms)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().write.mode("overwrite").format("noop").save()
+
+    calib_before = bench._host_calibration()
+    disk_before = bench._disk_calibration()
+    qs = entrymod.queries()
+    timings: dict[str, list[float]] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        fn = qs[name]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
+            clear_materialized(spark)
+            spark.sparkContext._jvm.System.gc()
+        # row count once, untimed: the scale evidence needs output
+        # cardinality next to wall time
+        rows[name] = fn(spark, sf_dir).count()
+        clear_materialized(spark)
+    best = {n: min(t) for n, t in timings.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "scale_heavies_wall_time",
+                "sf_dir": sf_dir,
+                "value": round(sum(best.values()), 3),
+                "unit": "sec",
+                "queries": best,
+                "runs": timings,
+                "result_rows": rows,
+                "host_calib_sec": [calib_before, bench._host_calibration()],
+                "host_disk_mbps": [disk_before, bench._disk_calibration()],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

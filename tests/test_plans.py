@@ -240,12 +240,16 @@ def test_new_text_ops_plan_shape(spark, sf_dir):
 
 
 def test_rank_gap_window_exchange_reuse(spark, sf_dir):
-    """_rank_gap_extremes (round 3): the first-free-rank aggregation
-    must reuse the taken-ranks window's (item_a, side) exchange — a
-    Window node with HashAggregates DIRECTLY above it, no Exchange
-    between — and the ranked item dimension must be materialized once
-    (exactly ONE Window node in the whole plan; the rb/self/tmap
-    consumers read the persisted table instead of re-sorting items)."""
+    """_rank_gap_extremes (round 6 shape): BOTH first-free-rank sides
+    ride ONE taken-set exchange — two Window nodes (asc and desc
+    row_numbers) separated only by an in-partition Sort, the
+    first-free-rank HashAggregate DIRECTLY above the top one, and no
+    Exchange anywhere between the taken-set shuffle and the aggregate.
+    The ranked item dimension is materialized once (no third Window;
+    the rb/self/tmap consumers read the persisted table instead of
+    re-sorting items). A regression to the round-3 explode-two-sides
+    form (side-tagged row doubling) or a lost exchange reuse (second
+    shuffle between the windows or before the aggregate) fails here."""
     import re
 
     from propius_spark.operators.correlation import (
@@ -260,12 +264,17 @@ def test_rank_gap_window_exchange_reuse(spark, sf_dir):
     g = _persist(gram(cells, stats, None))
     plan = _plan(_rank_gap_extremes(stats, g))
 
-    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 2
     tree = plan.split("\n\n")[0].splitlines()
     widx = [i for i, ln in enumerate(tree) if re.search(r"Window \(\d+\)", ln)]
-    assert len(widx) == 1
+    assert len(widx) == 2
     above = "".join(tree[max(0, widx[0] - 2): widx[0]])
     assert "HashAggregate" in above and "Exchange" not in above
+    between = "".join(tree[widx[0] + 1 : widx[1]])
+    assert "Sort" in between and "Exchange" not in between
+    # the taken-set explosion must not return: no Generate (explode)
+    # node anywhere in the rank-gap plan
+    assert "Generate" not in plan
 
 
 def test_bucketed_dup_pairs_plan_shape(spark, sf_dir):
