@@ -53,36 +53,43 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
+    failures: dict[str, str] = {}
     for name in names:
         fn = qs[name]
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings.setdefault(name, []).append(
-                round(time.perf_counter() - t0, 3)
-            )
-            clear_materialized(spark)
-            spark.sparkContext._jvm.System.gc()
-        # row count once, untimed: the scale evidence needs output
-        # cardinality next to wall time
-        rows[name] = fn(spark, sf_dir).count()
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                timings.setdefault(name, []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                clear_materialized(spark)
+                spark.sparkContext._jvm.System.gc()
+            # row count once, untimed: the scale evidence needs output
+            # cardinality next to wall time
+            rows[name] = fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001 - record, keep measuring
+            # one OOM/failure at an experimental SF must not discard
+            # the completed queries' numbers (bench.py's posture)
+            failures[name] = f"{type(e).__name__}: {e}"[:300]
         clear_materialized(spark)
     best = {n: min(t) for n, t in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "scale_heavies_wall_time",
-                "sf_dir": sf_dir,
-                "value": round(sum(best.values()), 3),
-                "unit": "sec",
-                "queries": best,
-                "runs": timings,
-                "result_rows": rows,
-                "host_calib_sec": [calib_before, bench._host_calibration()],
-                "host_disk_mbps": [disk_before, bench._disk_calibration()],
-            }
-        )
-    )
+    out = {
+        "metric": "scale_heavies_wall_time",
+        "sf_dir": sf_dir,
+        "value": round(sum(best.values()), 3),
+        "unit": "sec",
+        "queries": best,
+        "runs": timings,
+        "result_rows": rows,
+        "host_calib_sec": [calib_before, bench._host_calibration()],
+        "host_disk_mbps": [disk_before, bench._disk_calibration()],
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
     spark.stop()
 
 
