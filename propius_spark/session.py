@@ -72,10 +72,18 @@ def release_materialized_since(spark: SparkSession, before: set[int]) -> int:
 def get_spark(app_name: str = "propius_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # partitions default to cores (right for the gate/bench SFs), but
+    # scale runs MUST size them to ~100-200 MB of shuffle data instead:
+    # the sf10 A/B (SCALE.md §8a) measured corr_pairs 258.8 s at 32
+    # partitions (300 MB spilling sorts) vs 100.8 s at 256 (~37 MB,
+    # in-memory) — same plan, 2.6× from sizing alone. On a cluster this
+    # is the standard shuffle.partitions sizing; locally the env var
+    # spares a code edit.
+    parts = int(os.environ.get("PROPIUS_SHUFFLE_PARTITIONS", "0")) or cpus
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
