@@ -2,11 +2,20 @@
 plus a secondary pass at sf0.01 so CORRECTNESS failures (graded at
 sf0.01) and BENCH numbers (graded at the main sf) can be cross-read.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the LAST line of stdout):
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": sf,
-   "secondary": {"sf": 0.01, "value": total_sec,
-                 "queries": {name: sec, ...}}}
+   "queries": {name: sec, ...}, "sf": sf, "detail": "BENCH_full.json"}
+
+The driver keeps only the last ~2000 characters of stdout, and every
+prior round's single fat line (per-query dict + secondary pass +
+calibration arrays ≈ 4.5 KB) was truncated mid-key — BENCH_r01..r06
+all have `"parsed": null`. So the printed line now carries ONLY the
+contract fields (metric/value/unit/queries/sf) with per-query times
+at 1-decimal precision (≤ ~1.9 KB at 74 queries, measured), and the
+FULL result — 3-decimal timings, the secondary-SF pass, raw per-run
+totals, host CPU/disk calibration probes, failures — is written to
+``BENCH_full.json`` next to this script. A hard length assertion
+keeps the tail contract honest if the query set grows.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -210,8 +219,31 @@ def main() -> None:
     # anchors for cross-window comparisons (docstrings above)
     result["host_calib_sec"] = [calib_before, _host_calibration()]
     result["host_disk_mbps"] = [disk_before, _disk_calibration()]
-    print(json.dumps(result))
+    # full-fidelity record → sidecar file; the stdout line must fit the
+    # driver's 2000-char tail window (module docstring)
+    full_path = Path(__file__).resolve().parent / "BENCH_full.json"
+    full_path.write_text(json.dumps(result, indent=1) + "\n")
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {q: round(t, 1) for q, t in timings.items()},
+        "sf": result["sf"],
+        "detail": full_path.name,
+    }
+    if failures:
+        # identity of failed queries must survive even in the compact
+        # line; messages live in the sidecar
+        compact["failed"] = sorted(failures)
+    line = json.dumps(compact, separators=(",", ":"))
+    # 1900 = 2000-char driver tail minus newline + margin for any
+    # stray line the JVM emits after us
+    assert len(line) <= 1900, (
+        f"bench summary line {len(line)} chars > 1900: trim the compact "
+        "dict (the driver tail-truncates past 2000)"
+    )
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -27,9 +27,12 @@ distinct shingles, fine at test scale but never the 100 TB default.
 Scale notes (100 TB): shingling/hashing are map-side; the only
 shuffles are the distinct-shingle dictionary (skippable via xxhash),
 the per-(doc, perm) min-aggregation, and the band-bucket join. Hot
-buckets (boilerplate docs) skew the bucket join — AQE skew handling
-plus the ``max_bucket_size`` cap (drop pathological buckets, the
-standard trade documented in MinHash-dedup literature) bound it.
+buckets (boilerplate docs) skew the bucket join — three independent
+bounds: AQE skew handling, the ``max_bucket_size`` cap (drop
+pathological buckets, the standard trade documented in MinHash-dedup
+literature), and the result-identical ``max_bucket_docs`` sub-split
+of every surviving bucket's candidate self-join (the ANN candidate
+path's design, see minhash_lsh_pairs).
 """
 
 from __future__ import annotations
@@ -290,14 +293,39 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_mode: str = "xxhash",
     max_bucket_size: int | None = None,
+    max_bucket_docs: int = 1024,
 ) -> DataFrame:
     """MinHash-LSH near-duplicates: (doc_a, doc_b, jaccard), doc_a <
     doc_b — candidates from the banded bucket join, then verified with
     the EXACT Jaccard (so precision is exact; recall is the standard
     LSH 1−(1−s^r)^b curve). ``max_bucket_size`` drops hotter buckets
-    (boilerplate shingle sets) before the quadratic pair expansion."""
+    (boilerplate shingle sets) before the quadratic pair expansion.
+
+    Hot band buckets that SURVIVE (no cap, or under it) are SUB-SPLIT,
+    not trusted — the same design as the ANN candidate path
+    (``ann._bucketed_dup_pairs``), result-identical by construction: a
+    bucket of B docs becomes nb = ceil(B/``max_bucket_docs``)
+    sub-blocks, and the candidate self-join runs per (band, sig,
+    sub-block-pair) key instead of one (band, sig) key, so one
+    boilerplate bucket spreads its B² pair expansion over nb(nb+1)/2
+    join groups across the cluster rather than streaming through a
+    single task (SCALE.md §8a: replica-collision skew at sf10 is where
+    this bites). Each doc is replicated nb+1 times into the join input
+    for its bucket — exactly 2 (the old two-sided join) for any bucket
+    under the sub-split cap, so the common case pays nothing. The
+    candidate SET is unchanged: every within-bucket pair (u, v) meets
+    in exactly the sub-block-pair group (min(su, sv), max(su, sv)) —
+    the downstream exact-Jaccard verify and every oracle are
+    untouched."""
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
+    if max_bucket_docs < 1:
+        # ceil(count/0) is NULL under legacy division (explode drops
+        # the row — a dedup that finds nothing) and an ANSI crash
+        # otherwise; same guard as ann._bucketed_dup_pairs
+        raise ValueError(
+            f"max_bucket_docs must be >= 1, got {max_bucket_docs}"
+        )
     rows_per_band = num_perm // bands
     sh = shingles(docs, k, id_col, text_col)
     # persist_big, not materialize (corpus-token cardinality — see
@@ -336,12 +364,45 @@ def minhash_lsh_pairs(
         band_sig = band_sig.join(
             bucket_sizes.filter(F.col("_bs") <= max_bucket_size), ["band", "sig"]
         ).drop("_bs")
-    ba = band_sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    bb = band_sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    # sub-split the surviving buckets (docstring): nb sub-blocks per
+    # bucket, candidate join keyed on (band, sig, pa, pb). band_sig is
+    # materialized, so the extra sizing aggregate re-reads checkpoint
+    # blocks, not the signature pipeline. A doc in sub-block s enters
+    # side A for every group (s, j ≥ s) and side B for every (j ≤ s, s)
+    # — each unordered within-bucket pair meets in exactly one group.
+    sub_sizes = band_sig.groupBy("band", "sig").agg(
+        F.ceil(F.count(F.lit(1)) / max_bucket_docs).cast("int").alias("nb")
+    )
+    sub_rows = band_sig.join(sub_sizes, ["band", "sig"]).withColumn(
+        "sub", F.pmod(F.xxhash64("doc_id"), F.col("nb")).cast("int")
+    )
+    ba = sub_rows.select(
+        "band",
+        "sig",
+        F.col("sub").alias("pa"),
+        F.explode(F.sequence(F.col("sub"), F.col("nb") - 1)).alias("pb"),
+        F.col("doc_id").alias("doc_a"),
+    )
+    bb = sub_rows.select(
+        "band",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.col("sub"))).alias("pa"),
+        F.col("sub").alias("pb"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    # orient AFTER the join with least/greatest, not a doc_a < doc_b
+    # filter: unlike the old two-sided bucket join, a doc reaches the
+    # A side only for its own sub-block's groups, so a cross-block
+    # pair appears in ONE orientation — determined by sub-block order,
+    # which is independent of id order — and an id-order filter would
+    # drop roughly half the cross-block pairs
     cand = (
-        ba.join(bb, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        ba.join(bb, ["band", "sig", "pa", "pb"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
     # exact verification over the candidate pairs only

@@ -69,6 +69,7 @@ def publish_model(
     k_sigma: float = 2.0,
     n_buckets: int = 0,
     files_per_bucket: int = 1,
+    min_dim_coverage: float = 0.0,
 ) -> dict[str, str]:
     """End-to-end: occurrences → exact similar_items + correlated_items
     parquet tables under `out_dir`. One distributed job per table — the
@@ -87,6 +88,19 @@ def publish_model(
     ``files_per_bucket``: a hash salt spreads each bucket over that
     many write tasks, trading file count for encode parallelism —
     pruning is directory-level, so reads are unaffected.
+
+    ``min_dim_coverage``: loud-failure guard on a silently name-starved
+    store (SCALE.md §8a finding 2: the sf1.0 replica's 64-names-per-20k
+    dim kept 640 of 200k items after the min-id-per-key dedup, and the
+    named-neighbor serving join then correctly — but SILENTLY — served
+    0 rows). Coverage = dim rows surviving the dedup / dictionary rows
+    (NULL titles count as survivors — they are all kept, see
+    correlated_items). Below 50% a ``UserWarning`` is always emitted
+    (the publish still completes — degenerate names are a data
+    property, not an error); below ``min_dim_coverage`` the publish
+    raises BEFORE writing anything. The probe is one aggregate job
+    over the item-cardinality dictionary — noise next to the fact
+    write.
     """
     # the reference's UNIQUE(item_a_id, item_b_id) index holds here BY
     # CONSTRUCTION, no dedup shuffle needed: similar_items_exact's
@@ -97,6 +111,38 @@ def publish_model(
     cells = build_cells(occurrences)
     sims = shape_similar_items(similar_items_exact(cells, k_sigma=k_sigma))
     dim = correlated_items(dictionary)
+    # dim-coverage probe (docstring): one agg over the dictionary,
+    # BEFORE any write so the strict mode fails without side effects
+    stats = dictionary.select(
+        F.count(F.lit(1)).alias("rows"),
+        F.count("title").alias("named"),
+        F.count_distinct("title").alias("names"),
+    ).first()
+    dim_coverage = 1.0
+    if stats["rows"]:
+        survivors = stats["names"] + (stats["rows"] - stats["named"])
+        dim_coverage = survivors / stats["rows"]
+    if dim_coverage < min_dim_coverage:
+        raise ValueError(
+            f"publish_model: dim coverage {dim_coverage:.4f} < required "
+            f"{min_dim_coverage} — the min-id-per-key dedup keeps only "
+            f"{stats['names']} of {stats['named']} named dictionary rows "
+            "(duplicate titles); name-filtered serving over this store "
+            "would drop most items' neighbors. Publish aborted before "
+            "any write."
+        )
+    if dim_coverage < 0.5:
+        import warnings
+
+        warnings.warn(
+            f"publish_model: only {dim_coverage:.1%} of dictionary rows "
+            "survive the unique-key dedup (duplicate titles); "
+            "name-filtered retrieval over this store may return few or "
+            "0 rows (see SCALE.md §8a). Consider the rank-first "
+            "retrieve_similar_batch posture for serving.",
+            UserWarning,
+            stacklevel=2,
+        )
     sims_path = f"{out_dir}/similar_items"
     dim_path = f"{out_dir}/correlated_items"
     if n_buckets > 0:
@@ -123,6 +169,8 @@ def publish_model(
         "similar_items": sims_path,
         "correlated_items": dim_path,
         "n_buckets": n_buckets,
+        # non-str metadata: export_jdbc skips it by type (see below)
+        "dim_coverage": dim_coverage,
     }
 
 

@@ -33,6 +33,9 @@ SAMPLE_A = 2654435761
 SAMPLE_B = 1013904223
 SAMPLE_P = 2_147_483_647  # 2³¹ − 1, same modulus family as minhash
 SAMPLE_RES = 1_000_000  # rate resolution: 1 ppm
+# mix_sources targets-dict bound: everything driver-side there (target
+# table build, broadcast, the targets-keyed collect) is O(len(targets))
+MAX_MIX_GROUPS = 1_000_000
 
 
 def _lcg(key: Column, a: int, b: int) -> Column:
@@ -191,6 +194,21 @@ def mix_sources(
     _require_numeric_key(df, key_col, "mix_sources")
     if not targets:
         raise ValueError("mix_sources: targets must be non-empty")
+    # bounded_rank-posture size guard (ADVICE r6): every driver-side
+    # structure below — the createDataFrame target table, its
+    # broadcast, the |targets|-row collect (the counts⋈targets inner
+    # join is keyed on the targets, so the collect is bounded by THIS
+    # dict, not by the data's group cardinality) — scales with
+    # len(targets). A mixture spec is sources/domains by contract;
+    # 10⁶+ "groups" means someone passed keys, and the loud error
+    # beats a silent driver OOM mid-broadcast.
+    if len(targets) > MAX_MIX_GROUPS:
+        raise ValueError(
+            f"mix_sources: {len(targets)} target groups exceeds the "
+            f"documented bound of {MAX_MIX_GROUPS} (the target table is "
+            "driver-built and broadcast; a mixture over key-cardinality "
+            "groups should use deterministic per-group sampling instead)"
+        )
     bad = {g: t for g, t in targets.items() if t <= 0}
     if bad:
         raise ValueError(f"mix_sources: target proportions must be > 0, got {bad}")

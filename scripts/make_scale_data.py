@@ -122,35 +122,25 @@ def main() -> None:
         f"event_id + {{r}}*{se} AS event_id, ts,"
         f" user_id + {{r}}*{su} AS user_id, event_type, value, props",
     )
-    # documents: token-prefix replicas r>0 (shingle-space disjointness)
+    # documents: token-prefix replicas r>0 (shingle-space disjointness).
+    # The text rewrite happens in an inner subquery and length() in the
+    # outer select, so n_chars unambiguously measures the REWRITTEN
+    # text in one COPY (ADVICE r6: the old form leaned on lateral-alias
+    # binding of length(text) and needed a second full COPY to fix up)
     union = " UNION ALL ".join(
-        f"SELECT doc_id + {r}*{sd} AS doc_id, "
+        "SELECT doc_id, text, lang, source, length(text) AS n_chars "
+        "FROM (SELECT "
+        + f"doc_id + {r}*{sd} AS doc_id, "
         + (
             "text"
             if r == 0
             else rf"regexp_replace(text, '(\S+)', 'r{r}x\1', 'g') AS text"
         )
-        + f", lang, source, length(text) AS n_chars"
-        + f" FROM '{SRC}/documents.parquet'"
+        + f", lang, source FROM '{SRC}/documents.parquet')"
         for r in range(n_rep)
     )
     con.execute(
         f"COPY ({union}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)"
-    )
-    # n_chars for r>0 replicas must reflect the rewritten text
-    # (recomputed above via length(text) AFTER the replace — DuckDB
-    # evaluates the expression over the rewritten value only when
-    # nested, so do it in one more pass to be unambiguous)
-    con.execute(
-        f"""
-        COPY (
-          SELECT doc_id, text, lang, source, length(text) AS n_chars
-          FROM '{out_dir}/documents.parquet'
-        ) TO '{out_dir}/documents2.parquet' (FORMAT PARQUET)
-        """
-    )
-    Path(f"{out_dir}/documents2.parquet").replace(
-        f"{out_dir}/documents.parquet"
     )
 
     # embeddings: numpy roll + Rademacher signs per replica

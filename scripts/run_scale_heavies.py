@@ -75,7 +75,14 @@ def main() -> None:
             # the completed queries' numbers (bench.py's posture)
             failures[name] = f"{type(e).__name__}: {e}"[:300]
         clear_materialized(spark)
-    best = {n: min(t) for n, t in timings.items()}
+    # a query that failed ANY of its runs is reported only under
+    # `failures` (+ raw partials in `runs`): its surviving pass may be
+    # a fluke of the failure mode (e.g. the OOM hit pass 2 because
+    # pass 1 filled the heap), and summing it into `value` would mix
+    # complete and incomplete measurements (ADVICE r6)
+    best = {
+        n: min(t) for n, t in timings.items() if n not in failures
+    }
     out = {
         "metric": "scale_heavies_wall_time",
         "sf_dir": sf_dir,

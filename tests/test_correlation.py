@@ -273,6 +273,52 @@ def test_publish_salted_write_equivalence(spark, tmp_path):
         assert d.is_dir() and list(d.glob("*.parquet"))
 
 
+def test_publish_dim_coverage_guard(spark, tmp_path):
+    """SCALE.md §8a finding 2: a name-degenerate dictionary (few
+    distinct titles across many ids) silently starves name-filtered
+    serving. publish_model must (a) warn below 50% coverage while
+    still publishing, (b) raise BEFORE writing when the caller pins
+    min_dim_coverage, and (c) stay silent and report coverage 1.0 on a
+    healthy dim."""
+    import warnings
+
+    import pytest
+
+    from propius_spark.operators import publish_model
+
+    occ = spark.createDataFrame(
+        FIXTURE_ROWS, "reference_id string, item_id long"
+    )
+    # 4 ids, ONE distinct title → coverage 0.25
+    degenerate = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "x")], "id long, title string"
+    )
+    with pytest.warns(UserWarning, match="survive the unique-key dedup"):
+        paths = publish_model(
+            occ, degenerate, str(tmp_path / "warn"), k_sigma=-10.0
+        )
+    assert paths["dim_coverage"] == 0.25
+    # the publish itself still completed
+    assert spark.read.parquet(paths["similar_items"]).count() == 12
+
+    out = tmp_path / "strict"
+    with pytest.raises(ValueError, match="dim coverage"):
+        publish_model(
+            occ, degenerate, str(out), k_sigma=-10.0, min_dim_coverage=0.5
+        )
+    assert not out.exists()  # strict mode aborted before any write
+
+    healthy = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None)], "id long, title string"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning here fails the test
+        paths = publish_model(occ, healthy, str(tmp_path / "ok"),
+                              k_sigma=-10.0)
+    # NULL titles all survive the dedup (SQLite NULL-distinct posture)
+    assert paths["dim_coverage"] == 1.0
+
+
 def test_encode_contexts_drops_null_refs_keeps_dense_ids(spark):
     """NULL reference_ids are dropped; real contexts still get dense
     0-based ids (the null used to absorb rank 0 and its rows silently

@@ -157,6 +157,37 @@ def test_lsh_max_bucket_size_drops_hot_buckets(spark):
     assert capped == []
 
 
+def test_lsh_bucket_subsplit_is_result_identical(spark):
+    """The max_bucket_docs sub-split reshapes the candidate join's
+    keys, never its output: a hot bucket (12 near-identical docs, one
+    bucket in every band) must yield the SAME verified pair set at
+    sub-split granularity 1 (every doc its own sub-block), 2, 5, and
+    effectively-off (default 1024). Also pins the zero-cap guard."""
+    import pytest
+
+    rows = [
+        (i, "same text repeated all over this document body again")
+        for i in range(12)
+    ]
+    rows.append((99, "an unrelated document with its own words here"))
+    df = _docs(spark, rows)
+    expect = {(a, b) for a in range(12) for b in range(a + 1, 12)}
+
+    def pairs(cap):
+        got = minhash_lsh_pairs(
+            df, threshold=0.9, max_bucket_docs=cap
+        ).collect()
+        assert all(r["jaccard"] == 1.0 for r in got)
+        return {(r["doc_a"], r["doc_b"]) for r in got}
+
+    assert pairs(1024) == expect
+    assert pairs(5) == expect
+    assert pairs(2) == expect
+    assert pairs(1) == expect
+    with pytest.raises(ValueError, match="max_bucket_docs"):
+        minhash_lsh_pairs(df, max_bucket_docs=0)
+
+
 def test_dup_clusters_transitive_chain(spark):
     """A 10-node path graph: every node must land in cluster 0 even
     though 0 and 9 share no pair — exercises multiple star rounds

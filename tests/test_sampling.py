@@ -157,6 +157,22 @@ def test_mix_sources_validates(spark):
         mix_sources(df, {"a": 0.0}, group_col="source", key_col="doc_id")
 
 
+def test_mix_sources_refuses_key_cardinality_targets(spark):
+    """ADVICE r6: everything driver-side in mix_sources (target table,
+    broadcast, the targets-keyed collect) is O(len(targets)) — a
+    key-cardinality targets dict must fail LOUDLY at entry, before any
+    job or broadcast, in the bounded_rank posture."""
+    import pytest
+
+    from propius_spark.operators import mix_sources
+    from propius_spark.operators.sampling import MAX_MIX_GROUPS
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    huge = dict.fromkeys(range(MAX_MIX_GROUPS + 1), 1.0)
+    with pytest.raises(ValueError, match="documented bound"):
+        mix_sources(df, huge, group_col="source", key_col="doc_id")
+
+
 def test_shuffle_shards_permutation_properties(spark):
     from propius_spark.operators import shuffle_shards
     from propius_spark.operators.sampling import (
