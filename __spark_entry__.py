@@ -1356,81 +1356,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering rule: the driver's CORRECTNESS gate covers the FIRST 50
     # entries only, and new/fragile queries go first so a driver-side
     # canonicalization error on one row cannot shadow the rows after it
-    # (round-2 lesson). Round-6 rotation, executing VERDICT r5's
-    # next-round plan: (a) this round's NEW rows (the two cap-DROP
-    # pins) plus every row whose code path was touched this round
-    # (_is_star_forest orientation term -> the two cluster rows;
-    # get_similar_items hot-item guard -> the two one-item rows;
-    # subword_token_count str-compat + the diag encoding asserts ->
-    # the token rows); (b) the 22 rows that sat past position 49 in
-    # round 5 (r3+r4-gate-green, untouched since) — after this
-    # rotation every query has a driver row within the r5+r6 pair;
-    # (c) fill to 50 with the shallowest-history rows (first driver
-    # row r4 or r5). The 24 rows past position 49 are all r5-gate-
-    # green with code and oracle untouched this round.
+    # (round-2 lesson). Round-7 rotation, executing VERDICT r6's
+    # next-round item 2: (a) every row whose code path was touched
+    # this round (minhash_lsh_pairs hot-bucket sub-split → the three
+    # LSH rows; mix_sources size guard → mix_sources_docs;
+    # publish_model dim-coverage probe → publish_retrieve); (b) the 24
+    # rows that sat past position 49 in round 6 (r5-gate-green,
+    # untouched there) — after this rotation every query has a driver
+    # row within the r6+r7 pair; (c) fill to 50 with the
+    # checkpoint-heavy pipelines (plans.materialize grew the
+    # compaction pass this round — a shared helper under every
+    # pipeline, so its heaviest users stay gated) and the
+    # shallowest-history rows. The 24 rows past position 49 are all
+    # r6-gate-green with their own code and oracles untouched this
+    # round, and the full-suite oracle replica (FULLGATE_r07.json,
+    # scripts/verify_driver.py --json) re-checks all 74 regardless —
+    # the ADVICE r6 coverage net for shared-helper regressions on
+    # rotated-out rows.
     return {
-        # (a) round-6 new + code-touched
-        "corr_pairs_cap_drop": q_corr_pairs_cap_drop,
-        "dedup_lsh_cap_drop": q_dedup_lsh_cap_drop,
-        "diag_tokenizer": q_diag_tokenizer,
-        "token_estimates": q_token_estimates,
-        "similar_one_part": q_similar_one_part,
-        "retrieve_topk_part": q_retrieve_topk_part,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_dup_clusters": q_ann_dup_clusters,
-        # (b) the 22 rotated-in rows (positions 50+ in rounds 4-5)
-        "vocabulary": q_vocabulary,
-        "redact_docs": q_redact_docs,
-        "pack_docs": q_pack_docs,
-        "decontam_docs": q_decontam_docs,
-        "doc_repetition": q_doc_repetition,
-        "dedup_jaccard": q_dedup_jaccard,
+        # (a) round-7 code-touched
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "bm25_search": q_bm25_search,
-        "posting_lists": q_posting_lists,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
-        "similar_candidates_events": q_similar_candidates_events,
-        "similar_topk_per_item": q_similar_topk_per_item,
-        "split_leakage_free": q_split_leakage_free,
-        "streaming_sessions": q_streaming_sessions,
-        "streaming_windowed_counts": q_streaming_windowed_counts,
-        "mix_sources_docs": q_mix_sources_docs,
-        "sample_events_stratified": q_sample_events_stratified,
-        "events_props_rollup": q_events_props_rollup,
-        # (c) shallowest history: first driver row r4, second r5
-        "shuffle_shards_docs": q_shuffle_shards_docs,
-        "model_roundtrip_npy": q_model_roundtrip_npy,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_search": q_multimodal_search,
-        "corr_pairs_capped": q_corr_pairs_capped,
         "dedup_lsh_capped": q_dedup_lsh_capped,
-        # (c) two prior rows (r2/r3 + r5)
-        "sessionize_events": q_sessionize_events,
-        "windowed_event_counts": q_windowed_event_counts,
-        "asof_click_purchase": q_asof_click_purchase,
-        "corr_pairs_cross_set": q_corr_pairs_cross_set,
-        "model_roundtrip": q_model_roundtrip,
-        "streaming_cells": q_streaming_cells,
-        # (a, late round 6) the rank-gap-extremes rewrite (one
-        # un-replicated taken set, two sorts over one exchange —
-        # correlation.py:_rank_gap_extremes) touches the code path of
-        # similar_exact_parts and publish_retrieve, so both rotate into
-        # the gate window; multimodal_meta/decode (r5-green, untouched
-        # this round) take their places past position 49
-        "similar_exact_parts": q_similar_exact_parts,
-        "publish_retrieve": q_publish_retrieve,
-        "multimodal_dup_pairs": q_multimodal_dup_pairs,
-        "funnel_events": q_funnel_events,
-        "cohort_retention": q_cohort_retention,
-        "token_distribution": q_token_distribution,
-        "rolling_user_counts": q_rolling_user_counts,
-        # ---- position 50+: r5-gate-green, code and oracle untouched
-        # this round
+        "dedup_lsh_cap_drop": q_dedup_lsh_cap_drop,
+        "mix_sources_docs": q_mix_sources_docs,
+        # (b) the 24 rotated-in rows (positions 50+ in round 6)
         "tfidf_docs": q_tfidf_docs,
         "text_doc_stats": q_text_doc_stats,
         "corpus_filter": q_corpus_filter,
@@ -1455,6 +1404,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "split_corpus": q_split_corpus,
         "weighted_sample_docs": q_weighted_sample_docs,
+        # (c) publish_model probe rides publish_retrieve's path, and
+        # these two are the heaviest materialize (checkpoint) users
+        "publish_retrieve": q_publish_retrieve,
+        "similar_exact_parts": q_similar_exact_parts,
+        # (c) remaining materialize-heavy + shallowest-history rows
+        "corr_pairs_cap_drop": q_corr_pairs_cap_drop,
+        "corr_pairs_capped": q_corr_pairs_capped,
+        "corr_pairs_cross_set": q_corr_pairs_cross_set,
+        "similar_one_part": q_similar_one_part,
+        "similar_topk_per_item": q_similar_topk_per_item,
+        "similar_candidates_events": q_similar_candidates_events,
+        "retrieve_topk_part": q_retrieve_topk_part,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_dup_clusters": q_ann_dup_clusters,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "bm25_search": q_bm25_search,
+        "posting_lists": q_posting_lists,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
+        "token_estimates": q_token_estimates,
+        "diag_tokenizer": q_diag_tokenizer,
+        "multimodal_dup_pairs": q_multimodal_dup_pairs,
+        # ---- position 50+: r6-gate-green, code and oracle untouched
+        # this round (still covered by the full-suite oracle replica)
+        "vocabulary": q_vocabulary,
+        "redact_docs": q_redact_docs,
+        "pack_docs": q_pack_docs,
+        "decontam_docs": q_decontam_docs,
+        "doc_repetition": q_doc_repetition,
+        "split_leakage_free": q_split_leakage_free,
+        "streaming_sessions": q_streaming_sessions,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        "sample_events_stratified": q_sample_events_stratified,
+        "events_props_rollup": q_events_props_rollup,
+        "shuffle_shards_docs": q_shuffle_shards_docs,
+        "model_roundtrip_npy": q_model_roundtrip_npy,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_search": q_multimodal_search,
+        "sessionize_events": q_sessionize_events,
+        "windowed_event_counts": q_windowed_event_counts,
+        "asof_click_purchase": q_asof_click_purchase,
+        "model_roundtrip": q_model_roundtrip,
+        "streaming_cells": q_streaming_cells,
+        "funnel_events": q_funnel_events,
+        "cohort_retention": q_cohort_retention,
+        "token_distribution": q_token_distribution,
+        "rolling_user_counts": q_rolling_user_counts,
     }
 
 

@@ -2,8 +2,19 @@
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# target checkpoint-block size for materialize's compaction pass
+# (PROPIUS_CHECKPOINT_BLOCK_MB overrides; 0 disables compaction)
+_CHECKPOINT_BLOCK_MB_DEFAULT = 128
+
+# per-process observability for the compaction pass (scale-run A/Bs
+# read this to prove the path engaged; tests pin the gate-SF no-op)
+compaction_stats = {"engaged": 0, "skipped": 0}
 
 
 def fan_out(df: DataFrame, key_col: str) -> DataFrame:
@@ -70,21 +81,101 @@ def materialize(df: DataFrame) -> DataFrame:
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set by
     propius_spark.session.get_spark; set it yourself on a vanilla
     session, or repeated pipelines accumulate checkpoint data).
+
+    Checkpoint granularity is DECOUPLED from shuffle granularity
+    (SCALE.md §8a finding 4: partition sizing is per-pipeline — 256
+    shuffle partitions gave the pure-shuffle corr family 2.6× at sf10
+    but slowed the checkpoint-heavy pipelines ~2×, because they
+    re-read the checkpoint several times and 8× the partitions is 8×
+    the block-store rounds on a store whose throughput collapses under
+    concurrency). The COMPUTE always runs at full shuffle parallelism
+    — the first checkpoint is exactly the old behavior. Then, when the
+    result landed in many more blocks than its byte size warrants
+    (> 2× the ~128 MB-block target, measured from the stored blocks,
+    not guessed), ONE narrow compaction pass re-checkpoints it at the
+    target and releases the fine-grained blocks. Fine shuffles for the
+    sorts, coarse blocks for the re-reads; at the gate SFs every table
+    lands under the threshold in the first place (kilobytes in ≤ 32
+    partitions → a no-op), so gate plans and timings are unchanged.
+    ``PROPIUS_CHECKPOINT_BLOCK_MB`` tunes the target; 0 disables
+    compaction. Single-writer per session, like the rest of the
+    materialization machinery (session.release_materialized_since):
+    the before/after persistent-RDD diff that releases the fine blocks
+    attributes every new id to this call.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keys()}
+    first = _checkpoint_once(df, sc)
+    block_mb = int(
+        os.environ.get(
+            "PROPIUS_CHECKPOINT_BLOCK_MB", str(_CHECKPOINT_BLOCK_MB_DEFAULT)
+        )
+    )
+    if block_mb <= 0:
+        return first
+    # safe here: `first` is LogicalRDD-backed (no shuffles to finalize,
+    # nothing recomputes — the AQE hazard in fan_out's docstring is
+    # about un-executed upstream exchanges)
+    nparts = first.rdd.getNumPartitions()
+    new_ids = {
+        int(k) for k in sc._jsc.getPersistentRDDs().keys()
+    } - before
+    stored = _stored_bytes(sc, new_ids)
+    if stored is None:
+        return first  # reliable-checkpoint mode or no block info: as-is
+    # floor at defaultParallelism: compaction exists to cut block-store
+    # ROUNDS (blocks ≫ cores), never to cut a small table below
+    # one-block-per-core — downstream map stages over the checkpoint
+    # keep their parallelism, and at the gate SFs (32 shuffle
+    # partitions, 32 cores) the 2× engage margin is then never met, so
+    # gate plans are bit-identical to the pre-compaction behavior
+    n_target = max(
+        sc.defaultParallelism, math.ceil(stored / (block_mb << 20))
+    )
+    if nparts <= 2 * n_target:
+        compaction_stats["skipped"] += 1
+        return first
+    compaction_stats["engaged"] += 1
+    compact = _checkpoint_once(first.coalesce(n_target), sc)
+    # release the fine-grained blocks — `first` is internal to this
+    # call and never escapes, so dropping its (lineage-truncated,
+    # unrecomputable) blocks is safe
+    jmap = sc._jsc.getPersistentRDDs()
+    for k in list(jmap.keys()):
+        if int(k) in new_ids:
+            jmap[k].unpersist()
+    return compact
+
+
+def _checkpoint_once(df: DataFrame, sc) -> DataFrame:
+    """One eager checkpoint: reliable ``checkpoint()`` when a
+    checkpoint dir is configured (persist-wrapped — eager checkpoint
+    runs one job to compute and a SECOND to write the files, and
+    unpersisted the second job recomputes every partition from
+    scratch, per Spark's own RDD.checkpoint docs), else
+    ``localCheckpoint()``."""
     if sc.getCheckpointDir() is not None:
-        # persist around the reliable checkpoint: eager checkpoint()
-        # runs one job to compute the plan and a SECOND job to write
-        # the checkpoint files — unpersisted, the second job recomputes
-        # every partition from scratch (Spark's own RDD.checkpoint docs
-        # warn exactly this), doubling the cost this function exists to
-        # remove. The cache is dropped once the files are written.
         df.persist()
         try:
             return df.checkpoint(eager=True)
         finally:
             df.unpersist()
     return df.localCheckpoint(eager=True)
+
+
+def _stored_bytes(sc, rdd_ids: set[int]) -> int | None:
+    """Actual stored size (memory + disk) of the given persistent RDD
+    ids, from the block manager's RDDInfo — measured, not estimated.
+    None when the ids hold no blocks (e.g. reliable-checkpoint mode
+    released its persist wrapper, leaving nothing to compact by)."""
+    total = 0
+    seen = False
+    for info in sc._jsc.sc().getRDDStorageInfo():
+        if int(info.id()) in rdd_ids:
+            total += int(info.memSize()) + int(info.diskSize())
+            seen = True
+    return total if seen else None
 
 
 def persist_big(df: DataFrame) -> DataFrame:

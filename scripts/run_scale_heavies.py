@@ -83,9 +83,14 @@ def main() -> None:
     best = {
         n: min(t) for n, t in timings.items() if n not in failures
     }
+    from propius_spark import plans
+
     out = {
         "metric": "scale_heavies_wall_time",
         "sf_dir": sf_dir,
+        # proves whether materialize's checkpoint compaction engaged
+        # under this run's PROPIUS_SHUFFLE_PARTITIONS sizing
+        "checkpoint_compaction": dict(plans.compaction_stats),
         "value": round(sum(best.values()), 3),
         "unit": "sec",
         "queries": best,

@@ -68,8 +68,19 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = sys.argv[1:] or sorted(qs.keys())
+    args = sys.argv[1:]
+    # --json <path>: write a machine-readable per-query record — the
+    # full-suite oracle pass kept per round (FULLGATE_r{N}.json) so
+    # queries rotated past the driver's 50-row gate window still carry
+    # round-stamped correctness evidence (ADVICE r6)
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    names = args or list(qs.keys())
     n_fail = 0
+    record: dict[str, dict] = {}
     for name in names:
         try:
             sdf = qs[name](spark, SF_DIR)
@@ -78,6 +89,7 @@ def main() -> int:
             sql = oracles.get(name)
             if sql is None:
                 print(f"{name}: ROWS-ONLY ({len(srows)} rows)")
+                record[name] = {"status": "rows_only", "rows": len(srows)}
                 continue
             ores = con.execute(sql)
             ocols = [d[0] for d in ores.description]
@@ -89,12 +101,33 @@ def main() -> int:
                 for f in fails:
                     print(f"FAIL {f}")
                 n_fail += 1
+                record[name] = {"status": "fail", "detail": fails}
             else:
                 print(f"{name}: OK ({len(srows)} rows)")
+                record[name] = {"status": "ok", "rows": len(srows)}
         except Exception:
             print(f"{name}: ERR\n{traceback.format_exc()}")
             n_fail += 1
+            record[name] = {
+                "status": "error",
+                "detail": traceback.format_exc()[-600:],
+            }
     print(f"\n{len(names) - n_fail}/{len(names)} green")
+    if json_path:
+        import json
+
+        Path(json_path).write_text(
+            json.dumps(
+                {
+                    "sf_dir": SF_DIR,
+                    "green": len(names) - n_fail,
+                    "total": len(names),
+                    "queries": record,
+                },
+                indent=1,
+            )
+            + "\n"
+        )
     return 1 if n_fail else 0
 
 

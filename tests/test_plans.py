@@ -193,6 +193,48 @@ def test_materialize_durable_checkpoint_mode(spark, tmp_path):
     assert sc.getCheckpointDir() is None
 
 
+def test_materialize_compacts_overpartitioned_checkpoints(spark, monkeypatch):
+    """SCALE.md §8a finding 4: a table checkpointed in many more blocks
+    than its bytes warrant gets ONE narrow compaction pass — same rows,
+    coarse blocks, fine-grained blocks released. A right-sized input
+    (≤ 2× the defaultParallelism floor) must stay untouched, and
+    PROPIUS_CHECKPOINT_BLOCK_MB=0 must disable compaction entirely."""
+    from propius_spark.plans import materialize
+
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    wide = 4 * cores + 1  # > the 2× engage margin over the floor
+    df = spark.range(1000).withColumn("v", F.col("id") * 3).repartition(wide)
+    want = sorted((r.id, r.v) for r in df.collect())
+
+    def persistent_count():
+        return len(sc._jsc.getPersistentRDDs())
+
+    base = persistent_count()
+    out = materialize(df)
+    assert sorted((r.id, r.v) for r in out.collect()) == want
+    # compacted to the defaultParallelism floor (a 1000-row table is
+    # far under one 128 MB block; the floor keeps per-core blocks)
+    assert out.rdd.getNumPartitions() == cores
+    # exactly one new persistent RDD survives: the compact checkpoint;
+    # the wide intermediate's blocks were released
+    assert persistent_count() == base + 1
+
+    # right-sized input: no compaction pass, partitioning preserved
+    ok = materialize(spark.range(1000).repartition(cores))
+    assert ok.rdd.getNumPartitions() == cores
+
+    # kill switch
+    monkeypatch.setenv("PROPIUS_CHECKPOINT_BLOCK_MB", "0")
+    off = materialize(df)
+    assert off.rdd.getNumPartitions() == wide
+    assert sorted((r.id, r.v) for r in off.collect()) == want
+    spark.catalog.clearCache()
+    from propius_spark.session import clear_materialized
+
+    clear_materialized(spark)
+
+
 def test_new_text_ops_plan_shape(spark, sf_dir):
     """Round-2 text/mixing ops keep their scale posture: decontaminate
     broadcasts the benchmark side (no corpus-side shuffle join);
