@@ -157,7 +157,7 @@ def corr_pairs(
     orders of magnitude smaller than the event log — makes it one scan.
     """
     if stats is None:
-        cells = _persist(cells)
+        cells = _persist(cells, compact=False)
         stats = _persist(valid_item_stats(cells))
     if g is None:
         g = gram(cells, stats, max_context_degree)
@@ -308,7 +308,7 @@ def neighbor_stats(
         # mirror corr_pairs: cells feed four consumers here (item
         # stats, context count, both gram sides) — unpersisted, the
         # full upstream event-log plan replays once per consumer
-        cells = _persist(cells)
+        cells = _persist(cells, compact=False)
         stats = _persist(valid_item_stats(cells))
     if g is None:
         g = _persist(gram(cells, stats, max_context_degree))

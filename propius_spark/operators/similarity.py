@@ -71,7 +71,7 @@ def get_similar_items(
 
     Returns (item_b, corr) sorted descending.
     """
-    cells = _persist(cells)
+    cells = _persist(cells, compact=False)
     stats = _persist(valid_item_stats(cells))
     me = stats.filter(F.col("item_id") == item_id)
     my_cells = cells.filter(F.col("item_id") == item_id).select(
@@ -200,7 +200,7 @@ def similar_items_exact(
     # AQE re-optimizes the whole remaining plan at every query stage,
     # and a deep neighbor-stats subtree under the final joins measured
     # 3-10× slower than the same pipeline with a flat final plan.
-    cells = _persist(cells)
+    cells = _persist(cells, compact=False)
     stats = _persist(valid_item_stats(cells))
     g = _persist(gram(cells, stats, max_context_degree))
     n1 = context_count(cells)

@@ -36,7 +36,7 @@ def fan_out(df: DataFrame, key_col: str) -> DataFrame:
     return df.repartition(sc.defaultParallelism, F.col(key_col))
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, compact: bool | None = None) -> DataFrame:
     """Materialize a subtree consumed by several downstream branches:
     MEMORY_AND_DISK storage + lineage truncation (localCheckpoint).
 
@@ -102,6 +102,19 @@ def materialize(df: DataFrame) -> DataFrame:
     materialization machinery (session.release_materialized_since):
     the before/after persistent-RDD diff that releases the fine blocks
     attributes every new id to this call.
+
+    ``compact`` is the call site's consumer-shape knowledge, which no
+    runtime heuristic can recover (sf10 A/B, SCALE.md §8b): compaction
+    pays when consumers RE-READ the blocks repeatedly through narrow
+    plans (similar_items' gram: 622 s → 259 s at 256 shuffle
+    partitions), and is pure added I/O when every consumer immediately
+    shuffles the table — one sequential scan each, block count
+    irrelevant, but the compaction pass still re-reads and re-writes
+    the whole table on a store that collapses under concurrency (the
+    cells table: corr_pairs 289 s → 387 s with compaction on).
+    ``None`` (default) = the auto size heuristic; ``False`` = never
+    compact (the cells posture); ``True`` = same engage rule as auto,
+    an explicit annotation for re-read-heavy tables.
     """
     spark = df.sparkSession
     sc = spark.sparkContext
@@ -112,7 +125,7 @@ def materialize(df: DataFrame) -> DataFrame:
             "PROPIUS_CHECKPOINT_BLOCK_MB", str(_CHECKPOINT_BLOCK_MB_DEFAULT)
         )
     )
-    if block_mb <= 0:
+    if block_mb <= 0 or compact is False:
         return first
     # safe here: `first` is LogicalRDD-backed (no shuffles to finalize,
     # nothing recomputes — the AQE hazard in fan_out's docstring is

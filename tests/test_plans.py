@@ -224,6 +224,12 @@ def test_materialize_compacts_overpartitioned_checkpoints(spark, monkeypatch):
     ok = materialize(spark.range(1000).repartition(cores))
     assert ok.rdd.getNumPartitions() == cores
 
+    # call-site consumer-shape override: immediately-shuffled tables
+    # (the cells posture) must never pay the compaction pass
+    no_compact = materialize(df, compact=False)
+    assert no_compact.rdd.getNumPartitions() == wide
+    assert sorted((r.id, r.v) for r in no_compact.collect()) == want
+
     # kill switch
     monkeypatch.setenv("PROPIUS_CHECKPOINT_BLOCK_MB", "0")
     off = materialize(df)
