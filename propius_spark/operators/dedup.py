@@ -357,24 +357,31 @@ def minhash_lsh_pairs(
             "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
         )
     )
-    if max_bucket_size is not None:
-        bucket_sizes = band_sig.groupBy("band", "sig").agg(
-            F.count(F.lit(1)).alias("_bs")
-        )
-        band_sig = band_sig.join(
-            bucket_sizes.filter(F.col("_bs") <= max_bucket_size), ["band", "sig"]
-        ).drop("_bs")
-    # sub-split the surviving buckets (docstring): nb sub-blocks per
-    # bucket, candidate join keyed on (band, sig, pa, pb). band_sig is
-    # materialized, so the extra sizing aggregate re-reads checkpoint
-    # blocks, not the signature pipeline. A doc in sub-block s enters
-    # side A for every group (s, j ≥ s) and side B for every (j ≤ s, s)
-    # — each unordered within-bucket pair meets in exactly one group.
-    sub_sizes = band_sig.groupBy("band", "sig").agg(
-        F.ceil(F.count(F.lit(1)) / max_bucket_docs).cast("int").alias("nb")
+    # ONE bucket-size aggregate serves both the drop cap and the
+    # sub-split sizing (the cap filter keeps whole buckets, so the
+    # pre-filter count IS the post-filter count). band_sig is
+    # materialized, so the aggregate re-reads checkpoint blocks, not
+    # the signature pipeline.
+    bucket_sizes = band_sig.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("_bs")
     )
-    sub_rows = band_sig.join(sub_sizes, ["band", "sig"]).withColumn(
-        "sub", F.pmod(F.xxhash64("doc_id"), F.col("nb")).cast("int")
+    if max_bucket_size is not None:
+        bucket_sizes = bucket_sizes.filter(F.col("_bs") <= max_bucket_size)
+    # sub-split the surviving buckets (docstring): nb sub-blocks per
+    # bucket, candidate join keyed on (band, sig, pa, pb). A doc in
+    # sub-block s enters side A for every group (s, j ≥ s) and side B
+    # for every (j ≤ s, s) — each unordered within-bucket pair meets
+    # in exactly one group. The cap (when set) rides the same join:
+    # docs in dropped buckets find no (band, sig) match and fall out.
+    sub_rows = (
+        band_sig.join(bucket_sizes, ["band", "sig"])
+        .withColumn(
+            "nb", F.ceil(F.col("_bs") / max_bucket_docs).cast("int")
+        )
+        .withColumn(
+            "sub", F.pmod(F.xxhash64("doc_id"), F.col("nb")).cast("int")
+        )
+        .drop("_bs")
     )
     ba = sub_rows.select(
         "band",
