@@ -13,8 +13,12 @@ from pyspark.sql import functions as F
 _CHECKPOINT_BLOCK_MB_DEFAULT = 128
 
 # per-process observability for the compaction pass (scale-run A/Bs
-# read this to prove the path engaged; tests pin the gate-SF no-op)
-compaction_stats = {"engaged": 0, "skipped": 0}
+# read this to prove the path engaged; tests pin the gate-SF no-op).
+# no_block_info counts calls where NO size measurement was possible
+# (neither stored blocks nor checkpoint files) — distinct from
+# "skipped" (measured, under the engage margin) so durable-mode scale
+# records can tell "never eligible" from "couldn't measure".
+compaction_stats = {"engaged": 0, "skipped": 0, "no_block_info": 0}
 
 
 def fan_out(df: DataFrame, key_col: str) -> DataFrame:
@@ -113,12 +117,28 @@ def materialize(df: DataFrame, compact: bool | None = None) -> DataFrame:
     the whole table on a store that collapses under concurrency (the
     cells table: corr_pairs 289 s → 387 s with compaction on).
     ``None`` (default) = the auto size heuristic; ``False`` = never
-    compact (the cells posture); ``True`` = same engage rule as auto,
-    an explicit annotation for re-read-heavy tables.
+    compact (the cells posture); ``True`` is annotation-only — the
+    SAME engage rule as auto (size-measured, and still disabled by
+    ``PROPIUS_CHECKPOINT_BLOCK_MB=0``, which must stay authoritative
+    so kill-switch A/B twins compare the whole machinery off): it
+    documents a re-read-heavy consumer at the call site without
+    forcing a pass the size heuristic would skip.
+
+    Sizing is mode-aware: localCheckpoint mode measures the stored
+    blocks (block-manager RDDInfo); reliable-checkpoint mode measures
+    the checkpoint FILES just written under ``sc.getCheckpointDir()``
+    via the Hadoop FileSystem API (scheme-agnostic — works for
+    hdfs:///s3a:// dirs on a real cluster), because the persist
+    wrapper that made the write single-pass is released before sizing
+    and leaves no blocks behind. On-disk bytes are the right measure
+    there anyway: re-read cost in durable mode is file I/O, not
+    block-manager memory.
     """
     spark = df.sparkSession
     sc = spark.sparkContext
+    reliable = sc.getCheckpointDir() is not None
     before = {int(k) for k in sc._jsc.getPersistentRDDs().keys()}
+    before_dirs = _checkpoint_rdd_dirs(sc) if reliable else None
     first = _checkpoint_once(df, sc)
     block_mb = int(
         os.environ.get(
@@ -134,9 +154,15 @@ def materialize(df: DataFrame, compact: bool | None = None) -> DataFrame:
     new_ids = {
         int(k) for k in sc._jsc.getPersistentRDDs().keys()
     } - before
-    stored = _stored_bytes(sc, new_ids)
+    if reliable:
+        stored = _checkpoint_fs_bytes(sc, before_dirs)
+    else:
+        stored = _stored_bytes(sc, new_ids)
     if stored is None:
-        return first  # reliable-checkpoint mode or no block info: as-is
+        # no size measurement possible — count it separately from
+        # "skipped" so scale-run records can tell the modes apart
+        compaction_stats["no_block_info"] += 1
+        return first
     # floor at defaultParallelism: compaction exists to cut block-store
     # ROUNDS (blocks ≫ cores), never to cut a small table below
     # one-block-per-core — downstream map stages over the checkpoint
@@ -150,15 +176,19 @@ def materialize(df: DataFrame, compact: bool | None = None) -> DataFrame:
         compaction_stats["skipped"] += 1
         return first
     compaction_stats["engaged"] += 1
-    compact = _checkpoint_once(first.coalesce(n_target), sc)
+    compacted = _checkpoint_once(first.coalesce(n_target), sc)
     # release the fine-grained blocks — `first` is internal to this
     # call and never escapes, so dropping its (lineage-truncated,
-    # unrecomputable) blocks is safe
+    # unrecomputable) blocks is safe. In reliable mode there are no
+    # blocks (new_ids is empty); the fine checkpoint FILES are
+    # reclaimed by the ContextCleaner once `first`'s RDD is GC'd
+    # (cleanCheckpoints=true, module docstring) — never deleted by
+    # hand here.
     jmap = sc._jsc.getPersistentRDDs()
     for k in list(jmap.keys()):
         if int(k) in new_ids:
             jmap[k].unpersist()
-    return compact
+    return compacted
 
 
 def _checkpoint_once(df: DataFrame, sc) -> DataFrame:
@@ -189,6 +219,54 @@ def _stored_bytes(sc, rdd_ids: set[int]) -> int | None:
             total += int(info.memSize()) + int(info.diskSize())
             seen = True
     return total if seen else None
+
+
+def _checkpoint_rdd_dirs(sc) -> set[str] | None:
+    """The rdd-* checkpoint subdirectories currently under the
+    configured checkpoint dir (``setCheckpointDir`` creates a
+    per-context UUID dir and ``getCheckpointDir`` returns it; each
+    reliable checkpoint writes ``<uuid-dir>/rdd-<id>/part-*``).
+    Hadoop FileSystem API, so any scheme the cluster's checkpoint dir
+    uses works. None when no dir is configured."""
+    ckdir = sc.getCheckpointDir()
+    if ckdir is None:
+        return None
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(ckdir)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return set()
+    return {
+        st.getPath().toString()
+        for st in fs.listStatus(path)
+        if st.isDirectory()
+    }
+
+
+def _checkpoint_fs_bytes(sc, before_dirs: set[str] | None) -> int | None:
+    """Total on-disk bytes of the checkpoint directories that appeared
+    since ``before_dirs`` was snapshotted — the size of the reliable
+    checkpoint `materialize` just wrote (single-writer per session,
+    like the block-release diff). None when nothing new is visible
+    (nothing to size — e.g. the checkpoint dir was reconfigured
+    mid-call) so the caller records no_block_info rather than acting
+    on a 0-byte misread."""
+    after = _checkpoint_rdd_dirs(sc)
+    if after is None or before_dirs is None:
+        return None
+    new_dirs = after - before_dirs
+    if not new_dirs:
+        return None
+    jvm = sc._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(
+        sc.getCheckpointDir()
+    ).getFileSystem(sc._jsc.hadoopConfiguration())
+    total = 0
+    for d in new_dirs:
+        total += int(
+            fs.getContentSummary(jvm.org.apache.hadoop.fs.Path(d)).getLength()
+        )
+    return total
 
 
 def persist_big(df: DataFrame) -> DataFrame:

@@ -76,6 +76,19 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        # a trailing --json (no path) must error loudly, not IndexError;
+        # a following flag-looking token means the path was forgotten
+        # and would silently consume a query name as the output file
+        if (
+            i + 1 >= len(args)
+            or args[i + 1].startswith("-")
+            or args[i + 1] in qs  # forgot the path; don't eat a query
+        ):
+            print(
+                "usage: verify_driver.py [--json OUT.json] [query ...]",
+                file=sys.stderr,
+            )
+            return 2
         json_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     names = args or list(qs.keys())

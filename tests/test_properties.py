@@ -189,6 +189,70 @@ def test_publication_matches_dense_bruteforce(spark, rows):
             assert math.isclose(scaled, es, rel_tol=1e-9, abs_tol=1e-9)
 
 
+# tie-heavy tiny universe: 3 contexts × 3 items makes identical
+# crosstab columns (equal t), single-neighbor items (V = 2), and
+# all-cooccurring items (absent-row case) all common draws
+tied_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(1, 3)),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(rows=st.one_of(occurrence_rows, tied_rows))
+@settings(**SETTINGS)
+def test_rank_gap_extremes_matches_dense_bruteforce(spark, rows):
+    """_rank_gap_extremes (correlation.py rank-gap trick) ≡ the dense
+    definition on every random table: per valid item a, t_nc_max/min
+    are exactly max/min of t_b over valid NON-co-occurring b ≠ a
+    (dot(a,b) == 0 in the dense crosstab), and the row is ABSENT
+    exactly when a co-occurs with every other valid item. The tied
+    strategy drives the adversarial shapes the sorted-pass gap test
+    must survive: equal-t runs (rank ties broken by id), V = 2
+    single-neighbor items, and gapless prefixes on both scan sides
+    (VERDICT r7 item 6)."""
+    from propius_spark.operators.correlation import (
+        _persist,
+        _rank_gap_extremes,
+        gram,
+        valid_item_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(f"r{r}", i) for r, i in rows], "reference_id string, item_id long"
+    )
+    cells = _persist(build_cells(df), compact=False)
+    stats = _persist(valid_item_stats(cells))
+    g = _persist(gram(cells, stats, None))
+    got = {
+        r["item_a"]: (r["t_nc_max"], r["t_nc_min"])
+        for r in _rank_gap_extremes(stats, g).collect()
+    }
+    clear_materialized(spark)
+
+    m, items = _dense(rows)
+    n, s, q, den2 = _stats(m)
+    ipos = {it: j for j, it in enumerate(items)}
+    valid = [it for it, d2 in zip(items, den2) if d2 > 0]
+    t = {it: s[ipos[it]] / math.sqrt(den2[ipos[it]]) for it in valid}
+
+    want = {}
+    for a in valid:
+        nc = [
+            t[b]
+            for b in valid
+            if b != a and float(np.dot(m[ipos[a]], m[ipos[b]])) == 0.0
+        ]
+        if nc:
+            want[a] = (max(nc), min(nc))
+
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for a, (mx, mn) in want.items():
+        gmx, gmn = got[a]
+        assert math.isclose(gmx, mx, rel_tol=1e-9, abs_tol=1e-12), (a, gmx, mx)
+        assert math.isclose(gmn, mn, rel_tol=1e-9, abs_tol=1e-12), (a, gmn, mn)
+
+
 edge_lists = st.lists(
     st.tuples(st.integers(0, 24), st.integers(0, 24)),
     min_size=1,
