@@ -80,7 +80,7 @@ def get_spark(app_name: str = "propius_spark", cpus: int | None = None) -> Spark
     # is the standard shuffle.partitions sizing; locally the env var
     # spares a code edit.
     parts = int(os.environ.get("PROPIUS_SHUFFLE_PARTITIONS", "0")) or cpus
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(parts))
@@ -101,3 +101,14 @@ def get_spark(app_name: str = "propius_spark", cpus: int | None = None) -> Spark
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # PROPIUS_CHECKPOINT_DIR flips plans.materialize into durable
+    # (reliable checkpoint()) mode without a code edit — point it at
+    # fault-tolerant storage (hdfs://, s3a://) on a real cluster so
+    # materialized tables survive executor loss; unset, materialize
+    # uses executor-local blocks (localCheckpoint), right for
+    # single-JVM runs. Configuration, not code, because the choice is
+    # a deployment property: the same pipeline is correct either way.
+    ckdir = os.environ.get("PROPIUS_CHECKPOINT_DIR")
+    if ckdir and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckdir)
+    return spark

@@ -241,6 +241,32 @@ def test_materialize_compacts_overpartitioned_checkpoints(spark, monkeypatch):
     clear_materialized(spark)
 
 
+def test_checkpoint_dir_env_knob(spark, tmp_path, monkeypatch):
+    """PROPIUS_CHECKPOINT_DIR flips the session into durable-checkpoint
+    mode (plans.materialize then uses reliable checkpoint() sized from
+    the files) without a code edit — and never overrides a dir the
+    caller already configured."""
+    from propius_spark.session import get_spark
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    monkeypatch.setenv("PROPIUS_CHECKPOINT_DIR", str(tmp_path / "durable"))
+    try:
+        s2 = get_spark("knob_check")
+        got = s2.sparkContext.getCheckpointDir()
+        assert got is not None and "durable" in got
+
+        # an explicitly-set dir wins over the env knob
+        monkeypatch.setenv(
+            "PROPIUS_CHECKPOINT_DIR", str(tmp_path / "other")
+        )
+        assert "durable" in get_spark("knob_check").sparkContext.getCheckpointDir()
+    finally:
+        jsc = sc._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert sc.getCheckpointDir() is None
+
+
 def test_materialize_compaction_durable_mode_matches_local(spark, tmp_path):
     """Round-7 gap (VERDICT r7 'What's wrong' #2): in reliable-
     checkpoint mode the persist wrapper releases before sizing, so
