@@ -43,6 +43,29 @@ import __spark_entry__ as entrymod  # noqa: E402
 from propius_spark.session import clear_materialized, get_spark  # noqa: E402
 
 
+def _fit_tail(compact: dict, budget: int = 1900) -> str:
+    """Serialize the compact summary within the driver's stdout-tail
+    budget. Never an assert (stripped under -O, and dying here would
+    leave NO summary line even though the sidecar exists): over
+    budget, degrade stepwise — drop the per-query dict first, then
+    collapse failed-name lists to counts — so the contract fields
+    (metric/value/unit/sf/detail) always reach the driver. Pure
+    function, unit-tested without Spark (tests/test_bench_tail.py)."""
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    minimal = dict(compact)
+    minimal["queries"] = {}
+    minimal["queries_note"] = "over tail budget; see detail file"
+    line = json.dumps(minimal, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    for k in ("failed", "secondary_failed"):  # failed-list blowup
+        if k in minimal:
+            minimal[f"n_{k}"] = len(minimal.pop(k))
+    return json.dumps(minimal, separators=(",", ":"))
+
+
 def _host_calibration() -> float:
     """Fixed single-core pure-Python workload (~1-2 s on an idle host).
 
@@ -259,24 +282,9 @@ def _run(spark, sf_dir: str) -> str:
             compact["secondary_failed"] = sorted(
                 result["secondary"]["failures"]
             )
-    line = json.dumps(compact, separators=(",", ":"))
     # 1900 = 2000-char driver tail minus newline + margin for any
-    # stray line the JVM emits after us. Never an `assert` (stripped
-    # under -O, and dying here would leave NO summary line at all even
-    # though the sidecar exists): over budget, fall back to a minimal
-    # line that still satisfies the contract fields and points at the
-    # sidecar for the per-query dict.
-    if len(line) > 1900:
-        minimal = dict(compact)
-        minimal["queries"] = {}
-        minimal["queries_note"] = "over tail budget; see detail file"
-        line = json.dumps(minimal, separators=(",", ":"))
-        if len(line) > 1900:  # failed-list blowup: keep counts only
-            for k in ("failed", "secondary_failed"):
-                if k in minimal:
-                    minimal[f"n_{k}"] = len(minimal.pop(k))
-            line = json.dumps(minimal, separators=(",", ":"))
-    return line
+    # stray line the JVM emits after us; degrade logic in _fit_tail
+    return _fit_tail(compact)
 
 
 if __name__ == "__main__":
