@@ -16,7 +16,7 @@ import math
 
 import numpy as np
 from pyspark.sql import functions as F
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from propius_spark.operators import (
@@ -200,6 +200,14 @@ tied_rows = st.lists(
 
 
 @given(rows=st.one_of(occurrence_rows, tied_rows))
+# committed regression seeds (the .hypothesis example DB is gitignored,
+# so the adversarial shapes are pinned as always-run @example cases):
+# equal-t tie between items 1 and 2 with a non-cooc item 4 on its own
+# context; two isolated single-neighbor items (V=2, both extremes =
+# the other's t); two valid items that co-occur → EMPTY result
+@example(rows=[(0, 1), (1, 1), (0, 2), (1, 2), (0, 3), (2, 4)])
+@example(rows=[(0, 1), (0, 1), (1, 2), (1, 2)])
+@example(rows=[(0, 1), (0, 1), (1, 1), (0, 2), (1, 2), (1, 2)])
 @settings(**SETTINGS)
 def test_rank_gap_extremes_matches_dense_bruteforce(spark, rows):
     """_rank_gap_extremes (correlation.py rank-gap trick) ≡ the dense
