@@ -137,15 +137,19 @@ def materialize(df: DataFrame, compact: bool | None = None) -> DataFrame:
     spark = df.sparkSession
     sc = spark.sparkContext
     reliable = sc.getCheckpointDir() is not None
-    before = {int(k) for k in sc._jsc.getPersistentRDDs().keys()}
-    before_dirs = _checkpoint_rdd_dirs(sc) if reliable else None
-    first = _checkpoint_once(df, sc)
     block_mb = int(
         os.environ.get(
             "PROPIUS_CHECKPOINT_BLOCK_MB", str(_CHECKPOINT_BLOCK_MB_DEFAULT)
         )
     )
-    if block_mb <= 0 or compact is False:
+    sizing = block_mb > 0 and compact is not False
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keys()}
+    # the FS listing is only needed when this call may compact — the
+    # compact=False cells sites must not pay a checkpoint-dir list on
+    # every call in durable mode
+    before_dirs = _checkpoint_rdd_dirs(sc) if (reliable and sizing) else None
+    first = _checkpoint_once(df, sc)
+    if not sizing:
         return first
     # safe here: `first` is LogicalRDD-backed (no shuffles to finalize,
     # nothing recomputes — the AQE hazard in fan_out's docstring is

@@ -104,6 +104,11 @@ def main() -> None:
         "host_disk_mbps": [disk_before, bench._disk_calibration()],
     }
     spark.stop()
+    # the ContextCleaner handles checkpoint files while the app lives;
+    # the root itself outlives the JVM, so remove it explicitly
+    import shutil
+
+    shutil.rmtree(ckroot, ignore_errors=True)
     print(json.dumps(out))
 
 
