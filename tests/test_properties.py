@@ -689,3 +689,94 @@ def test_mix_sources_never_exceeds_group_budgets(spark, sizes, t):
                              group_col="source", key_col="doc_id").collect()
     )
     assert ids == ids2
+
+
+# ---------------------------------------------------------------- events
+
+# event streams as (user, epoch-MICROS) pairs; micros span both signs
+# so the floor-division week bucketing (events.py cohort_retention:
+# `div` truncates toward zero, the operator subtracts pmod first) is
+# exercised where it differs from truncation — negative timestamps.
+# ×1000 at frame build time: long ts columns are NANOS by contract
+# (sessions._ts_micros).
+event_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(-(10**15), 10**15),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_US_DAY = 86_400_000_000
+_US_WEEK = 7 * _US_DAY
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [(u, t_us * 1000) for u, t_us in rows], "user_id long, ts long"
+    )
+
+
+@given(rows=event_rows)
+@settings(**SETTINGS)
+# week boundaries on both sides of the epoch: micros −1/0 are days
+# −1/0 → weeks −1/0 under FLOOR division, but truncation would put
+# day −1 in week 0 — the exact divergence cohort_retention's
+# subtract-pmod arithmetic exists to prevent (operators/events.py)
+@example(rows=[(0, -1), (0, 0), (0, _US_DAY * 7), (0, -_US_DAY * 7)])
+@example(rows=[(0, -_US_DAY), (0, _US_DAY - 1), (1, -_US_WEEK - 1)])
+# one user active in one week only (offset 0 row), plus a user whose
+# every event is in the SAME week as another user's cohort week
+@example(rows=[(0, 0), (1, 0), (1, _US_WEEK), (1, _US_WEEK + 1)])
+def test_cohort_retention_matches_bruteforce(spark, rows):
+    """cohort_retention ≡ the dense Python definition: week =
+    floor(floor(us/day)/7), cohort = user's min week, one count per
+    distinct (user, week) at its offset — for ANY event stream,
+    including pre-epoch timestamps and duplicate (user, week) activity
+    (distinct-ed once, like the SQL oracle's DISTINCT)."""
+    from collections import Counter
+
+    from propius_spark.operators import cohort_retention
+
+    want = Counter()
+    active = {(u, (t_us // _US_DAY) // 7) for u, t_us in rows}
+    first = {}
+    for u, w in active:
+        first[u] = min(w, first.get(u, w))
+    for u, w in active:
+        want[(first[u], w - first[u])] += 1
+
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in cohort_retention(_events_df(spark, rows)).collect()
+    }
+    assert got == dict(want)
+
+
+@given(rows=event_rows, window_days=st.integers(0, 3))
+@settings(**SETTINGS)
+# exact trailing-boundary hits: t−W·day must be IN frame (inclusive
+# range), t−W·day−1 out; equal timestamps are all peers (ANSI RANGE)
+@example(rows=[(0, 0), (0, -_US_DAY), (0, -_US_DAY - 1)], window_days=1)
+@example(rows=[(0, 5), (0, 5), (0, 5), (1, 5)], window_days=0)
+def test_rolling_user_counts_matches_bruteforce(spark, rows, window_days):
+    """rolling_user_counts ≡ the quadratic per-event definition: for
+    every event, |{same-user events in [t−W, t]}| — one output row per
+    input row (duplicates preserved), window edges inclusive, equal
+    timestamps mutually in-frame."""
+    from collections import Counter
+
+    from propius_spark.operators import rolling_user_counts
+
+    w_us = window_days * _US_DAY
+    want = Counter()
+    for u, t in rows:
+        n = sum(1 for u2, t2 in rows if u2 == u and t - w_us <= t2 <= t)
+        want[(u, t, n)] += 1
+
+    out = rolling_user_counts(
+        _events_df(spark, rows), window_days=window_days
+    ).collect()
+    got = Counter((r.user_id, r.t_us, r.n_trailing) for r in out)
+    assert got == want
