@@ -780,3 +780,147 @@ def test_rolling_user_counts_matches_bruteforce(spark, rows, window_days):
     ).collect()
     got = Counter((r.user_id, r.t_us, r.n_trailing) for r in out)
     assert got == want
+
+
+# -------------------------------------------------------------------- IR
+
+# word pool with ASCII case pairs (fold to the same token), non-ASCII
+# case pairs (İi/ẞß stay DISTINCT under ascii_lower — the documented
+# divergence from str.lower()), and digit/short tokens; separators
+# cover the full explicit WS_CHARS class including the \x0B/\f code
+# points Python str.split() and Spark's trim disagree about.
+_IR_WORDS = ["The", "the", "cat", "CAT", "dog", "perro", "ẞß", "İi", "a0", "x"]
+_IR_SEPS = [" ", "\t", "\n", "\x0b", "\f", "\r", " \n "]
+
+_ir_text = st.builds(
+    lambda ws, sep: sep.join(ws),
+    st.lists(st.sampled_from(_IR_WORDS), max_size=8),
+    st.sampled_from(_IR_SEPS),
+)
+_ir_corpus = st.lists(
+    st.one_of(st.none(), st.just(""), st.just("\n\t"), _ir_text),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _py_tokens(text):
+    """Python twin of functions.text.tokens(): ASCII-only fold, split
+    on the explicit whitespace class, drop empties. None → no tokens
+    (tf_idf's explode skips nulls; bm25 coalesces to '')."""
+    import re
+
+    from propius_spark.functions.text import ASCII_FOLD_TABLE, WS_CHARS
+
+    if text is None:
+        return []
+    folded = text.translate(ASCII_FOLD_TABLE)
+    return [t for t in re.split("[" + WS_CHARS + "]+", folded) if t]
+
+
+@given(texts=_ir_corpus, min_df=st.integers(1, 3))
+@settings(**SETTINGS)
+@example(texts=["The the THE", None, "", "\n\t", "cat İi ẞß"], min_df=1)
+@example(texts=["cat dog", "cat", "dog cat"], min_df=2)
+def test_tf_idf_matches_bruteforce(spark, texts, min_df):
+    """tf_idf ≡ the textbook definition on any corpus: N counts EVERY
+    document (null/empty/whitespace-only included), df counts distinct
+    docs per token, rows below min_df are dropped, tfidf =
+    tf·ln(N/df) to 6 dp."""
+    import math as m
+    from collections import Counter
+
+    from propius_spark.operators import tf_idf
+    from propius_spark.session import clear_materialized
+
+    n = len(texts)
+    tf = Counter()
+    df = Counter()
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        tf.update({(i, tok): c for tok, c in Counter(toks).items()})
+        df.update(set(toks))
+    want = {
+        (d, tok): (c, df[tok], c * m.log(n / df[tok]))
+        for (d, tok), c in tf.items()
+        if df[tok] >= min_df
+    }
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df, r.tfidf)
+        for r in tf_idf(docs, min_df=min_df).collect()
+    }
+    clear_materialized(spark)
+    assert got.keys() == want.keys()
+    for key, (wtf, wdf, wscore) in want.items():
+        gtf, gdf, gscore = got[key]
+        assert (gtf, gdf) == (wtf, wdf), key
+        assert m.isclose(gscore, wscore, abs_tol=1.5e-6), (key, gscore, wscore)
+
+
+@given(
+    texts=_ir_corpus,
+    qwords=st.lists(st.sampled_from(_IR_WORDS + ["absent"]), max_size=4),
+    qsep=st.sampled_from(_IR_SEPS),
+)
+@settings(**SETTINGS)
+@example(texts=["cat dog cat", "dog", None, "", "CAT"], qwords=["cat", "The"], qsep=" ")
+@example(texts=["x"], qwords=[], qsep=" ")  # empty query → empty result
+@example(texts=["İi", "ẞß"], qwords=["İI", "ẞß"], qsep="\x0b")
+def test_bm25_matches_bruteforce(spark, texts, qwords, qsep):
+    """bm25_search ≡ the Robertson formula computed densely in Python
+    for any corpus and query: same matched-doc set, same 6-dp scores —
+    N and avgdl over ALL docs (null text ≡ ''), query tokenized with
+    the engine's own fold/split, df per matched token."""
+    import math as m
+    from collections import Counter
+
+    from propius_spark.operators import bm25_search
+    from propius_spark.session import clear_materialized
+
+    k1, b = 1.2, 0.75
+    query = qsep.join(qwords)
+    toks = [_py_tokens(t) for t in texts]
+    n = len(texts)
+    avgdl = sum(len(ts) for ts in toks) / n
+    qtoks = sorted(set(_py_tokens(query)))
+    dfs = {
+        q: sum(1 for ts in toks if q in ts)
+        for q in qtoks
+    }
+    want = {}
+    for i, ts in enumerate(toks):
+        cnt = Counter(ts)
+        score = 0.0
+        hit = False
+        for q in qtoks:
+            tf = cnt.get(q, 0)
+            if tf == 0:
+                continue
+            hit = True
+            idf = m.log(1.0 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            score += (
+                idf * tf * (k1 + 1)
+                / (tf + k1 * (1 - b + b * len(ts) / (avgdl or 1.0)))
+            )
+        if hit:
+            want[i] = score
+
+    out = bm25_search(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ),
+        query,
+        k=50,
+    ).collect()
+    clear_materialized(spark)
+    got = {r.doc_id: r.score for r in out}
+    assert got.keys() == want.keys()
+    for d, wscore in want.items():
+        assert m.isclose(got[d], wscore, abs_tol=2e-6), (d, got[d], wscore)
+    # returned order: score desc, id asc within equal 6-dp scores
+    rounded = [(round(-r.score, 6), r.doc_id) for r in out]
+    assert rounded == sorted(rounded)
