@@ -924,3 +924,39 @@ def test_bm25_matches_bruteforce(spark, texts, qwords, qsep):
     # returned order: score desc, id asc within equal 6-dp scores
     rounded = [(round(-r.score, 6), r.doc_id) for r in out]
     assert rounded == sorted(rounded)
+
+
+@given(texts=_ir_corpus, min_df=st.integers(1, 2), max_df=st.one_of(st.none(), st.integers(1, 4)))
+@settings(**SETTINGS)
+@example(texts=["the the the", "the cat", None, "the"], min_df=1, max_df=2)
+def test_posting_lists_matches_bruteforce(spark, texts, min_df, max_df):
+    """posting_lists ≡ the dense inverted index: df = distinct docs
+    per token (repeats inside a doc count once), postings sorted,
+    min_df/max_df bounds applied — on any corpus including null and
+    whitespace-only docs."""
+    from collections import defaultdict
+
+    from propius_spark.operators import posting_lists
+
+    index = defaultdict(set)
+    for i, t in enumerate(texts):
+        for tok in set(_py_tokens(t)):
+            index[tok].add(i)
+    want = {
+        tok: (len(ids), sorted(ids))
+        for tok, ids in index.items()
+        if len(ids) >= min_df and (max_df is None or len(ids) <= max_df)
+    }
+
+    got = {
+        r.token: (r.df, list(r.postings))
+        for r in posting_lists(
+            spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id long, text string",
+            ),
+            min_df=min_df,
+            max_df=max_df,
+        ).collect()
+    }
+    assert got == want
