@@ -960,3 +960,146 @@ def test_posting_lists_matches_bruteforce(spark, texts, min_df, max_df):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- sketch joins
+
+# tiny word pool → dense shingle collisions and near-dup structure, so
+# random corpora actually exercise shared buckets / close signatures
+_DUP_WORDS = ["aa", "bb", "cc", "dd"]
+_dup_corpus = st.lists(
+    st.builds(
+        lambda ws: " ".join(ws),
+        st.lists(st.sampled_from(_DUP_WORDS), max_size=8),
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(texts=_dup_corpus, max_hamming=st.integers(0, 6))
+@settings(**SETTINGS)
+# exact duplicates (hamming 0) plus a no-token doc; radius 6 → 7
+# blocks of width ceil(32/7)=5, the remainder case where a wrong
+# width could leave high bits uncovered and drop in-radius pairs
+@example(texts=["aa bb cc", "aa bb cc", "", "aa bb dd"], max_hamming=6)
+@example(texts=["aa bb", "bb aa"], max_hamming=0)
+def test_simhash_pairs_complete_vs_dense(spark, texts, max_hamming):
+    """The pigeonhole block join must emit EXACTLY the pairs within
+    the Hamming radius over the engine's own signatures — dense
+    all-pairs reference, so a block-width or shift bug that silently
+    drops an in-radius pair (the completeness half of the pigeonhole
+    argument) fails here for ANY corpus and radius."""
+    from propius_spark.operators.dedup import simhash, simhash_pairs
+    from propius_spark.session import clear_materialized
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= max_hamming
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=max_hamming).collect()
+    }
+    clear_materialized(spark)
+    assert got == want
+
+
+@given(
+    texts=_dup_corpus,
+    bands=st.sampled_from([2, 4, 8]),
+    max_bucket_docs=st.integers(1, 4),
+    max_bucket_size=st.one_of(st.none(), st.integers(1, 3)),
+)
+@settings(**SETTINGS)
+# tiny max_bucket_docs forces the hot-bucket sub-split on ordinary
+# buckets (nb > 1 whenever a bucket holds >1 doc), so the per
+# (band, sig, block-pair) join and its least/greatest orientation are
+# exercised on every example, not just constructed boilerplate
+@example(texts=["aa bb cc", "aa bb cc", "aa bb dd", "cc dd"],
+         bands=8, max_bucket_docs=1, max_bucket_size=None)
+@example(texts=["aa bb", "aa bb", "aa bb", "aa bb"],
+         bands=2, max_bucket_docs=2, max_bucket_size=2)
+def test_minhash_lsh_pairs_complete_vs_dense(
+    spark, texts, bands, max_bucket_docs, max_bucket_size
+):
+    """minhash_lsh_pairs ≡ the dense definition computed from the
+    engine's own signatures and shingle ids: candidate iff some band's
+    h-tuple matches (in a bucket under the drop cap), then exact
+    multiset Jaccard ≥ threshold — for any corpus, band count,
+    sub-split block size, and bucket cap. Pins the sub-split join's
+    completeness (every within-bucket pair meets in exactly one
+    block-pair group) on random data."""
+    from collections import Counter
+
+    from propius_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures_wide,
+        shingle_ids,
+        shingles,
+    )
+    from propius_spark.session import clear_materialized
+
+    num_perm, k, threshold = 8, 2, 0.3
+    rpb = num_perm // bands
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sids_rows = shingle_ids(shingles(docs, k)).collect()
+    by_doc: dict[int, Counter] = {}
+    for r in sids_rows:
+        by_doc.setdefault(r.doc_id, Counter())[r.sid] += 1
+    wide = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(num_perm))
+        for r in minhash_signatures_wide(
+            shingle_ids(shingles(docs, k)), num_perm
+        ).collect()
+    }
+
+    # bucket membership per (band, h-tuple); apply the drop cap
+    buckets: dict[tuple, list[int]] = {}
+    for d, hs in wide.items():
+        for b in range(bands):
+            buckets.setdefault(
+                (b, hs[b * rpb : (b + 1) * rpb]), []
+            ).append(d)
+    cand = set()
+    for members in buckets.values():
+        if max_bucket_size is not None and len(members) > max_bucket_size:
+            continue
+        for i, a in enumerate(members):
+            for b2 in members[i + 1 :]:
+                cand.add((min(a, b2), max(a, b2)))
+    want = {}
+    for a, b2 in cand:
+        ca, cb = by_doc[a], by_doc[b2]
+        # engine intersection counts matched row pairs: Σ cnt_a·cnt_b
+        # (a doc's DISTINCT shingles can still share an xxhash sid)
+        inter = sum(ca[s] * cb[s] for s in ca.keys() & cb.keys())
+        j = inter / (sum(ca.values()) + sum(cb.values()) - inter)
+        if j >= threshold:
+            want[(a, b2)] = j
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs,
+            k=k,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+            max_bucket_docs=max_bucket_docs,
+        ).collect()
+    }
+    clear_materialized(spark)
+    assert got.keys() == want.keys()
+    for pair, wj in want.items():
+        assert math.isclose(got[pair], wj, rel_tol=1e-12), (pair, got[pair], wj)
