@@ -1103,3 +1103,58 @@ def test_minhash_lsh_pairs_complete_vs_dense(
     assert got.keys() == want.keys()
     for pair, wj in want.items():
         assert math.isclose(got[pair], wj, rel_tol=1e-12), (pair, got[pair], wj)
+
+
+_vec4 = st.lists(st.integers(-3, 3), min_size=4, max_size=4)
+
+
+@given(vecs=st.lists(_vec4, min_size=2, max_size=12),
+       n_blocks=st.integers(1, 5))
+@settings(**SETTINGS)
+# exact duplicates (cosine 1), an antipode (−1), and a zero vector
+# (NaN cosine — must be dropped, not emitted or crashed on)
+@example(vecs=[[1, 0, 0, 0], [1, 0, 0, 0], [0, 0, 0, 0], [-1, 0, 0, 0]],
+         n_blocks=2)
+@example(vecs=[[1, 1, 0, 0], [1, 0, 0, 0]], n_blocks=1)
+def test_embedding_dup_pairs_matches_numpy(spark, vecs, n_blocks):
+    """Exact-mode embedding_dup_pairs ≡ the dense numpy answer for any
+    vector set and block count: every unordered pair scored once via
+    its block-pair group (diagonal groups included), zero-norm rows
+    dropped, cosine ≥ threshold. Pairs within 1e-7 of the threshold
+    are accepted either way (BLAS vs numpy last-ulp order)."""
+    import numpy as np
+
+    from propius_spark.operators.ann import embedding_dup_pairs
+    from propius_spark.session import clear_materialized
+
+    thr = 0.87654321
+    ids = [i * 3 - 5 for i in range(len(vecs))]  # distinct, some negative
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    m = np.array(vecs, dtype=float)
+    norms = np.linalg.norm(m, axis=1)
+    want, border = {}, set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if norms[i] == 0 or norms[j] == 0:
+                continue
+            c = float(m[i] @ m[j] / (norms[i] * norms[j]))
+            key = (min(ids[i], ids[j]), max(ids[i], ids[j]))
+            if abs(c - thr) < 1e-7:
+                border.add(key)
+            elif c >= thr:
+                want[key] = c
+
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_dup_pairs(
+            df, threshold=thr, n_blocks=n_blocks
+        ).collect()
+    }
+    clear_materialized(spark)
+    assert not (set(got) - set(want) - border), (set(got) - set(want) - border)
+    assert not (set(want) - set(got)), (set(want) - set(got))
+    for p, c in want.items():
+        assert math.isclose(got[p], c, abs_tol=1e-9), (p, got[p], c)
