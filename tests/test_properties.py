@@ -1158,3 +1158,70 @@ def test_embedding_dup_pairs_matches_numpy(spark, vecs, n_blocks):
     assert not (set(want) - set(got)), (set(want) - set(got))
     for p, c in want.items():
         assert math.isclose(got[p], c, abs_tol=1e-9), (p, got[p], c)
+
+
+_jac_word = st.sampled_from(["a", "b", "c", "aa", "b c"])
+_jac_text = st.lists(_jac_word, min_size=0, max_size=8).map(" ".join)
+_jac_corpus = st.lists(
+    st.one_of(st.none(), st.just(""), st.just(" \t\n"), _jac_text),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(
+    texts=_jac_corpus,
+    k=st.integers(1, 3),
+    threshold=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+@settings(**SETTINGS)
+# identical docs (j=1.0), a pair sharing shingles below any positive
+# threshold, null/blank docs (no shingles → never paired), and
+# threshold 0.0 — which must still require ≥1 shared shingle (the
+# intersection join's sparsity IS the semantics, not an optimization)
+@example(texts=["a b c", "a b c", None, "", " \t\n"], k=3, threshold=0.0)
+@example(texts=["a b c b", "b c a a"], k=2, threshold=0.25)
+@example(texts=["a a a", "b b b"], k=1, threshold=0.0)
+def test_jaccard_pairs_matches_dense_bruteforce(spark, texts, k, threshold):
+    """jaccard_pairs ≡ the dense all-pairs set-Jaccard definition on
+    any corpus, k, and threshold: DISTINCT k-token shingles per doc
+    (docs with <k tokens excluded), pairs emitted iff they share ≥1
+    shingle AND |∩|/|∪| ≥ threshold, doc_a < doc_b, exact arithmetic.
+    Pure-Python reference replays the engine's tokenization via
+    _py_tokens — independent of the Spark shingle/join/agg plan and of
+    the xxhash64 sid coding (string sets, no hashing)."""
+    from propius_spark.operators.dedup import jaccard_pairs
+    from propius_spark.session import clear_materialized
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        if len(toks) >= k:
+            sets[i] = {
+                " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+            }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if j >= threshold:
+                want[(a, b)] = j
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, k=k, threshold=threshold).collect()
+    }
+    clear_materialized(spark)
+    assert got.keys() == want.keys(), (
+        set(got) ^ set(want), sets, k, threshold
+    )
+    for pair, wj in want.items():
+        assert math.isclose(got[pair], wj, rel_tol=1e-12), (pair, got[pair], wj)
