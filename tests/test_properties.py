@@ -1225,3 +1225,52 @@ def test_jaccard_pairs_matches_dense_bruteforce(spark, texts, k, threshold):
     )
     for pair, wj in want.items():
         assert math.isclose(got[pair], wj, rel_tol=1e-12), (pair, got[pair], wj)
+
+
+_US_HOUR = 3_600_000_000
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["click", "view", "x"])),
+            st.integers(-(10**15), 10**15),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    duration=st.sampled_from(["30 minutes", "1 hour"]),
+)
+@settings(**SETTINGS)
+# epoch-boundary floor: micros −1 belongs to the window STARTING at
+# −1 hour (floor toward −inf), where truncation would bucket it with
+# micros 0; exact window-edge hit (start inclusive, end exclusive);
+# null group counted as its own group
+@example(rows=[("click", -1), ("click", 0), (None, 0)], duration="1 hour")
+@example(rows=[("x", _US_HOUR), ("x", _US_HOUR - 1), ("x", 2 * _US_HOUR - 1)],
+         duration="1 hour")
+def test_windowed_counts_matches_bruteforce(spark, rows, duration):
+    """windowed_counts ≡ integer floor-bucketing of the micros
+    timeline: start = floor(us/W)·W, end = start+W, one count per
+    (window, group) with NULL groups kept — for any event stream
+    including pre-epoch timestamps, on both tested durations. Pins the
+    docstring's claim that F.window's epoch alignment IS integer
+    bucketing (the property the SQL oracle replays)."""
+    from collections import Counter
+
+    from propius_spark.operators import windowed_counts
+
+    w_us = _US_HOUR if duration == "1 hour" else _US_HOUR // 2
+    want = Counter()
+    for g, t_us in rows:
+        start = (t_us // w_us) * w_us
+        want[(start, start + w_us, g)] += 1
+
+    ev = spark.createDataFrame(
+        [(g, t_us * 1000) for g, t_us in rows], "event_type string, ts long"
+    )
+    got = {
+        (r.window_start_us, r.window_end_us, r.event_type): r.n_events
+        for r in windowed_counts(ev, duration).collect()
+    }
+    assert got == dict(want)
