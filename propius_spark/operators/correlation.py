@@ -53,11 +53,31 @@ def context_count(cells: DataFrame) -> DataFrame:
     return cells.agg(F.countDistinct("ctx_id").cast("double").alias("n"))
 
 
+def _n_from_stats(stats: DataFrame) -> DataFrame:
+    """1-row (n) read off the stats table instead of re-aggregating the
+    cell table: `valid_item_stats` already paid the countDistinct pass
+    and stamped n on every row, so consumers that hold stats can skip a
+    whole extra pass over cells (at target scale the cell table is the
+    big one — guide §2.3 "do fewer passes"). Result-identical: every
+    stats row carries the same n, and when stats is EMPTY (no valid
+    item) this yields 0 rows instead of context_count's 1 — downstream
+    the difference is invisible because every consumer combines n with
+    gram/stats-derived frames that are themselves empty exactly then
+    (pinned by tests/test_correlation.py::test_corr_pairs_no_valid_items).
+    """
+    return stats.select("n").limit(1)
+
+
 def item_stats(cells: DataFrame) -> DataFrame:
-    """(item_id, s, q): per-item occurrence sum and sum of squares."""
+    """(item_id, s, q, n_ctx): per-item occurrence sum, sum of squares,
+    and context count (cells is distinct per (item, ctx), so COUNT(*)
+    is the item's context-vector length — free in the same groupBy
+    pass; get_similar_items' hot-item probe reads it instead of
+    re-scanning the cell table)."""
     return cells.groupBy("item_id").agg(
         F.sum("cnt").cast("double").alias("s"),
         F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("q"),
+        F.count(F.lit(1)).alias("n_ctx"),
     )
 
 
@@ -161,7 +181,7 @@ def corr_pairs(
         stats = _persist(valid_item_stats(cells))
     if g is None:
         g = gram(cells, stats, max_context_degree)
-    n1 = context_count(cells)
+    n1 = _n_from_stats(stats)
     return (
         g.join(F.broadcast(_stats_as(stats, "a")), "item_a")
         .join(F.broadcast(_stats_as(stats, "b")), "item_b")
@@ -312,7 +332,7 @@ def neighbor_stats(
         stats = _persist(valid_item_stats(cells))
     if g is None:
         g = _persist(gram(cells, stats, max_context_degree))
-    n1 = context_count(cells)
+    n1 = _n_from_stats(stats)
     gl = global_stats(stats)
 
     ge = (

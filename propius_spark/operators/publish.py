@@ -109,42 +109,60 @@ def publish_model(
     # (disjoint) and emits each (cuts-item × stats-item) pair at most
     # once. Pinned by test_correlation::test_publish_unique_keys.
     cells = build_cells(occurrences)
-    sims = shape_similar_items(similar_items_exact(cells, k_sigma=k_sigma))
     dim = correlated_items(dictionary)
-    # dim-coverage probe (docstring): one agg over the dictionary,
-    # BEFORE any write so the strict mode fails without side effects
-    stats = dictionary.select(
-        F.count(F.lit(1)).alias("rows"),
-        F.count("title").alias("named"),
-        F.count_distinct("title").alias("names"),
-    ).first()
-    dim_coverage = 1.0
-    if stats["rows"]:
-        survivors = stats["names"] + (stats["rows"] - stats["named"])
-        dim_coverage = survivors / stats["rows"]
-    if dim_coverage < min_dim_coverage:
-        raise ValueError(
-            f"publish_model: dim coverage {dim_coverage:.4f} < required "
-            f"{min_dim_coverage} — the min-id-per-key dedup keeps only "
-            f"{stats['names']} of {stats['named']} named dictionary rows "
-            "(duplicate titles); name-filtered serving over this store "
-            "would drop most items' neighbors. Publish aborted before "
-            "any write."
-        )
-    if dim_coverage < 0.5:
-        import warnings
-
-        warnings.warn(
-            f"publish_model: only {dim_coverage:.1%} of dictionary rows "
-            "survive the unique-key dedup (duplicate titles); "
-            "name-filtered retrieval over this store may return few or "
-            "0 rows (see SCALE.md §8a). Consider the rank-first "
-            "retrieve_similar_batch posture for serving.",
-            UserWarning,
-            stacklevel=2,
-        )
     sims_path = f"{out_dir}/similar_items"
     dim_path = f"{out_dir}/correlated_items"
+
+    def _probe():
+        # dim-coverage probe (docstring): one agg over the dictionary
+        stats = dictionary.select(
+            F.count(F.lit(1)).alias("rows"),
+            F.count("title").alias("named"),
+            F.count_distinct("title").alias("names"),
+        ).first()
+        dim_coverage = 1.0
+        if stats["rows"]:
+            survivors = stats["names"] + (stats["rows"] - stats["named"])
+            dim_coverage = survivors / stats["rows"]
+        return stats, dim_coverage
+
+    def _write_dim():
+        dim.write.mode("overwrite").parquet(dim_path)
+
+    # the dim side (coverage probe + dim write) shares no lineage with
+    # the fact side, so in lax mode it runs on a driver side thread and
+    # back-fills executors idled by the fact pipeline's stage barriers
+    # (guide §2.6: overlap independent jobs). Strict mode
+    # (min_dim_coverage > 0) stays fully sequential: its contract is
+    # "raise BEFORE writing anything", which forbids starting either
+    # write before the probe returns.
+    side: dict[str, object] = {}
+    if min_dim_coverage > 0:
+        stats, dim_coverage = _probe()
+        if dim_coverage < min_dim_coverage:
+            raise ValueError(
+                f"publish_model: dim coverage {dim_coverage:.4f} < required "
+                f"{min_dim_coverage} — the min-id-per-key dedup keeps only "
+                f"{stats['names']} of {stats['named']} named dictionary rows "
+                "(duplicate titles); name-filtered serving over this store "
+                "would drop most items' neighbors. Publish aborted before "
+                "any write."
+            )
+        thread = None
+    else:
+        from pyspark import InheritableThread
+
+        def _dim_side():
+            try:
+                side["probe"] = _probe()
+                _write_dim()
+            except BaseException as e:  # noqa: BLE001 - re-raised in main
+                side["error"] = e
+
+        thread = InheritableThread(target=_dim_side)
+        thread.start()
+
+    sims = shape_similar_items(similar_items_exact(cells, k_sigma=k_sigma))
     if n_buckets > 0:
         # repartition by the partition column first: files per bucket
         # = write tasks per bucket (not tasks×buckets small files)
@@ -164,7 +182,28 @@ def publish_model(
         )
     else:
         sims.write.mode("overwrite").parquet(sims_path)
-    dim.write.mode("overwrite").parquet(dim_path)
+    if thread is not None:
+        thread.join()
+        if "error" in side:
+            raise side["error"]
+        _, dim_coverage = side["probe"]
+    else:
+        _write_dim()
+    if dim_coverage < 0.5:
+        # emitted from the MAIN thread (after the side thread joined)
+        # so warning capture in callers/tests behaves exactly as the
+        # sequential path did
+        import warnings
+
+        warnings.warn(
+            f"publish_model: only {dim_coverage:.1%} of dictionary rows "
+            "survive the unique-key dedup (duplicate titles); "
+            "name-filtered retrieval over this store may return few or "
+            "0 rows (see SCALE.md §8a). Consider the rank-first "
+            "retrieve_similar_batch posture for serving.",
+            UserWarning,
+            stacklevel=2,
+        )
     return {
         "similar_items": sims_path,
         "correlated_items": dim_path,

@@ -36,9 +36,9 @@ from pyspark.sql.window import Window
 
 from .correlation import (
     CORR_EXPR,
+    _n_from_stats,
     _persist,
     _stats_as,
-    context_count,
     corr_pairs,
     gram,
     neighbor_stats,
@@ -77,7 +77,16 @@ def get_similar_items(
     my_cells = cells.filter(F.col("item_id") == item_id).select(
         "ctx_id", F.col("cnt").alias("cnt_a")
     )
-    if my_cells.count() <= broadcast_max_contexts:
+    # hot-item probe off the tiny persisted stats table (n_ctx is the
+    # item's context count, stamped by item_stats in the pass already
+    # paid) instead of a full count scan of the cell table — at target
+    # scale that scan is a whole extra pass over the big table per
+    # serving call (guide §2.3). An item absent from stats (invalid:
+    # den2 ≤ 0) probes None → broadcast path; the result is empty
+    # either way because `me` is empty, so the strategy choice is
+    # irrelevant there — same as the old count()-based probe.
+    probe = me.select("n_ctx").first()
+    if probe is None or probe["n_ctx"] <= broadcast_max_contexts:
         my_cells = F.broadcast(my_cells)
     dots = (
         cells.join(my_cells, "ctx_id")
@@ -203,7 +212,10 @@ def similar_items_exact(
     cells = _persist(cells, compact=False)
     stats = _persist(valid_item_stats(cells))
     g = _persist(gram(cells, stats, max_context_degree))
-    n1 = context_count(cells)
+    # n read off the persisted stats (not a re-aggregate of cells):
+    # with the twin inside neighbor_stats this removes the last two
+    # redundant countDistinct passes over the cell table (guide §2.3)
+    n1 = _n_from_stats(stats)
     ns = neighbor_stats(cells, max_context_degree, stats=stats, g=g)
     cuts = _persist(
         ns.select(

@@ -156,6 +156,24 @@ def test_zero_variance_items_dropped(spark):
     assert got == {2, 3}
 
 
+def test_corr_pairs_no_valid_items(spark):
+    """Degenerate corpus where EVERY item has zero variance (each item
+    in both contexts with cnt=1 → den2 = 0): valid stats is EMPTY.
+    Pins the edge `_n_from_stats` changed the shape of — it yields 0
+    rows here where `context_count` yielded 1 — asserting the full
+    pipelines still return exactly no rows (they must: gram and every
+    stats-derived frame are empty precisely when stats is)."""
+    from propius_spark.operators.similarity import similar_items_exact
+
+    rows = [("r1", 1), ("r2", 1), ("r1", 2), ("r2", 2)]
+    df = spark.createDataFrame(rows, "reference_id string, item_id long")
+    cells = build_cells(df)
+    assert valid_item_stats(cells).count() == 0
+    assert corr_pairs(cells).count() == 0
+    assert neighbor_stats(cells).count() == 0
+    assert similar_items_exact(cells).count() == 0
+
+
 def test_neighbor_stats_match_bruteforce(spark):
     """Analytic mean/std/min/max over the FULL neighbor row (incl.
     non-co-occurring pairs) must equal the brute-force dense result."""
