@@ -286,9 +286,15 @@ def q_publish_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir,
         k_sigma=2.0,
         n_buckets=4,
-        # 4 buckets ≪ 32 cores: salt each bucket across 8 write tasks
-        # (files_per_bucket docstring) — pruning unaffected
-        files_per_bucket=8,
+        # 4 buckets ≪ the cores: salt each bucket across enough write
+        # tasks to use the session's parallelism (files_per_bucket
+        # docstring) — pruning unaffected. Derived from the cluster,
+        # not a constant: the old hard-coded 8 was 32-core-shaped and
+        # made a 4-core run schedule 32 near-empty write tasks
+        # (guide §2: partitioning must be scale-adaptive). Row equality
+        # across salt counts is pinned by
+        # test_publish_salted_write_equivalence.
+        files_per_bucket=max(1, spark.sparkContext.defaultParallelism // 4),
     )
     # serve-side rounded rank key (store keeps raw doubles) — see
     # q_retrieve_topk_part; the bucket partition filter still prunes

@@ -108,6 +108,12 @@ def get_similar_items(
         )
     )
     if threshold_method == "std_dev":
+        # row is consumed twice here (the cut aggregate and the
+        # filtered output) and is item-cardinality — materialize it so
+        # the dots join/aggregate over the cell table runs once, not
+        # once per consumer (guide §2.3; the absolute branch consumes
+        # row once and stays lazy)
+        row = _persist(row)
         th = row.agg(
             (F.avg("corr") + F.lit(threshold_value) * F.stddev_samp("corr")).alias("cut")
         )

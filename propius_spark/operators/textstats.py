@@ -115,6 +115,13 @@ def decontaminate(
     """
     from .dedup import shingles
 
+    # NOTE (optimization r8): rewriting the per-doc distinct as two
+    # count_distinct aggregates over the multiset stream was tried and
+    # REJECTED — multi-distinct plans via Expand (2× the corpus-side
+    # rows into the exchange) and still pays three corpus-side
+    # exchanges, while this shape's `distinct` dedups map-side in its
+    # partial HashAggregate before shuffling. This is already the
+    # minimal-shuffle form for the distinct-shingle semantics.
     dsh = shingles(docs, k, id_col, text_col)
     bsh = (
         shingles(benchmark, k, id_col, text_col)
