@@ -136,13 +136,13 @@ def main() -> None:
     # and the summary line prints AFTER stop so no late JVM chatter can
     # push it out of the driver's 2000-char stdout tail
     try:
-        line = _run(spark, sf_dir)
+        line = _run(spark, sf_dir, cpus)
     finally:
         spark.stop()
     print(line, flush=True)
 
 
-def _run(spark, sf_dir: str) -> str:
+def _run(spark, sf_dir: str, cpus: int) -> str:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM on untimed work covering the runtime surfaces the
@@ -236,6 +236,16 @@ def _run(spark, sf_dir: str) -> str:
         "queries": timings,
         "sf": sf_of(sf_dir),
         "runs": [round(sum(p.values()), 3) for p in passes],
+        # parallelism contract, made legible (VERDICT r8 item 2): the
+        # driver's low-core pass could not PROVE from the output which
+        # parallelism was in effect (every 8-vs-32-core ratio ≈ 1 at
+        # the fixed-cost-dominated bench SF tripped a suspect flag even
+        # though $SPARK_GRAFT_CPUS is honored). `cpus` is the requested
+        # count; `default_parallelism` is what the live context
+        # actually resolved — they match in local[cpus] mode, and a
+        # divergence would itself be the diagnostic.
+        "cpus": cpus,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     if failures:
         result["failures"] = failures
@@ -267,6 +277,13 @@ def _run(spark, sf_dir: str) -> str:
         "queries": {q: round(t, 1) for q, t in timings.items()},
         "sf": result["sf"],
         "detail": full_path.name,
+        # both parallelism fields ride the compact line too — the
+        # driver's 32- and 8-core passes must be distinguishable from
+        # BENCH_r{N}.json alone (VERDICT r8 item 2); ~40 chars, inside
+        # the measured tail headroom, and _fit_tail degrades the
+        # per-query dict first if the set ever grows
+        "cpus": result["cpus"],
+        "default_parallelism": result["default_parallelism"],
     }
     if failures:
         # identity of failed queries must survive even in the compact

@@ -162,26 +162,44 @@ def publish_model(
         thread = InheritableThread(target=_dim_side)
         thread.start()
 
-    sims = shape_similar_items(similar_items_exact(cells, k_sigma=k_sigma))
-    if n_buckets > 0:
-        # repartition by the partition column first: files per bucket
-        # = write tasks per bucket (not tasks×buckets small files)
-        fpb = max(1, int(files_per_bucket))
-        bucketed = sims.withColumn(
-            "bucket", F.pmod(F.col("item_a_id"), F.lit(n_buckets))
-        )
-        if fpb > 1:
-            salt = F.pmod(F.xxhash64("item_a_id", "item_b_id"), F.lit(fpb))
-            bucketed = bucketed.repartition(n_buckets * fpb, "bucket", salt)
+    def _write_sims():
+        sims = shape_similar_items(similar_items_exact(cells, k_sigma=k_sigma))
+        if n_buckets > 0:
+            # repartition by the partition column first: files per bucket
+            # = write tasks per bucket (not tasks×buckets small files)
+            fpb = max(1, int(files_per_bucket))
+            bucketed = sims.withColumn(
+                "bucket", F.pmod(F.col("item_a_id"), F.lit(n_buckets))
+            )
+            if fpb > 1:
+                salt = F.pmod(F.xxhash64("item_a_id", "item_b_id"), F.lit(fpb))
+                bucketed = bucketed.repartition(n_buckets * fpb, "bucket", salt)
+            else:
+                bucketed = bucketed.repartition(n_buckets, "bucket")
+            (
+                bucketed.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(sims_path)
+            )
         else:
-            bucketed = bucketed.repartition(n_buckets, "bucket")
-        (
-            bucketed.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(sims_path)
-        )
-    else:
-        sims.write.mode("overwrite").parquet(sims_path)
+            sims.write.mode("overwrite").parquet(sims_path)
+
+    # join the dim side even when the sims write raises (ADVICE r8):
+    # propagating with the thread still running would let the
+    # background dim write land next to a failed/stale fact table, and
+    # a side-thread error captured alongside a main-thread failure
+    # would be silently dropped — chain it as the main error's
+    # __cause__ instead so both surface in the traceback. The
+    # sequential (strict/thread-None) path never started a dim write,
+    # matching the old "no dim next to a failed fact" behavior.
+    try:
+        _write_sims()
+    except BaseException as main_err:  # noqa: BLE001 - re-raised below
+        if thread is not None:
+            thread.join()
+            if "error" in side:
+                raise main_err from side["error"]
+        raise
     if thread is not None:
         thread.join()
         if "error" in side:

@@ -66,8 +66,10 @@ def get_similar_items(
     100× scale can exceed broadcast limits for a pathologically hot
     item. When the vector exceeds `broadcast_max_contexts` rows, fall
     back to a plain shuffle join on ctx_id — identical semantics, one
-    extra exchange, no driver/executor broadcast OOM. The count probe
-    is one cheap job over the persisted cells.
+    extra exchange, no driver/executor broadcast OOM. The probe reads
+    the item's `n_ctx` off the persisted stats table (stamped by
+    item_stats in a pass already paid) — never a scan of the cell
+    table.
 
     Returns (item_b, corr) sorted descending.
     """
@@ -82,11 +84,14 @@ def get_similar_items(
     # paid) instead of a full count scan of the cell table — at target
     # scale that scan is a whole extra pass over the big table per
     # serving call (guide §2.3). An item absent from stats (invalid:
-    # den2 ≤ 0) probes None → broadcast path; the result is empty
-    # either way because `me` is empty, so the strategy choice is
-    # irrelevant there — same as the old count()-based probe.
+    # den2 ≤ 0) probes None: the RESULT is empty either way (`me` is
+    # empty), but the strategy must stay conservative — an omnipresent
+    # constant-count item has cells in every context, so hinting the
+    # broadcast on probe-None could OOM where the shuffle join just
+    # runs (ADVICE r8); the shuffle path is free here since the output
+    # is empty regardless.
     probe = me.select("n_ctx").first()
-    if probe is None or probe["n_ctx"] <= broadcast_max_contexts:
+    if probe is not None and probe["n_ctx"] <= broadcast_max_contexts:
         my_cells = F.broadcast(my_cells)
     dots = (
         cells.join(my_cells, "ctx_id")

@@ -64,15 +64,22 @@ def main() -> None:
             jids = tracker.getJobIdsForGroup(group)
             n_stages = 0
             n_tasks = 0
+            # AQE reuses stage ids across jobs — dedup on the id so a
+            # shared stage counts once (ADVICE r8: the old loop
+            # incremented per (job, stage) pair, inflating the very
+            # counts this script exists to attribute)
+            seen_stages: set[int] = set()
             for jid in jids:
                 ji = tracker.getJobInfo(jid)
                 if ji is None:
                     continue
                 for sid in ji.stageIds:
+                    if sid in seen_stages:
+                        continue
                     si = tracker.getStageInfo(sid)
                     if si is None:
                         continue
-                    # AQE reuses stage ids across jobs; count each once
+                    seen_stages.add(sid)
                     n_stages += 1
                     n_tasks += si.numTasks
             out[name] = {

@@ -25,6 +25,8 @@ def _base(n_queries: int) -> dict:
         "queries": {f"query_{i:03d}": round(i * 0.7, 1) for i in range(n_queries)},
         "sf": 0.1,
         "detail": "BENCH_full.json",
+        "cpus": 32,
+        "default_parallelism": 32,
         "secondary_value": 45.678,
     }
 
@@ -39,6 +41,10 @@ def test_current_suite_size_fits_untouched():
     assert CONTRACT <= set(d)
     assert len(d["queries"]) == 74
     assert d["secondary_value"] == 45.678
+    # the parallelism contract fields (VERDICT r8 item 2) must survive
+    # at the real suite size
+    assert d["cpus"] == 32
+    assert d["default_parallelism"] == 32
 
 
 def test_oversize_suite_degrades_to_minimal_line():
