@@ -68,6 +68,41 @@ def _n_from_stats(stats: DataFrame) -> DataFrame:
     return stats.select("n").limit(1)
 
 
+def _global_scalars(stats: DataFrame):
+    """Every global scalar the correlation plans need, fetched in ONE
+    driver probe over the (persisted, item-cardinality) stats table:
+    Row(n, v, big_t, big_u) — context count, valid-item count, Σt_j,
+    Σt_j². Probing once and embedding the values as plan LITERALS
+    replaces up to three 1-row broadcast crossJoins per pipeline
+    (context n, the rank-gap v, global_stats' T/U) — each crossJoin
+    cost a separate aggregate stage + broadcast-build job wave and left
+    a BroadcastNestedLoopJoin in the final plan for AQE to re-plan
+    (round 9; guide §2.4 "remove shuffles outright" applied to
+    broadcast waves). The aggregation expressions are IDENTICAL to the
+    in-plan forms they replace (same sum order over the same persisted
+    partitions), so the doubles are bit-equal and every oracle hash is
+    unchanged.
+
+    Callers must hold a PERSISTED stats table (all production call
+    sites do) — probing an unpersisted subtree would compute it once
+    here and again downstream. Empty stats probes (n=None, v=0,
+    big_t/big_u=None); consumers substitute 0.0 — the values are
+    unreachable because every frame they combine with is empty exactly
+    then (the `_n_from_stats` edge, same pin)."""
+    return stats.agg(
+        F.first("n").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum("t").alias("big_t"),
+        F.sum(F.col("t") * F.col("t")).alias("big_u"),
+    ).first()
+
+
+def _lit0(x) -> "F.Column":
+    """Double literal for a probed scalar; 0.0 for the empty-stats
+    None (unreachable in any row — see _global_scalars)."""
+    return F.lit(0.0 if x is None else float(x))
+
+
 def item_stats(cells: DataFrame) -> DataFrame:
     """(item_id, s, q, n_ctx): per-item occurrence sum, sum of squares,
     and context count (cells is distinct per (item, ctx), so COUNT(*)
@@ -181,16 +216,21 @@ def corr_pairs(
         stats = _persist(valid_item_stats(cells))
     if g is None:
         g = gram(cells, stats, max_context_degree)
-    n1 = _n_from_stats(stats)
+    # n as a plan literal from the one-probe scalar fetch — the old
+    # 1-row crossJoin(broadcast(n1)) paid a broadcast-build job and
+    # left a BroadcastNestedLoopJoin node in every corr plan
+    n_row = _global_scalars(stats)
     return (
         g.join(F.broadcast(_stats_as(stats, "a")), "item_a")
         .join(F.broadcast(_stats_as(stats, "b")), "item_b")
-        .crossJoin(F.broadcast(n1))
+        .withColumn("n", _lit0(n_row["n"]))
         .select("item_a", "item_b", "dot", F.expr(CORR_EXPR).alias("corr"))
     )
 
 
-def _rank_gap_extremes(stats: DataFrame, gram_df: DataFrame) -> DataFrame:
+def _rank_gap_extremes(
+    stats: DataFrame, gram_df: DataFrame, v: int | None = None
+) -> DataFrame:
     """Per item_a: the MAX and MIN t among valid NON-co-occurring
     neighbors, in one pass — (item_a, t_nc_max, t_nc_min); items whose
     co-occurrence set covers all other valid items are absent.
@@ -217,7 +257,14 @@ def _rank_gap_extremes(stats: DataFrame, gram_df: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    v_df = stats.agg(F.count(F.lit(1)).alias("v_items"))
+    # v (valid-item count) as a plan literal: passed in by callers that
+    # already probed the stats scalars (_global_scalars), else one
+    # cheap count over the item-cardinality stats — either way the old
+    # 1-row v_df crossJoins (two of them: under ranked and under taken)
+    # and their aggregate + broadcast-build job waves are gone (round 9)
+    if v is None:
+        v = stats.count()
+    v_lit = F.lit(int(v)).cast("long")
     # materialized: three consumers (rb under taken, the self-rank
     # union, both tmaps) would otherwise each re-sort the item
     # dimension — item-cardinality, so it stores safely at any scale
@@ -228,15 +275,12 @@ def _rank_gap_extremes(stats: DataFrame, gram_df: DataFrame) -> DataFrame:
             F.row_number()
             .over(Window.orderBy(F.col("t").desc(), F.col("item_id").asc()))
             .alias("rnk"),
-        )
-        .crossJoin(F.broadcast(v_df))
-        .withColumn("rnk_rev", F.col("v_items") + 1 - F.col("rnk"))
+        ).withColumn("rnk_rev", v_lit + 1 - F.col("rnk"))
     )
     rb = ranked.select(
         F.col("item_id").alias("item_b"), F.col("rnk").alias("rnk_b")
     )
-    # ranks occupied per item_a: co-occurring partners + self; v_items
-    # rides along (1-row broadcast) for the reverse-side gap test
+    # ranks occupied per item_a: co-occurring partners + self
     taken = (
         gram_df.select("item_a", "item_b")
         .join(F.broadcast(rb), "item_b")
@@ -247,7 +291,6 @@ def _rank_gap_extremes(stats: DataFrame, gram_df: DataFrame) -> DataFrame:
                 F.col("rnk").alias("taken_rnk"),
             )
         )
-        .crossJoin(F.broadcast(v_df))
     )
     # First free rank per side via sorted passes over ONE exchange
     # (round 3 established the sorted-pass-over-taken form; round 6
@@ -276,7 +319,7 @@ def _rank_gap_extremes(stats: DataFrame, gram_df: DataFrame) -> DataFrame:
             F.coalesce(
                 F.min(
                     F.when(
-                        F.col("v_items") + 1 - F.col("taken_rnk") != F.col("rn_a"),
+                        v_lit + 1 - F.col("taken_rnk") != F.col("rn_a"),
                         F.col("rn_a"),
                     )
                 ),
@@ -304,6 +347,7 @@ def neighbor_stats(
     max_context_degree: int | None = None,
     stats: DataFrame | None = None,
     g: DataFrame | None = None,
+    scalars=None,
 ) -> DataFrame:
     """Exact per-item statistics of the FULL correlation row — over all
     V−1 valid neighbors, co-occurring or not — without materializing I².
@@ -332,13 +376,20 @@ def neighbor_stats(
         stats = _persist(valid_item_stats(cells))
     if g is None:
         g = _persist(gram(cells, stats, max_context_degree))
-    n1 = _n_from_stats(stats)
-    gl = global_stats(stats)
+    # all four global scalars (n, v, Σt, Σt²) in ONE probe over the
+    # persisted stats (or a caller's shared probe row via `scalars`),
+    # embedded as plan literals — replaces the n1/gl/v_df 1-row
+    # broadcast crossJoins and their separate aggregate + broadcast
+    # job waves (round 9; values bit-identical, see _global_scalars)
+    sc_row = scalars if scalars is not None else _global_scalars(stats)
+    n_lit = _lit0(sc_row["n"])
+    big_t = _lit0(sc_row["big_t"])
+    big_u = _lit0(sc_row["big_u"])
 
     ge = (
         g.join(F.broadcast(_stats_as(stats, "a")), "item_a")
         .join(F.broadcast(_stats_as(stats, "b")), "item_b")
-        .crossJoin(F.broadcast(n1))
+        .withColumn("n", n_lit)
         .withColumn("corr", F.expr(CORR_EXPR))
     )
     peritem = ge.groupBy("item_a").agg(
@@ -349,22 +400,24 @@ def neighbor_stats(
         F.min("corr").alias("cmin"),
         F.max("corr").alias("cmax"),
     )
-    nc_t = _rank_gap_extremes(stats, g)
+    nc_t = _rank_gap_extremes(stats, g, v=int(sc_row["v"]))
 
     sp = (
         stats.join(peritem, stats.item_id == peritem.item_a, "left")
         .drop("item_a")
         .join(nc_t.withColumnRenamed("item_a", "item_id"), "item_id", "left")
-        .crossJoin(F.broadcast(gl))
         .fillna(0.0, ["g1", "g2", "g3"])
         .fillna(0, ["deg"])
     )
-    m = F.col("v") - 1
-    sum1 = (F.col("n") * F.col("g1") - F.col("s") * (F.col("big_t") - F.col("t"))) / F.col("den")
+    # v/big_t/big_u are plan literals (probe above); n/s/t/den/den2
+    # stay per-row stats columns — the arithmetic is the expression
+    # the old gl-crossJoin form evaluated, term for term
+    m = _lit0(float(sc_row["v"])) - 1
+    sum1 = (F.col("n") * F.col("g1") - F.col("s") * (big_t - F.col("t"))) / F.col("den")
     sum2 = (
         F.col("n") * F.col("n") * F.col("g2")
         - 2 * F.col("n") * F.col("s") * F.col("g3")
-        + F.col("s") * F.col("s") * (F.col("big_u") - F.col("t") * F.col("t"))
+        + F.col("s") * F.col("s") * (big_u - F.col("t") * F.col("t"))
     ) / F.col("den2")
     mean = sum1 / m
     var = (sum2 - m * mean * mean) / (m - 1)

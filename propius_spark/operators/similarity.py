@@ -36,7 +36,8 @@ from pyspark.sql.window import Window
 
 from .correlation import (
     CORR_EXPR,
-    _n_from_stats,
+    _global_scalars,
+    _lit0,
     _persist,
     _stats_as,
     corr_pairs,
@@ -83,14 +84,18 @@ def get_similar_items(
     # item's context count, stamped by item_stats in the pass already
     # paid) instead of a full count scan of the cell table — at target
     # scale that scan is a whole extra pass over the big table per
-    # serving call (guide §2.3). An item absent from stats (invalid:
-    # den2 ≤ 0) probes None: the RESULT is empty either way (`me` is
-    # empty), but the strategy must stay conservative — an omnipresent
-    # constant-count item has cells in every context, so hinting the
-    # broadcast on probe-None could OOM where the shuffle join just
-    # runs (ADVICE r8); the shuffle path is free here since the output
-    # is empty regardless.
-    probe = me.select("n_ctx").first()
+    # serving call (guide §2.3). The SAME probe row carries the item's
+    # s and den, embedded below as plan literals: the old 1-row
+    # crossJoin(broadcast(me)) paid a separate broadcast-build job per
+    # serving call for two doubles this probe already holds (round 9).
+    # An item absent from stats (invalid: den2 ≤ 0) probes None: the
+    # RESULT is empty either way (`me` is empty), but the strategy must
+    # stay conservative — an omnipresent constant-count item has cells
+    # in every context, so hinting the broadcast on probe-None could
+    # OOM where the shuffle join just runs (ADVICE r8); the literal
+    # fallback (0.0) is likewise unreachable then: `row` keeps the
+    # empty-me crossJoin so its rows vanish exactly as before.
+    probe = me.select("n_ctx", "s", "den").first()
     if probe is not None and probe["n_ctx"] <= broadcast_max_contexts:
         my_cells = F.broadcast(my_cells)
     dots = (
@@ -99,18 +104,28 @@ def get_similar_items(
         .groupBy("item_id")
         .agg(F.sum(F.col("cnt") * F.col("cnt_a")).cast("double").alias("dot"))
     )
-    row = (
-        stats.filter(F.col("item_id") != item_id)
-        .join(dots, "item_id", "left")
-        .fillna(0.0, ["dot"])
-        .crossJoin(F.broadcast(me.select(F.col("s").alias("s_a"), F.col("den").alias("den_a"))))
-        .select(
-            F.col("item_id").alias("item_b"),
-            (
-                (F.col("n") * F.col("dot") - F.col("s_a") * F.col("s"))
-                / (F.col("den_a") * F.col("den"))
-            ).alias("corr"),
+    row = stats.filter(F.col("item_id") != item_id).join(
+        dots, "item_id", "left"
+    ).fillna(0.0, ["dot"])
+    if probe is None:
+        # invalid/absent item: keep the crossJoin against the EMPTY me
+        # so the result is empty by construction (a literal s_a/den_a
+        # would fabricate rows here)
+        row = row.crossJoin(
+            F.broadcast(
+                me.select(F.col("s").alias("s_a"), F.col("den").alias("den_a"))
+            )
         )
+    else:
+        row = row.withColumn("s_a", F.lit(float(probe["s"]))).withColumn(
+            "den_a", F.lit(float(probe["den"]))
+        )
+    row = row.select(
+        F.col("item_id").alias("item_b"),
+        (
+            (F.col("n") * F.col("dot") - F.col("s_a") * F.col("s"))
+            / (F.col("den_a") * F.col("den"))
+        ).alias("corr"),
     )
     if threshold_method == "std_dev":
         # row is consumed twice here (the cut aggregate and the
@@ -223,11 +238,14 @@ def similar_items_exact(
     cells = _persist(cells, compact=False)
     stats = _persist(valid_item_stats(cells))
     g = _persist(gram(cells, stats, max_context_degree))
-    # n read off the persisted stats (not a re-aggregate of cells):
-    # with the twin inside neighbor_stats this removes the last two
-    # redundant countDistinct passes over the cell table (guide §2.3)
-    n1 = _n_from_stats(stats)
-    ns = neighbor_stats(cells, max_context_degree, stats=stats, g=g)
+    # ONE scalar probe over the persisted stats serves this function's
+    # n literal AND neighbor_stats' n/v/Σt/Σt² (round 9) — no
+    # re-aggregate of cells (the r8 guide-§2.3 fix) and no 1-row
+    # broadcast crossJoins left in either plan
+    sc_row = _global_scalars(stats)
+    ns = neighbor_stats(
+        cells, max_context_degree, stats=stats, g=g, scalars=sc_row
+    )
     cuts = _persist(
         ns.select(
             F.col("item_id").alias("item_a"),
@@ -247,7 +265,7 @@ def similar_items_exact(
     cooc = (
         g.join(F.broadcast(_stats_as(stats, "a")), "item_a")
         .join(F.broadcast(_stats_as(stats, "b")), "item_b")
-        .crossJoin(F.broadcast(n1))
+        .withColumn("n", _lit0(sc_row["n"]))
         .withColumn("corr", F.expr(CORR_EXPR))
         .join(F.broadcast(cuts), "item_a")
         .filter(F.round(F.col("corr"), 6) >= F.round(F.col("cut"), 6))
