@@ -450,7 +450,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Transitive near-dups (a~b, b~c but never a~c) land in ONE cluster
     — the property pairwise output can't give a training pipeline."""
     docs = _docs(spark, sf_dir)
-    return resolve_duplicates(docs, jaccard_pairs(docs, k=3, threshold=0.5))
+    # pairs_unique: jaccard_pairs is keyed by its (doc_a, doc_b)
+    # groupBy with doc_a < doc_b — born unique and oriented, so the
+    # CC init skips its canonicalizing distinct (one less shuffle)
+    return resolve_duplicates(
+        docs, jaccard_pairs(docs, k=3, threshold=0.5), pairs_unique=True
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,9 +639,12 @@ def q_ann_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     pairs = embedding_dup_pairs(emb, threshold=0.4).select("vec_a", "vec_b")
     ids = emb.select(F.col("vec_id").alias("doc_id"))
-    return resolve_duplicates(ids, pairs, src="vec_a", dst="vec_b").select(
-        F.col("doc_id").alias("vec_id"), "cluster_id", "is_keeper"
-    )
+    # pairs_unique: the exact block kernel emits each unordered pair
+    # exactly once, min/max-oriented (_block_cosines_kernel docstring)
+    # — the CC init skips its canonicalizing distinct
+    return resolve_duplicates(
+        ids, pairs, src="vec_a", dst="vec_b", pairs_unique=True
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id", "is_keeper")
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,6 +37,8 @@ path's design, see minhash_lsh_pairs).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -496,6 +498,7 @@ def dup_clusters(
     dst: str = "doc_b",
     max_iter: int = 25,
     check_every: int | None = None,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph:
     (doc_id, cluster_id) for every doc appearing in `pairs`, where
@@ -510,46 +513,97 @@ def dup_clusters(
     like naive label propagation, and never a driver-side union-find.
     Each round materializes (lineage truncation; see plans.materialize)
     so the loop's plan depth stays constant.
+
+    ``pairs_unique``: the caller guarantees `pairs` holds each
+    unordered pair at most once (e.g. the output of a pair-keyed
+    groupBy, or the block kernel's strict upper triangle) — the
+    canonicalizing ``distinct()`` is then skipped, saving a full
+    shuffle of the pair table inside the first materialize (round 9;
+    both declared cluster queries qualify). Duplicates under a false
+    claim would only cost the first round extra bytes (its min-
+    aggregates and distinct absorb them), never wrong results.
     """
     # canonical orientation: u > v (edge points from node to a smaller
     # neighbor); self-pairs dropped
-    e = materialize(
+    e = (
         pairs.select(
             F.greatest(F.col(src), F.col(dst)).cast("long").alias("u"),
             F.least(F.col(src), F.col(dst)).cast("long").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    if not pairs_unique:
+        e = e.distinct()
+    e = materialize(e)
     fp = _edge_fingerprint(e)
     check_every = check_every or CLUSTERS_CHECK_EVERY
     converged = False
+    # Each star operation attaches the group minimum to every row of
+    # its u-group. The round-9 shape does that with ONE exchange per
+    # star — a min window over partitionBy(u), the Kiveris
+    # reduce-per-key formulation — where the old groupBy+join form
+    # shuffled the SAME edge table twice per star (the partial-agg
+    # exchange and the join-side exchange have different subplans, so
+    # exchange reuse never applied; profiled as two separate full-input
+    # stage jobs per star at sf0.1) plus a broadcast build and a
+    # mid-round distinct. Per round: 5 exchanges + 2 joins → 3
+    # exchanges + 0 joins. A hub node's group sorts (spillably) in one
+    # window task where the join reduce-side also funneled the hub's
+    # rows into one partition — and each round exists precisely to
+    # dismantle hubs. PROPIUS_CC_JOIN_ROUNDS=1 restores the old
+    # join-based rounds (result-identical twin, kept for A/B and as an
+    # escape hatch; pinned by
+    # tests/test_dedup.py::test_dup_clusters_pairs_unique_and_round_twin_equal).
+    join_rounds = os.environ.get("PROPIUS_CC_JOIN_ROUNDS") == "1"
+    wu = Window.partitionBy("u")
     for i in range(max_iter):
         # large-star: for each u, connect every LARGER neighbor v to
         # m = min(N(u) ∪ {u})
         nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            nbrs.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", "u").alias("m"))
-        )
-        large = (
-            nbrs.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # small-star: for each u (over larger→smaller edges), connect
-        # every smaller neighbor AND u itself to m = min(N⁻(u))
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionAll(mins2.select("u", F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        if join_rounds:
+            mins = (
+                nbrs.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", "u").alias("m"))
+            )
+            large = (
+                nbrs.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star: for each u (over larger→smaller edges),
+            # connect every smaller neighbor AND u itself to
+            # m = min(N⁻(u))
+            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(mins2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionAll(mins2.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+        else:
+            large = (
+                nbrs.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+            )
+            # small-star over large's (all-downward) edge set. The
+            # (u, m) self-rows are emitted once per EDGE instead of
+            # once per node; the duplicates sit inside their window
+            # partition, so the final distinct's map-side partial
+            # removes them before its shuffle — the old mins2-union
+            # rows are a subset, identical set after distinct.
+            lw = large.withColumn("m", F.min("v").over(wu))
+            small = (
+                lw.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionAll(lw.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
         # Checkpoint + convergence check every `check_every` rounds
         # (default 1 = per round — see CLUSTERS_CHECK_EVERY for why the
         # proposed skip-odd-rounds cadence measured 2× slower and was
@@ -593,6 +647,7 @@ def resolve_duplicates(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Cluster assignment + keeper selection over the full corpus:
     (doc_id, cluster_id, is_keeper). Docs in no pair are their own
@@ -600,8 +655,10 @@ def resolve_duplicates(
     id (deterministic — swap in any scoring join for quality-based
     keeper selection). Training-pipeline use: filter is_keeper to drop
     near-duplicates. The cluster map is doc-cardinality, so the final
-    join broadcasts when the corpus dwarfs its duplicate set."""
-    cl = dup_clusters(pairs, src, dst)
+    join broadcasts when the corpus dwarfs its duplicate set.
+    ``pairs_unique`` forwards to dup_clusters (skip the canonicalizing
+    distinct when the pair table is born unique)."""
+    cl = dup_clusters(pairs, src, dst, pairs_unique=pairs_unique)
     out = docs.select(F.col(id_col).cast("long").alias("doc_id")).join(
         cl, "doc_id", "left"
     )

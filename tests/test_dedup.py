@@ -212,6 +212,37 @@ def test_dup_clusters_multiple_components(spark):
     assert got == {3: 3, 5: 3, 8: 3, 20: 20, 21: 20}
 
 
+def test_dup_clusters_pairs_unique_and_round_twin_equal(spark, monkeypatch):
+    """Round-9 CC internals pins: (a) pairs_unique=True (skip the init
+    distinct) must equal the default on a unique oriented pair table;
+    (b) the PROPIUS_CC_JOIN_ROUNDS=1 twin (the old groupBy+join star
+    rounds with their mid-round distinct) must be result-identical to
+    the window-based rounds — the window form's identity argument is
+    that the min-window sees the same u-groups the join attached, and
+    the final distinct absorbs the per-edge self-row duplicates."""
+    from propius_spark.operators import dup_clusters
+
+    # a shape with heavy min-sharing (two hubs bridged) so large-star
+    # actually produces duplicate (v, m) rows for the twin to absorb
+    edges = [(1, i) for i in range(2, 8)] + [(10, i) for i in range(11, 16)]
+    edges += [(7, 10)]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+
+    def canon(df):
+        return sorted((r["doc_id"], r["cluster_id"]) for r in df.collect())
+
+    base = canon(dup_clusters(pairs))
+    assert canon(dup_clusters(pairs, pairs_unique=True)) == base
+    monkeypatch.setenv("PROPIUS_CC_JOIN_ROUNDS", "1")
+    assert canon(dup_clusters(pairs)) == base
+    # every node in one component rooted at the smallest id (nodes are
+    # 1-7 and 10-15; 8/9 are not in the graph)
+    nodes = sorted({n for a, b in edges for n in (a, b)})
+    assert base == [(i, 1) for i in nodes]
+
+
 def test_resolve_duplicates_keepers_and_singletons(spark):
     from propius_spark.operators import resolve_duplicates
 
