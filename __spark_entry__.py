@@ -591,9 +591,17 @@ def q_ann_dup_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what lets a SQL oracle (that cannot replay MLlib Lloyd
     iterations) hash-match the verify stage exactly. Production uses
     many centroids and few probes (see ann_dup_pairs_pruned /
-    tests/test_ann.py recall bound for the realistic k=8 config)."""
+    tests/test_ann.py recall bound for the realistic k=8 config).
+
+    Because the result is fit-invariant here, the fit runs with the
+    CHEAP knobs (random init, 2 Lloyd iterations — 32 → 9 scheduled
+    jobs; kmeans_centroids docstring): paying k-means|| sampling
+    rounds for quality this query provably cannot observe is pure
+    bench cost. The invariance claim itself is property-pinned
+    (tests/test_ann.py::test_trained_dup_pairs_fit_invariant);
+    quality-sensitive callers keep the MLlib defaults."""
     emb = _emb(spark, sf_dir)
-    cents = kmeans_centroids(emb, n_centroids=4)
+    cents = kmeans_centroids(emb, n_centroids=4, max_iter=2, init_mode="random")
     asg = multi_probe_assignments(emb, n_probe=3, centroids=cents)
     return _r6(
         embedding_dup_pairs(emb, threshold=0.4, candidates=asg), "cosine"

@@ -323,6 +323,38 @@ def test_trained_pigeonhole_probes_guarantee_full_recall(spark, sf_dir):
     assert len(got8) >= 0.8 * len(exact)
 
 
+def test_trained_dup_pairs_fit_invariant(spark, sf_dir):
+    """Round-9 fit-cost knob pin: with the gate's pigeonhole config
+    (k=4, n_probe=3) the dup-pair set must be IDENTICAL across wildly
+    different fits — MLlib defaults (k-means||, 20 iters), the cheap
+    gate fit (random init, 2 iters), and a different seed — because
+    candidate recall is 1.0 by construction whatever centroids the fit
+    produced. This is the invariance q_ann_dup_pairs_trained's cheap
+    knobs stand on."""
+    from propius_spark.operators import (
+        embedding_dup_pairs,
+        kmeans_centroids,
+        multi_probe_assignments,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pairs(**fit_kw):
+        cents = kmeans_centroids(emb, n_centroids=4, **fit_kw)
+        asg = multi_probe_assignments(emb, n_probe=3, centroids=cents)
+        return {
+            (r.vec_a, r.vec_b, round(r.cosine, 9))
+            for r in embedding_dup_pairs(
+                emb, threshold=0.4, candidates=asg
+            ).collect()
+        }
+
+    base = pairs()  # MLlib defaults
+    assert base
+    assert pairs(max_iter=2, init_mode="random") == base  # the gate fit
+    assert pairs(max_iter=1, init_mode="random", seed=7) == base
+
+
 def test_explicit_centroids_reject_conflicting_n_centroids(spark):
     import pytest
 
