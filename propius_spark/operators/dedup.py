@@ -354,30 +354,46 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    band_sig = materialize(
-        wide.select("doc_id", F.explode(band_structs).alias("b")).select(
-            "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    band_sig = wide.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+    # ONE bucket-size pass serves both the drop cap and the sub-split
+    # sizing (the cap filter keeps whole buckets, so the pre-filter
+    # count IS the post-filter count) — as a count WINDOW over
+    # partitionBy(band, sig), not the old groupBy + self-join back:
+    # the aggregate's partial-agg exchange and the join-side exchange
+    # had different subplans, so the banded table shuffled TWICE on
+    # the same key plus a join, replayed once per candidate join side
+    # (round 9; the same two-exchange pattern the CC rounds had). The
+    # checkpoint moves from band_sig to the post-cap post-split
+    # sub_rows, so each candidate join side is a narrow explode over
+    # checkpoint blocks and the signature pipeline still runs once.
+    # PROPIUS_LSH_JOIN_SIZING=1 restores the old groupBy+join sizing
+    # over a checkpointed band_sig (result-identical twin for
+    # interleaved A/Bs, same protocol as PROPIUS_CC_JOIN_ROUNDS)
+    if os.environ.get("PROPIUS_LSH_JOIN_SIZING") == "1":
+        band_sig = materialize(band_sig)
+        bucket_sizes = band_sig.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("_bs")
         )
-    )
-    # ONE bucket-size aggregate serves both the drop cap and the
-    # sub-split sizing (the cap filter keeps whole buckets, so the
-    # pre-filter count IS the post-filter count). band_sig is
-    # materialized, so the aggregate re-reads checkpoint blocks, not
-    # the signature pipeline.
-    bucket_sizes = band_sig.groupBy("band", "sig").agg(
-        F.count(F.lit(1)).alias("_bs")
-    )
-    if max_bucket_size is not None:
-        bucket_sizes = bucket_sizes.filter(F.col("_bs") <= max_bucket_size)
+        if max_bucket_size is not None:
+            bucket_sizes = bucket_sizes.filter(F.col("_bs") <= max_bucket_size)
+        sized = band_sig.join(bucket_sizes, ["band", "sig"])
+    else:
+        wband = Window.partitionBy("band", "sig")
+        sized = band_sig.withColumn("_bs", F.count(F.lit(1)).over(wband))
+        if max_bucket_size is not None:
+            sized = sized.filter(F.col("_bs") <= max_bucket_size)
     # sub-split the surviving buckets (docstring): nb sub-blocks per
     # bucket, candidate join keyed on (band, sig, pa, pb). A doc in
     # sub-block s enters side A for every group (s, j ≥ s) and side B
     # for every (j ≤ s, s) — each unordered within-bucket pair meets
-    # in exactly one group. The cap (when set) rides the same join:
-    # docs in dropped buckets find no (band, sig) match and fall out.
-    sub_rows = (
-        band_sig.join(bucket_sizes, ["band", "sig"])
-        .withColumn(
+    # in exactly one group. The cap (when set) dropped its buckets'
+    # rows above, so they never reach the join input.
+    sub_rows = materialize(
+        sized.withColumn(
             "nb", F.ceil(F.col("_bs") / max_bucket_docs).cast("int")
         )
         .withColumn(
