@@ -188,15 +188,26 @@ def similar_items_candidates(
     """
     pairs = corr_pairs(cells)
     if threshold_method == "std_dev":
-        # pairs is consumed twice (per-item cut + the filter join):
-        # persist so the Gram shuffle runs once
-        pairs = _persist(pairs)
-        st = pairs.groupBy("item_a").agg(
-            (F.avg("corr") + F.lit(threshold_value) * F.stddev_samp("corr")).alias("cut")
-        )
-        # 6-dp-rounded boundary, same rationale as get_similar_items
+        # ONE window pass (round 9, VERDICT r8 item 5): the per-item
+        # cut is avg + k·σ over the item's candidate rows — as window
+        # aggregates over partitionBy(item_a), every row sees its cut
+        # in the same exchange that used to be paid three times over
+        # (persist the pair table, groupBy it for the cuts, join the
+        # cuts back — the agg-side and join-side exchanges never
+        # reuse). The persist disappears with the second consumer.
+        # Window partials merge in partition-row order rather than the
+        # hash aggregate's merge order, so the raw cut can differ in
+        # the last ulp — exactly the engine-specific-boundary class
+        # the 6-dp-rounded membership test exists to absorb (module
+        # docstring); the branch is pinned against a dense NumPy
+        # brute force in
+        # tests/test_correlation.py::test_candidates_stddev_matches_dense.
+        w = Window.partitionBy("item_a")
+        cut = F.avg("corr").over(w) + F.lit(threshold_value) * F.stddev_samp(
+            "corr"
+        ).over(w)
         return (
-            pairs.join(st, "item_a")
+            pairs.withColumn("cut", cut)
             .filter(F.round(F.col("corr"), 6) >= F.round(F.col("cut"), 6))
             .select("item_a", "item_b", "corr")
         )

@@ -174,6 +174,56 @@ def test_corr_pairs_no_valid_items(spark):
     assert similar_items_exact(cells).count() == 0
 
 
+def test_candidates_stddev_matches_dense(spark):
+    """similar_items_candidates' std_dev branch (round-9 single-window
+    rewrite) against a dense NumPy brute force: per item, the cut is
+    mean + k·σ (sample std) over its CO-OCCURRING candidate corrs only,
+    membership on 6-dp-rounded corr vs 6-dp-rounded cut. The fixture's
+    corrs are nowhere within 1e-4 of any cut (asserted), so a last-ulp
+    window-vs-hash-aggregate difference cannot flip membership and set
+    equality is exact."""
+    from propius_spark.operators.similarity import similar_items_candidates
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for ref in range(30):
+        for it in rng.choice(20, size=rng.randint(1, 5), replace=True):
+            rows.append((f"r{ref}", int(it) + 1))
+    df = spark.createDataFrame(rows, "reference_id string, item_id long")
+    cells = build_cells(df)
+
+    dense, items = crosstab_numpy(rows, "distinct")
+    corr = np.corrcoef(dense)
+    valid = [i for i, it in enumerate(items) if not np.isnan(corr[i]).all()]
+    cooc = dense @ dense.T  # >0 where a pair shares a context
+    k = 0.5
+    expect = set()
+    for i in valid:
+        cand = [
+            j for j in valid if j != i and cooc[items.index(items[i]), j] > 0
+        ]
+        cs = np.array([corr[i, j] for j in cand])
+        if len(cs) == 0:
+            continue
+        cut = cs.mean() + k * cs.std(ddof=1) if len(cs) >= 2 else np.nan
+        for j, c in zip(cand, cs):
+            # NaN cut (single candidate) matches nothing — both engines
+            # propagate NaN through the >= as false
+            if not np.isnan(cut):
+                assert abs(c - cut) > 1e-4, "fixture too close to a cut"
+            if not np.isnan(cut) and round(c, 6) >= round(cut, 6):
+                expect.add((items[i], items[j]))
+
+    got = {
+        (r["item_a"], r["item_b"])
+        for r in similar_items_candidates(
+            cells, threshold_method="std_dev", threshold_value=k
+        ).collect()
+    }
+    assert expect, "fixture produced no expected pairs"
+    assert got == expect
+
+
 def test_neighbor_stats_match_bruteforce(spark):
     """Analytic mean/std/min/max over the FULL neighbor row (incl.
     non-co-occurring pairs) must equal the brute-force dense result."""
