@@ -1385,25 +1385,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering rule: the driver's CORRECTNESS gate covers the FIRST 50
     # entries only, and new/fragile queries go first so a driver-side
     # canonicalization error on one row cannot shadow the rows after it
-    # (round-2 lesson). Round-8 rotation, executing VERDICT r7's
-    # next-round item 3: (a) the 24 rows that sat past position 49 in
-    # round 7 (r6-gate-green, code and oracle untouched there) rotate
-    # into positions 0-23 — after this rotation every query has a
-    # driver-gate row within the r7+r8 pair; (b) the heaviest
-    # plans.materialize users stay gated because materialize's sizing
-    # machinery changed this round (durable-mode compaction measures
-    # the checkpoint FILES now; localCheckpoint-mode behavior is
-    # pinned unchanged by tests, but the shared helper's heavy users
-    # belong in the gate the round its code moves); (c) fill to 50
-    # with the remaining round-7-(c) rows plus the LSH/mix rows. The
-    # 24 rotated-out rows (tfidf_docs .. weighted_sample_docs) are all
-    # r7-gate-green with their own code and oracles untouched this
-    # round, and the full-suite oracle replica (FULLGATE_r08.json,
+    # (round-2 lesson). Round-9 rotation — TOUCHED PATHS FIRST, the
+    # ordering rule VERDICT r8 item 8 asked to be applied literally:
+    # (a) positions 0-18 are the 19 queries whose executed code changed
+    # this round (the correlation/similarity scalar-literal probe, the
+    # connected-components window rounds + pairs_unique init, the
+    # minhash-LSH window sizing, the cheap fit knobs, the publish
+    # thread-join fix); (b) the 21 rows from round-8 positions 50+
+    # whose code and oracle were untouched there rotate in (the other
+    # 3 of round 8's deferred 24 — retrieve_topk_batch,
+    # corr_pairs_parts, ann_dup_pairs_trained — are touched this round
+    # and already sit in (a)); (c) fill to 50 with rows from the FILES
+    # this round edited whose own functions did not change
+    # (dedup/ann module neighbors sharing helpers with the changed
+    # code). The 24 rotated-out rows (vocabulary ..
+    # rolling_user_counts) are all r8-gate-green with code and oracle
+    # untouched this round (textstats/events/sampling/sessions/
+    # multimodal/streaming modules have no round-9 diff), and the
+    # full-suite oracle replica (FULLGATE_r09.json,
     # scripts/verify_driver.py --json) re-checks all 74 regardless —
     # the ADVICE r6 coverage net for shared-helper regressions on
     # rotated-out rows.
     return {
-        # (a) the 24 rotated-in rows (positions 50+ in round 7)
+        # (a) the 19 touched-path queries, gated first
+        "publish_retrieve": q_publish_retrieve,
+        "similar_exact_parts": q_similar_exact_parts,
+        "corr_pairs_parts": q_corr_pairs_parts,
+        "corr_pairs_capped": q_corr_pairs_capped,
+        "corr_pairs_cap_drop": q_corr_pairs_cap_drop,
+        "corr_pairs_cross_set": q_corr_pairs_cross_set,
+        "retrieve_topk_part": q_retrieve_topk_part,
+        "retrieve_topk_batch": q_retrieve_topk_batch,
+        "similar_one_part": q_similar_one_part,
+        "similar_topk_per_item": q_similar_topk_per_item,
+        "similar_candidates_events": q_similar_candidates_events,
+        "model_roundtrip": q_model_roundtrip,
+        "model_roundtrip_npy": q_model_roundtrip_npy,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_dup_clusters": q_ann_dup_clusters,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_capped": q_dedup_lsh_capped,
+        "dedup_lsh_cap_drop": q_dedup_lsh_cap_drop,
+        "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
+        # (b) the 21 untouched rows from round-8 positions 50+
+        "tfidf_docs": q_tfidf_docs,
+        "text_doc_stats": q_text_doc_stats,
+        "corpus_filter": q_corpus_filter,
+        "pipeline_prepare": q_pipeline_prepare,
+        "chunk_docs": q_chunk_docs,
+        "corpus_summary": q_corpus_summary,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "dedup_exact": q_dedup_exact,
+        "streaming_dedup": q_streaming_dedup,
+        "item_info": q_item_info,
+        "search_items": q_search_items,
+        "db_stats": q_db_stats,
+        "dedup_incremental": q_dedup_incremental,
+        "ann_dup_pairs": q_ann_dup_pairs,
+        "ann_dup_pairs_pruned": q_ann_dup_pairs_pruned,
+        "ann_knn_join": q_ann_knn_join,
+        "ann_ivf_knn_join": q_ann_ivf_knn_join,
+        "cap_per_source": q_cap_per_source,
+        "split_corpus": q_split_corpus,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        # (c) fill to 50: same-file neighbors of the changed code
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
+        "multimodal_dup_pairs": q_multimodal_dup_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "streaming_cells": q_streaming_cells,
+        "bm25_search": q_bm25_search,
+        "posting_lists": q_posting_lists,
+        # ---- position 50+: r8-gate-green, code and oracle untouched
+        # this round (still covered by the full-suite oracle replica)
         "vocabulary": q_vocabulary,
         "redact_docs": q_redact_docs,
         "pack_docs": q_pack_docs,
@@ -1415,74 +1473,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_events_stratified": q_sample_events_stratified,
         "events_props_rollup": q_events_props_rollup,
         "shuffle_shards_docs": q_shuffle_shards_docs,
-        "model_roundtrip_npy": q_model_roundtrip_npy,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_search": q_multimodal_search,
         "sessionize_events": q_sessionize_events,
         "windowed_event_counts": q_windowed_event_counts,
         "asof_click_purchase": q_asof_click_purchase,
-        "model_roundtrip": q_model_roundtrip,
-        "streaming_cells": q_streaming_cells,
         "funnel_events": q_funnel_events,
         "cohort_retention": q_cohort_retention,
         "token_distribution": q_token_distribution,
         "rolling_user_counts": q_rolling_user_counts,
-        # (b) heaviest materialize (checkpoint) users — the shared
-        # helper's sizing code moved this round
-        "publish_retrieve": q_publish_retrieve,
-        "similar_exact_parts": q_similar_exact_parts,
-        "corr_pairs_cap_drop": q_corr_pairs_cap_drop,
-        "corr_pairs_capped": q_corr_pairs_capped,
-        "corr_pairs_cross_set": q_corr_pairs_cross_set,
-        "similar_one_part": q_similar_one_part,
-        "similar_topk_per_item": q_similar_topk_per_item,
-        "similar_candidates_events": q_similar_candidates_events,
-        "retrieve_topk_part": q_retrieve_topk_part,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_dup_clusters": q_ann_dup_clusters,
-        # (c) fill to 50: remaining round-7-(c) rows + the LSH/mix rows
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "bm25_search": q_bm25_search,
-        "posting_lists": q_posting_lists,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_dup_pairs_lsh": q_ann_dup_pairs_lsh,
         "token_estimates": q_token_estimates,
         "diag_tokenizer": q_diag_tokenizer,
-        "multimodal_dup_pairs": q_multimodal_dup_pairs,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_lsh_capped": q_dedup_lsh_capped,
-        "dedup_lsh_cap_drop": q_dedup_lsh_cap_drop,
         "mix_sources_docs": q_mix_sources_docs,
-        # ---- position 50+: r7-gate-green, code and oracle untouched
-        # this round (still covered by the full-suite oracle replica)
-        "tfidf_docs": q_tfidf_docs,
-        "text_doc_stats": q_text_doc_stats,
-        "corpus_filter": q_corpus_filter,
-        "pipeline_prepare": q_pipeline_prepare,
-        "chunk_docs": q_chunk_docs,
-        "corpus_summary": q_corpus_summary,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "dedup_exact": q_dedup_exact,
-        "streaming_dedup": q_streaming_dedup,
-        "retrieve_topk_batch": q_retrieve_topk_batch,
-        "item_info": q_item_info,
-        "search_items": q_search_items,
-        "db_stats": q_db_stats,
-        "corr_pairs_parts": q_corr_pairs_parts,
-        "dedup_incremental": q_dedup_incremental,
-        "ann_dup_pairs": q_ann_dup_pairs,
-        "ann_dup_pairs_pruned": q_ann_dup_pairs_pruned,
-        "ann_dup_pairs_trained": q_ann_dup_pairs_trained,
-        "ann_knn_join": q_ann_knn_join,
-        "ann_ivf_knn_join": q_ann_ivf_knn_join,
-        "cap_per_source": q_cap_per_source,
-        "split_corpus": q_split_corpus,
-        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
