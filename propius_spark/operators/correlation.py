@@ -53,21 +53,6 @@ def context_count(cells: DataFrame) -> DataFrame:
     return cells.agg(F.countDistinct("ctx_id").cast("double").alias("n"))
 
 
-def _n_from_stats(stats: DataFrame) -> DataFrame:
-    """1-row (n) read off the stats table instead of re-aggregating the
-    cell table: `valid_item_stats` already paid the countDistinct pass
-    and stamped n on every row, so consumers that hold stats can skip a
-    whole extra pass over cells (at target scale the cell table is the
-    big one — guide §2.3 "do fewer passes"). Result-identical: every
-    stats row carries the same n, and when stats is EMPTY (no valid
-    item) this yields 0 rows instead of context_count's 1 — downstream
-    the difference is invisible because every consumer combines n with
-    gram/stats-derived frames that are themselves empty exactly then
-    (pinned by tests/test_correlation.py::test_corr_pairs_no_valid_items).
-    """
-    return stats.select("n").limit(1)
-
-
 def _global_scalars(stats: DataFrame):
     """Every global scalar the correlation plans need, fetched in ONE
     driver probe over the (persisted, item-cardinality) stats table:
@@ -88,7 +73,8 @@ def _global_scalars(stats: DataFrame):
     here and again downstream. Empty stats probes (n=None, v=0,
     big_t/big_u=None); consumers substitute 0.0 — the values are
     unreachable because every frame they combine with is empty exactly
-    then (the `_n_from_stats` edge, same pin)."""
+    then (pinned by
+    tests/test_correlation.py::test_corr_pairs_no_valid_items)."""
     return stats.agg(
         F.first("n").alias("n"),
         F.count(F.lit(1)).alias("v"),
@@ -131,15 +117,6 @@ def valid_item_stats(cells: DataFrame) -> DataFrame:
         .filter(F.col("den2") > 0)
         .withColumn("den", F.sqrt("den2"))
         .withColumn("t", F.col("s") / F.col("den"))
-    )
-
-
-def global_stats(stats: DataFrame) -> DataFrame:
-    """1-row (v, big_t, big_u): valid-item count, Σ t_j, Σ t_j²."""
-    return stats.agg(
-        F.count(F.lit(1)).cast("double").alias("v"),
-        F.sum("t").alias("big_t"),
-        F.sum(F.col("t") * F.col("t")).alias("big_u"),
     )
 
 

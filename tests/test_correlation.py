@@ -159,8 +159,8 @@ def test_zero_variance_items_dropped(spark):
 def test_corr_pairs_no_valid_items(spark):
     """Degenerate corpus where EVERY item has zero variance (each item
     in both contexts with cnt=1 → den2 = 0): valid stats is EMPTY.
-    Pins the edge `_n_from_stats` changed the shape of — it yields 0
-    rows here where `context_count` yielded 1 — asserting the full
+    Pins the empty-stats edge the scalar probe rides on —
+    `_global_scalars` returns (n=None, v=0) here — asserting the full
     pipelines still return exactly no rows (they must: gram and every
     stats-derived frame are empty precisely when stats is)."""
     from propius_spark.operators.similarity import similar_items_exact
