@@ -443,20 +443,57 @@ def minhash_lsh_pairs(
     return _jaccard_from_inter(inter, sizes, threshold)
 
 
-def _edge_fingerprint(e: DataFrame) -> tuple:
+def _observed_fingerprint(e: DataFrame):
     """Order-invariant set fingerprint of an (u, v) edge table:
     (count, XOR of xxhash64(u, v)) — XOR, not sum, so the aggregate
     can never overflow a long under ANSI mode, and the edge sets are
     distinct by construction so XOR self-cancellation needs a genuine
-    64-bit collision. One map-side aggregate over an already-
-    materialized table — equal sets always produce equal fingerprints,
+    64-bit collision. Equal sets always produce equal fingerprints,
     so inequality is PROOF of change (the cheap direction the
-    convergence loop needs)."""
-    row = e.select(
+    convergence loop needs).
+
+    Attached as OBSERVED metrics (round 9) so the fingerprint rides
+    the SAME action that materializes the edge table — the old
+    separate `.first()` probe was one whole scheduled job per
+    checkpoint wave (7 jobs per clusters query at the gate SFs).
+    Safe as an observation precisely because both aggregates are
+    exact-integer and order-invariant (count; XOR is commutative/
+    associative), so the completion-order partial merge of the metrics
+    accumulator is bit-identical to the in-plan aggregate — the
+    float-summing probes elsewhere (correlation._global_scalars) must
+    NOT be folded this way, their merge order would become
+    nondeterministic. Returns (observed_df, get) where get() yields
+    the (n, h) tuple once the frame has been materialized; an empty
+    table fingerprints as (0, None), exactly like the old probe."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = e.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-    ).first()
-    return (row["n"], row["h"])
+    )
+    return observed, lambda: (obs.get["n"], obs.get["h"])
+
+
+def _materialized_with_fp(e: DataFrame):
+    """Materialize an edge table and return (materialized, fingerprint)
+    — ONE action by default (the fingerprint rides the checkpoint as
+    observed metrics, see _observed_fingerprint). The
+    ``PROPIUS_CC_PROBE_JOB=1`` twin restores the pre-round-9 shape —
+    materialize, then a separate map-side `.first()` probe job over the
+    materialized blocks — kept result-identical for interleaved A/B
+    (the aggregates are the same exact-integer order-invariant
+    expressions either way)."""
+    if os.environ.get("PROPIUS_CC_PROBE_JOB") == "1":
+        m = materialize(e)
+        row = m.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return m, (row["n"], row["h"])
+    observed, get = _observed_fingerprint(e)
+    return materialize(observed), get()
 
 
 def _is_star_forest(e: DataFrame) -> bool:
@@ -550,8 +587,7 @@ def dup_clusters(
     )
     if not pairs_unique:
         e = e.distinct()
-    e = materialize(e)
-    fp = _edge_fingerprint(e)
+    e, fp = _materialized_with_fp(e)
     check_every = check_every or CLUSTERS_CHECK_EVERY
     converged = False
     # Each star operation attaches the group minimum to every row of
@@ -626,19 +662,20 @@ def dup_clusters(
         # reverted). A skipped round folds its operators lazily into
         # the next plan, trading checkpoint I/O for recompute.
         if (i + 1) % check_every == 0 or i + 1 == max_iter:
-            e_new = materialize(small)
-            # convergence test in two tiers: a map-side fingerprint
-            # (count + order-invariant XOR over the materialized edges)
-            # per check — equal sets ⇒ equal fingerprint, so a CHANGED
-            # fingerprint proves non-convergence with zero shuffles;
-            # only when fingerprints match does the structural confirm
-            # run. The confirm is _is_star_forest, NOT set-equality:
-            # snapshots here are two rounds apart, and "is a fixed
-            # point" (star forests are exactly the fixed points of the
-            # round map) stays sound at any check distance where
+            # convergence test in two tiers: a fingerprint (count +
+            # order-invariant XOR, riding the checkpoint action as
+            # observed metrics — no separate probe job, see
+            # _observed_fingerprint) per check — equal sets ⇒ equal
+            # fingerprint, so a CHANGED fingerprint proves
+            # non-convergence with zero extra jobs; only when
+            # fingerprints match does the structural confirm run. The
+            # confirm is _is_star_forest, NOT set-equality: snapshots
+            # here are two rounds apart, and "is a fixed point" (star
+            # forests are exactly the fixed points of the round map)
+            # stays sound at any check distance where
             # equality-between-snapshots would not (it also guards the
             # 2⁻⁶⁴-ish XOR collision).
-            fp_new = _edge_fingerprint(e_new)
+            e_new, fp_new = _materialized_with_fp(small)
             if fp_new == fp and _is_star_forest(e_new):
                 e = e_new
                 converged = True

@@ -235,12 +235,48 @@ def test_dup_clusters_pairs_unique_and_round_twin_equal(spark, monkeypatch):
 
     base = canon(dup_clusters(pairs))
     assert canon(dup_clusters(pairs, pairs_unique=True)) == base
+    # separate-probe-job fingerprint twin (round 9: the fingerprint
+    # normally rides the checkpoint action as observed metrics)
+    monkeypatch.setenv("PROPIUS_CC_PROBE_JOB", "1")
+    assert canon(dup_clusters(pairs)) == base
+    monkeypatch.delenv("PROPIUS_CC_PROBE_JOB")
     monkeypatch.setenv("PROPIUS_CC_JOIN_ROUNDS", "1")
     assert canon(dup_clusters(pairs)) == base
     # every node in one component rooted at the smallest id (nodes are
     # 1-7 and 10-15; 8/9 are not in the graph)
     nodes = sorted({n for a, b in edges for n in (a, b)})
     assert base == [(i, 1) for i in nodes]
+
+
+def test_observed_fingerprint_matches_direct_aggregate(spark):
+    """Round-9 probe fold pin: the convergence fingerprint now rides
+    the materialize action as observed metrics (count + bit_xor of
+    xxhash64 — exact-integer, order-invariant aggregates, so the
+    metrics accumulator's completion-order merge cannot diverge from
+    the in-plan aggregate the old `.first()` probe ran). Assert the
+    observed tuple equals the direct aggregate on a non-trivial edge
+    table, and that an empty table fingerprints as (0, None) exactly
+    like the old probe did."""
+    from pyspark.sql import functions as F
+
+    from propius_spark.operators.dedup import _observed_fingerprint
+    from propius_spark.plans import materialize
+
+    e = spark.createDataFrame(
+        [(i * 7 % 23, i % 5) for i in range(200)], "u long, v long"
+    )
+    observed, get = _observed_fingerprint(e)
+    materialize(observed)
+    direct = e.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).first()
+    assert get() == (direct["n"], direct["h"])
+
+    empty = e.filter(F.col("u") < 0)
+    observed_e, get_e = _observed_fingerprint(empty)
+    materialize(observed_e)
+    assert get_e() == (0, None)
 
 
 def test_resolve_duplicates_keepers_and_singletons(spark):
